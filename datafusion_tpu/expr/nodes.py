@@ -1,0 +1,420 @@
+"""Logical expression IR.
+
+Capability analog of the reference's `Expr` enum (datafusion/expr/src/expr.rs:326):
+columns, literals, binary/unary ops, CASE, CAST, IN, BETWEEN, LIKE, scalar and
+aggregate and window function calls, subquery expressions, aliases.  Kept as
+frozen dataclasses so expressions hash/compare structurally (needed for
+common-subexpression work and GROUP BY key matching).
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional, Tuple
+
+from ..common import types as T
+
+
+class Expr:
+    """Base class. Subclasses are frozen dataclasses."""
+
+    def children(self) -> Tuple["Expr", ...]:
+        out = []
+        for f in dataclasses.fields(self):
+            v = getattr(self, f.name)
+            if isinstance(v, Expr):
+                out.append(v)
+            elif isinstance(v, tuple):
+                out.extend(x for x in v if isinstance(x, Expr))
+        return tuple(out)
+
+    def name(self) -> str:
+        """Output column name when this expr appears unaliased in a SELECT
+        list (reference: Expr::schema_name)."""
+        return _display(self)
+
+    # -- sugar used by the DataFrame API and tests -----------------------
+    def _wrap(self, other) -> "Expr":
+        return other if isinstance(other, Expr) else lit(other)
+
+    def __add__(self, o):
+        return BinaryOp(Op.ADD, self, self._wrap(o))
+
+    def __radd__(self, o):
+        return BinaryOp(Op.ADD, self._wrap(o), self)
+
+    def __sub__(self, o):
+        return BinaryOp(Op.SUB, self, self._wrap(o))
+
+    def __rsub__(self, o):
+        return BinaryOp(Op.SUB, self._wrap(o), self)
+
+    def __mul__(self, o):
+        return BinaryOp(Op.MUL, self, self._wrap(o))
+
+    def __rmul__(self, o):
+        return BinaryOp(Op.MUL, self._wrap(o), self)
+
+    def __truediv__(self, o):
+        return BinaryOp(Op.DIV, self, self._wrap(o))
+
+    def __mod__(self, o):
+        return BinaryOp(Op.MOD, self, self._wrap(o))
+
+    def __gt__(self, o):
+        return BinaryOp(Op.GT, self, self._wrap(o))
+
+    def __ge__(self, o):
+        return BinaryOp(Op.GE, self, self._wrap(o))
+
+    def __lt__(self, o):
+        return BinaryOp(Op.LT, self, self._wrap(o))
+
+    def __le__(self, o):
+        return BinaryOp(Op.LE, self, self._wrap(o))
+
+    def eq(self, o):
+        return BinaryOp(Op.EQ, self, self._wrap(o))
+
+    def ne(self, o):
+        return BinaryOp(Op.NEQ, self, self._wrap(o))
+
+    def __and__(self, o):
+        return BinaryOp(Op.AND, self, self._wrap(o))
+
+    def __or__(self, o):
+        return BinaryOp(Op.OR, self, self._wrap(o))
+
+    def __invert__(self):
+        return Not(self)
+
+    def alias(self, name: str) -> "Expr":
+        return Alias(self, name)
+
+    def cast(self, dtype: T.DataType) -> "Expr":
+        return Cast(self, dtype)
+
+    def is_null(self) -> "Expr":
+        return IsNull(self)
+
+    def is_not_null(self) -> "Expr":
+        return Not(IsNull(self))
+
+    def sort(self, asc: bool = True, nulls_first: Optional[bool] = None) -> "SortSpec":
+        return SortSpec(self, asc, nulls_first if nulls_first is not None else not asc)
+
+
+class Op(enum.Enum):
+    ADD = "+"
+    SUB = "-"
+    MUL = "*"
+    DIV = "/"
+    MOD = "%"
+    EQ = "="
+    NEQ = "<>"
+    LT = "<"
+    LE = "<="
+    GT = ">"
+    GE = ">="
+    AND = "AND"
+    OR = "OR"
+
+    @property
+    def is_comparison(self) -> bool:
+        return self in (Op.EQ, Op.NEQ, Op.LT, Op.LE, Op.GT, Op.GE)
+
+    @property
+    def is_logic(self) -> bool:
+        return self in (Op.AND, Op.OR)
+
+    @property
+    def is_arith(self) -> bool:
+        return self in (Op.ADD, Op.SUB, Op.MUL, Op.DIV, Op.MOD)
+
+
+def _d(cls):
+    return dataclasses.dataclass(frozen=True, eq=True)(cls)
+
+
+@_d
+class Column(Expr):
+    cname: str
+    qualifier: Optional[str] = None
+
+    @property
+    def flat_name(self) -> str:
+        return f"{self.qualifier}.{self.cname}" if self.qualifier else self.cname
+
+
+@_d
+class Literal(Expr):
+    value: object  # python scalar; None = NULL
+    dtype: T.DataType
+
+
+@_d
+class BinaryOp(Expr):
+    op: Op
+    left: Expr
+    right: Expr
+
+
+@_d
+class Not(Expr):
+    expr: Expr
+
+
+@_d
+class Negative(Expr):
+    expr: Expr
+
+
+@_d
+class IsNull(Expr):
+    expr: Expr
+
+
+@_d
+class Cast(Expr):
+    expr: Expr
+    dtype: T.DataType
+    # try_cast yields NULL instead of error on failure
+    safe: bool = False
+
+
+@_d
+class Case(Expr):
+    # CASE [operand] WHEN w THEN t ... [ELSE e] END
+    operand: Optional[Expr]
+    branches: Tuple[Tuple[Expr, Expr], ...]
+    else_expr: Optional[Expr]
+
+
+@_d
+class InList(Expr):
+    expr: Expr
+    values: Tuple[Expr, ...]
+    negated: bool = False
+
+
+@_d
+class Between(Expr):
+    expr: Expr
+    low: Expr
+    high: Expr
+    negated: bool = False
+
+
+@_d
+class Like(Expr):
+    expr: Expr
+    pattern: Expr  # must be a string literal for now
+    negated: bool = False
+    case_insensitive: bool = False
+
+
+@_d
+class ScalarFunction(Expr):
+    fname: str  # lowercase
+    args: Tuple[Expr, ...]
+
+
+@_d
+class AggregateFunction(Expr):
+    fname: str  # lowercase: count, sum, avg, min, max, ...
+    args: Tuple[Expr, ...]
+    distinct: bool = False
+    filter: Optional[Expr] = None
+
+
+@_d
+class WindowFunction(Expr):
+    fname: str
+    args: Tuple[Expr, ...]
+    partition_by: Tuple[Expr, ...] = ()
+    order_by: Tuple["SortSpec", ...] = ()
+
+
+@_d
+class Alias(Expr):
+    expr: Expr
+    aname: str
+
+
+@_d
+class SortSpec(Expr):
+    expr: Expr
+    asc: bool = True
+    nulls_first: bool = False
+
+
+# -- subquery expressions (decorrelated by the optimizer) -------------------
+
+
+@_d
+class ScalarSubquery(Expr):
+    plan: object  # LogicalPlan
+
+
+@_d
+class Exists(Expr):
+    plan: object
+    negated: bool = False
+
+
+@_d
+class InSubquery(Expr):
+    expr: Expr
+    plan: object
+    negated: bool = False
+
+
+@_d
+class Placeholder(Expr):
+    pid: str
+
+
+# ---------------------------------------------------------------------------
+
+
+def lit(value, dtype: Optional[T.DataType] = None) -> Literal:
+    if dtype is None:
+        if value is None:
+            dtype = T.NULL
+        elif isinstance(value, bool):
+            dtype = T.BOOL
+        elif isinstance(value, int):
+            dtype = T.INT64
+        elif isinstance(value, float):
+            dtype = T.FLOAT64
+        elif isinstance(value, str):
+            dtype = T.STRING
+        else:
+            raise TypeError(f"cannot infer literal type of {value!r}")
+    return Literal(value, dtype)
+
+
+def col(name: str) -> Column:
+    if "." in name:
+        q, c = name.split(".", 1)
+        return Column(c, q)
+    return Column(name)
+
+
+def _display(e: Expr) -> str:
+    if isinstance(e, Column):
+        return e.cname
+    if isinstance(e, Alias):
+        return e.aname
+    if isinstance(e, Literal):
+        return str(e.value)
+    if isinstance(e, BinaryOp):
+        return f"{_display(e.left)} {e.op.value} {_display(e.right)}"
+    if isinstance(e, AggregateFunction):
+        inner = ", ".join(_display(a) for a in e.args) or "*"
+        d = "DISTINCT " if e.distinct else ""
+        return f"{e.fname}({d}{inner})"
+    if isinstance(e, ScalarFunction):
+        return f"{e.fname}({', '.join(_display(a) for a in e.args)})"
+    if isinstance(e, WindowFunction):
+        return f"{e.fname}() OVER (...)"
+    if isinstance(e, Cast):
+        return _display(e.expr)
+    if isinstance(e, Not):
+        return f"NOT {_display(e.expr)}"
+    if isinstance(e, Negative):
+        return f"(- {_display(e.expr)})"
+    if isinstance(e, IsNull):
+        return f"{_display(e.expr)} IS NULL"
+    if isinstance(e, Case):
+        return "CASE"
+    if isinstance(e, Between):
+        return f"{_display(e.expr)} BETWEEN"
+    if isinstance(e, InList):
+        return f"{_display(e.expr)} IN (...)"
+    if isinstance(e, Like):
+        return f"{_display(e.expr)} LIKE"
+    if isinstance(e, ScalarSubquery):
+        return "(subquery)"
+    if isinstance(e, (Exists, InSubquery)):
+        return "(subquery)"
+    if isinstance(e, SortSpec):
+        return _display(e.expr)
+    return type(e).__name__
+
+
+def map_expr(e: Expr, fn) -> Expr:
+    """Bottom-up rewrite: apply fn to each node after rewriting children."""
+    def rec(x: Expr) -> Expr:
+        if isinstance(x, BinaryOp):
+            x = BinaryOp(x.op, rec(x.left), rec(x.right))
+        elif isinstance(x, Not):
+            x = Not(rec(x.expr))
+        elif isinstance(x, Negative):
+            x = Negative(rec(x.expr))
+        elif isinstance(x, IsNull):
+            x = IsNull(rec(x.expr))
+        elif isinstance(x, Cast):
+            x = Cast(rec(x.expr), x.dtype, x.safe)
+        elif isinstance(x, Case):
+            x = Case(
+                rec(x.operand) if x.operand is not None else None,
+                tuple((rec(w), rec(t)) for w, t in x.branches),
+                rec(x.else_expr) if x.else_expr is not None else None,
+            )
+        elif isinstance(x, InList):
+            x = InList(rec(x.expr), tuple(rec(v) for v in x.values), x.negated)
+        elif isinstance(x, Between):
+            x = Between(rec(x.expr), rec(x.low), rec(x.high), x.negated)
+        elif isinstance(x, Like):
+            x = Like(rec(x.expr), rec(x.pattern), x.negated, x.case_insensitive)
+        elif isinstance(x, ScalarFunction):
+            x = ScalarFunction(x.fname, tuple(rec(a) for a in x.args))
+        elif isinstance(x, AggregateFunction):
+            x = AggregateFunction(
+                x.fname,
+                tuple(rec(a) for a in x.args),
+                x.distinct,
+                rec(x.filter) if x.filter is not None else None,
+            )
+        elif isinstance(x, WindowFunction):
+            x = WindowFunction(
+                x.fname,
+                tuple(rec(a) for a in x.args),
+                tuple(rec(p) for p in x.partition_by),
+                tuple(SortSpec(rec(s.expr), s.asc, s.nulls_first) for s in x.order_by),
+            )
+        elif isinstance(x, Alias):
+            x = Alias(rec(x.expr), x.aname)
+        elif isinstance(x, SortSpec):
+            x = SortSpec(rec(x.expr), x.asc, x.nulls_first)
+        elif isinstance(x, InSubquery):
+            x = InSubquery(rec(x.expr), x.plan, x.negated)
+        return fn(x)
+
+    return rec(e)
+
+
+def collect_columns(e: Expr) -> set:
+    out = set()
+
+    def visit(x: Expr):
+        if isinstance(x, Column):
+            out.add(x)
+        for c in x.children():
+            visit(c)
+
+    visit(e)
+    return out
+
+
+def contains_aggregate(e: Expr) -> bool:
+    if isinstance(e, AggregateFunction):
+        return True
+    return any(contains_aggregate(c) for c in e.children())
+
+
+def contains_window(e: Expr) -> bool:
+    if isinstance(e, WindowFunction):
+        return True
+    return any(contains_window(c) for c in e.children())

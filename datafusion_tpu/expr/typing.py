@@ -1,0 +1,149 @@
+"""Expression type inference (reference capability: Expr::get_type +
+type_coercion, datafusion/expr/src/expr_schema.rs)."""
+from __future__ import annotations
+
+from typing import Tuple
+
+from ..common import types as T
+from ..common.errors import PlanError
+from ..common.schema import Schema
+from . import nodes as E
+
+
+def infer(e: E.Expr, schema: Schema) -> Tuple[T.DataType, bool]:
+    """Return (dtype, nullable) of expression over schema."""
+    if isinstance(e, E.Column):
+        f = schema.field(e.flat_name)
+        return f.dtype, f.nullable
+    if isinstance(e, E.Literal):
+        return e.dtype, e.value is None
+    if isinstance(e, E.Alias):
+        return infer(e.expr, schema)
+    if isinstance(e, E.SortSpec):
+        return infer(e.expr, schema)
+    if isinstance(e, E.Cast):
+        _, n = infer(e.expr, schema)
+        return e.dtype, n or e.safe
+    if isinstance(e, E.Not):
+        _, n = infer(e.expr, schema)
+        return T.BOOL, n
+    if isinstance(e, E.Negative):
+        return infer(e.expr, schema)
+    if isinstance(e, E.IsNull):
+        return T.BOOL, False
+    if isinstance(e, (E.InList, E.Between, E.Like, E.Exists, E.InSubquery)):
+        return T.BOOL, True
+    if isinstance(e, E.BinaryOp):
+        lt, ln = infer(e.left, schema)
+        rt, rn = infer(e.right, schema)
+        nullable = ln or rn
+        if e.op.is_comparison or e.op.is_logic:
+            return T.BOOL, nullable
+        return arith_result(e.op, lt, rt), nullable
+    if isinstance(e, E.Case):
+        dt = None
+        nullable = e.else_expr is None
+        for _, then in e.branches:
+            t, n = infer(then, schema)
+            nullable = nullable or n
+            dt = t if dt is None or dt.kind is T.TypeKind.NULL else (
+                T.common_numeric_type(dt, t) if (dt.is_numeric and t.is_numeric and dt != t) else dt
+            )
+        if e.else_expr is not None:
+            t, n = infer(e.else_expr, schema)
+            nullable = nullable or n
+            if dt is None or dt.kind is T.TypeKind.NULL:
+                dt = t
+            elif dt.is_numeric and t.is_numeric and dt != t:
+                dt = T.common_numeric_type(dt, t)
+        return dt if dt is not None else T.NULL, nullable
+    if isinstance(e, E.ScalarSubquery):
+        sub_schema = e.plan.schema  # LogicalPlan
+        if len(sub_schema) != 1:
+            raise PlanError("scalar subquery must return one column")
+        return sub_schema.fields[0].dtype, True
+    if isinstance(e, E.AggregateFunction):
+        return aggregate_result(e, schema)
+    if isinstance(e, E.WindowFunction):
+        return window_result(e, schema)
+    if isinstance(e, E.ScalarFunction):
+        return scalar_fn_result(e, schema)
+    raise PlanError(f"cannot infer type of {e!r}")
+
+
+def arith_result(op: E.Op, lt: T.DataType, rt: T.DataType) -> T.DataType:
+    if op is E.Op.DIV:
+        if lt.is_integer and rt.is_integer:
+            return T.common_numeric_type(lt, rt)
+        return T.FLOAT64
+    # date/interval arithmetic
+    if lt.kind is T.TypeKind.DATE32 and rt.kind is T.TypeKind.INTERVAL_DAYS:
+        return T.DATE32
+    if lt.kind is T.TypeKind.DATE32 and rt.kind is T.TypeKind.INTERVAL_MONTHS:
+        return T.DATE32
+    if lt.kind is T.TypeKind.DATE32 and rt.kind is T.TypeKind.DATE32 and op is E.Op.SUB:
+        return T.INT32  # day difference
+    if lt.is_decimal and rt.is_decimal and op is E.Op.MUL:
+        return T.decimal(min(38, lt.precision + rt.precision + 1), lt.scale + rt.scale)
+    if (lt.is_decimal or rt.is_decimal) and op is E.Op.MUL:
+        d, o = (lt, rt) if lt.is_decimal else (rt, lt)
+        if o.is_integer:
+            return T.decimal(min(38, d.precision + 19), d.scale)
+    return T.common_numeric_type(lt, rt)
+
+
+def aggregate_result(e: E.AggregateFunction, schema: Schema) -> Tuple[T.DataType, bool]:
+    f = e.fname
+    if f in ("count", "approx_distinct"):
+        return T.INT64, False
+    if not e.args:
+        raise PlanError(f"{f} requires arguments")
+    at, _ = infer(e.args[0], schema)
+    if f == "sum":
+        if at.is_integer:
+            return T.INT64, True
+        if at.is_decimal:
+            return T.decimal(38, at.scale), True
+        return T.FLOAT64, True
+    if f in ("avg", "mean", "median", "approx_median", "stddev", "stddev_pop",
+             "stddev_samp", "var", "var_pop", "var_samp", "corr", "covar",
+             "covar_pop", "covar_samp", "approx_percentile_cont"):
+        return T.FLOAT64, True
+    if f in ("min", "max", "first_value", "last_value", "any_value"):
+        return at, True
+    if f in ("bit_and", "bit_or", "bit_xor"):
+        return at, True
+    if f in ("bool_and", "bool_or"):
+        return T.BOOL, True
+    if f == "string_agg":
+        return T.STRING, True
+    raise PlanError(f"unknown aggregate function {f!r}")
+
+
+def window_result(e: E.WindowFunction, schema: Schema) -> Tuple[T.DataType, bool]:
+    f = e.fname
+    if f in ("row_number", "rank", "dense_rank", "ntile", "count"):
+        return T.INT64, False
+    if f in ("percent_rank", "cume_dist"):
+        return T.FLOAT64, False
+    if f in ("lead", "lag", "first_value", "last_value", "nth_value", "min", "max"):
+        return infer(e.args[0], schema)[0], True
+    if f == "sum":
+        at, _ = infer(e.args[0], schema)
+        if at.is_integer:
+            return T.INT64, True
+        if at.is_decimal:
+            return T.decimal(38, at.scale), True
+        return T.FLOAT64, True
+    if f == "avg":
+        return T.FLOAT64, True
+    raise PlanError(f"unknown window function {f!r}")
+
+
+_FN_TYPES = {}
+
+
+def scalar_fn_result(e: E.ScalarFunction, schema: Schema) -> Tuple[T.DataType, bool]:
+    from ..physical.functions import scalar_function_type  # late import
+
+    return scalar_function_type(e, schema)

@@ -1,0 +1,302 @@
+"""Core vectorized kernel substrate (jnp/XLA; Pallas variants in ops/pallas_*).
+
+TPU-first building blocks shared by the physical operators:
+
+* `hash64`           -- seeded 64-bit column hashing (single engine-wide seed
+                        family, like the reference's REPARTITION_RANDOM_STATE /
+                        HASH_JOIN_SEED split, repartition/mod.rs:638,
+                        hash_join/exec.rs:101).
+* `sort_rows`        -- multi-key stable sort with ASC/DESC, NULLS FIRST/LAST
+                        and dead-row (sel=False) sinking, built on the TPU
+                        sort network via jax.lax.sort.
+* `segments_from_sorted_keys` -- group boundary detection + dense segment ids,
+                        the sorted-grouping analog of GroupValues::intern
+                        (aggregates/group_values/mod.rs:90).
+* segment reductions -- masked segment_sum/min/max over dense group ids: the
+                        direct TPU port of the flat per-group state vectors of
+                        GroupsAccumulator (expr-common/src/groups_accumulator.rs).
+* `canonical_ids`    -- exact dense-id assignment for arbitrary composite keys
+                        across two relations (replaces hash-table key interning
+                        for the join path; collision-free by construction).
+
+Everything is shape-static: relations are capacity-padded and carry selection
+masks (see data/device.py).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# hashing
+# ---------------------------------------------------------------------------
+
+_M1 = np.uint64(0xFF51AFD7ED558CCD)
+_M2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+
+def _mix64(x: jax.Array) -> jax.Array:
+    """splitmix64-style finalizer (uint64)."""
+    x = x ^ (x >> 33)
+    x = x * _M1
+    x = x ^ (x >> 33)
+    x = x * _M2
+    x = x ^ (x >> 33)
+    return x
+
+
+def hash64(columns: Sequence[jax.Array], seed: int = 0) -> jax.Array:
+    """Combine columns into a 64-bit hash per row. Columns may be any integer/
+    float dtype; floats are bitcast. Shared by exchange partitioning and any
+    hash-based operator so repartitioned data never needs rehashing."""
+    assert columns, "hash64 needs at least one column"
+    n = columns[0].shape[0]
+    acc = jnp.full((n,), np.uint64(seed) ^ _M1, dtype=jnp.uint64)
+    for c in columns:
+        if jnp.issubdtype(c.dtype, jnp.floating):
+            if c.dtype == jnp.float32:
+                bits = jax.lax.bitcast_convert_type(c, jnp.uint32).astype(jnp.uint64)
+            else:
+                bits = jax.lax.bitcast_convert_type(c, jnp.uint64)
+        elif c.dtype == jnp.bool_:
+            bits = c.astype(jnp.uint64)
+        else:
+            bits = c.astype(jnp.uint64)
+        acc = _mix64(acc ^ _mix64(bits))
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# sort
+# ---------------------------------------------------------------------------
+
+
+def _order_key(data: jax.Array, descending: bool) -> jax.Array:
+    """Transform a column so ascending sort yields the requested order.
+    Integer DESC uses bitwise-not (order-reversing, overflow-free); float DESC
+    negates; bool DESC inverts."""
+    if not descending:
+        return data
+    if data.dtype == jnp.bool_:
+        return ~data
+    if jnp.issubdtype(data.dtype, jnp.integer):
+        return ~data
+    return -data
+
+
+def sort_rows(
+    keys: Sequence[Tuple[jax.Array, Optional[jax.Array], bool, bool]],
+    payload: Sequence[jax.Array],
+    sel: jax.Array,
+) -> Tuple[List[jax.Array], jax.Array]:
+    """Stable multi-key sort.
+
+    keys: list of (data, validity_or_None, descending, nulls_first).
+    Returns (sorted payload arrays, sorted sel). Dead rows sink to the end.
+    """
+    operands: List[jax.Array] = [~sel]  # live rows (False) first
+    for data, validity, desc, nulls_first in keys:
+        if validity is not None:
+            # ascending bool sort puts False first: nulls_first wants null->False
+            nkey = validity if nulls_first else ~validity
+            operands.append(nkey)
+            # neutralize null payloads so they tie deterministically
+            data = jnp.where(validity, data, jnp.zeros_like(data))
+        operands.append(_order_key(data, desc))
+    nk = len(operands)
+    operands = operands + [sel] + list(payload)
+    out = jax.lax.sort(operands, dimension=0, is_stable=True, num_keys=nk)
+    return list(out[nk + 1:]), out[nk]
+
+
+def compaction_order(sel: jax.Array) -> jax.Array:
+    """Stable permutation moving selected rows to the front."""
+    n = sel.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    _, perm = jax.lax.sort([~sel, iota], dimension=0, is_stable=True, num_keys=1)
+    return perm
+
+
+# ---------------------------------------------------------------------------
+# grouping
+# ---------------------------------------------------------------------------
+
+
+def segments_from_sorted_keys(
+    sorted_keys: Sequence[jax.Array],
+    sorted_validity: Sequence[Optional[jax.Array]],
+    sorted_sel: jax.Array,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Given key columns already sorted (live rows first), return
+    (segment_ids[int32], is_group_start[bool], num_groups[int32 scalar]).
+    Dead rows get segment_id == capacity-1 clamped... they are masked out by
+    callers via sorted_sel."""
+    n = sorted_sel.shape[0]
+    differs = jnp.zeros(n, dtype=bool)
+    for k, v in zip(sorted_keys, sorted_validity):
+        prev = jnp.concatenate([k[:1], k[:-1]])
+        d = k != prev
+        if v is not None:
+            pv = jnp.concatenate([v[:1], v[:-1]])
+            d = (d & v & pv) | (v != pv)
+        differs = differs | d
+    first = jnp.zeros(n, dtype=bool).at[0].set(True)
+    is_start = sorted_sel & (first | differs)
+    seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    seg = jnp.where(sorted_sel, seg, n - 1)  # park dead rows on last slot
+    num_groups = jnp.sum(is_start.astype(jnp.int32))
+    return seg.astype(jnp.int32), is_start, num_groups
+
+
+def segment_sum(values: jax.Array, seg: jax.Array, mask: jax.Array, num_segments: int) -> jax.Array:
+    z = jnp.where(mask, values, jnp.zeros_like(values))
+    return jax.ops.segment_sum(z, seg, num_segments=num_segments)
+
+
+def segment_count(seg: jax.Array, mask: jax.Array, num_segments: int) -> jax.Array:
+    return jax.ops.segment_sum(mask.astype(jnp.int64), seg, num_segments=num_segments)
+
+
+def segment_min(values: jax.Array, seg: jax.Array, mask: jax.Array, num_segments: int) -> jax.Array:
+    ident = _max_ident(values.dtype)
+    z = jnp.where(mask, values, ident)
+    return jax.ops.segment_min(z, seg, num_segments=num_segments)
+
+
+def segment_max(values: jax.Array, seg: jax.Array, mask: jax.Array, num_segments: int) -> jax.Array:
+    ident = _min_ident(values.dtype)
+    z = jnp.where(mask, values, ident)
+    return jax.ops.segment_max(z, seg, num_segments=num_segments)
+
+
+def _max_ident(dtype):
+    if dtype == jnp.bool_:
+        return jnp.array(True)
+    if jnp.issubdtype(dtype, jnp.integer):
+        return jnp.array(jnp.iinfo(dtype).max, dtype)
+    return jnp.array(jnp.inf, dtype)
+
+
+def _min_ident(dtype):
+    if dtype == jnp.bool_:
+        return jnp.array(False)
+    if jnp.issubdtype(dtype, jnp.integer):
+        return jnp.array(jnp.iinfo(dtype).min, dtype)
+    return jnp.array(-jnp.inf, dtype)
+
+
+# ---------------------------------------------------------------------------
+# key canonicalization (exact dense ids for composite / string keys)
+# ---------------------------------------------------------------------------
+
+
+def canonical_ids_two_sided(
+    left_keys: Sequence[Tuple[jax.Array, Optional[jax.Array]]],
+    right_keys: Sequence[Tuple[jax.Array, Optional[jax.Array]]],
+    left_sel: jax.Array,
+    right_sel: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Assign identical dense int32 ids to identical composite keys across two
+    relations (exact -- no hash collisions).  SQL join semantics: rows with any
+    NULL key never match; they are given unique negative-side ids by masking.
+
+    Returns (left_ids, right_ids) with -1 for null-key/dead rows.
+    """
+    nl, nr = left_sel.shape[0], right_sel.shape[0]
+    n = nl + nr
+
+    def cat(i):
+        lk, lv = left_keys[i]
+        rk, rv = right_keys[i]
+        rk = rk.astype(lk.dtype) if rk.dtype != lk.dtype else rk
+        data = jnp.concatenate([lk, rk])
+        if lv is None and rv is None:
+            valid = None
+        else:
+            lvv = lv if lv is not None else jnp.ones(nl, dtype=bool)
+            rvv = rv if rv is not None else jnp.ones(nr, dtype=bool)
+            valid = jnp.concatenate([lvv, rvv])
+        return data, valid
+
+    cols = [cat(i) for i in range(len(left_keys))]
+    joinable = jnp.concatenate([left_sel, right_sel])
+    for _, valid in cols:
+        if valid is not None:
+            joinable = joinable & valid
+
+    operands = []
+    for data, _ in cols:
+        operands.append(data)
+    nk = len(operands)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    srt = jax.lax.sort([~joinable] + operands + [joinable, iota],
+                       dimension=0, is_stable=True, num_keys=nk + 1)
+    sorted_keys = srt[1:1 + nk]
+    sorted_joinable = srt[1 + nk]
+    sorted_iota = srt[2 + nk]
+    seg, _, _ = segments_from_sorted_keys(
+        sorted_keys, [None] * nk, sorted_joinable
+    )
+    seg = jnp.where(sorted_joinable, seg, -1)
+    ids = jnp.zeros(n, dtype=jnp.int32).at[sorted_iota].set(seg)
+    return ids[:nl], ids[:nl + nr][nl:]
+
+
+# ---------------------------------------------------------------------------
+# searchsorted-based equi-join core
+# ---------------------------------------------------------------------------
+
+
+def join_match_counts(
+    build_ids: jax.Array,
+    build_sel: jax.Array,
+    probe_ids: jax.Array,
+    probe_sel: jax.Array,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Phase 1 of the equi-join: sort build side by id, binary-search probes.
+
+    Returns (sorted_build_perm, lo, cnt, total):
+      sorted_build_perm: row index into build relation, sorted by id (dead last)
+      lo[i]:   first position in sorted build matching probe row i
+      cnt[i]:  number of matches for probe row i (0 for dead/null probes)
+      total:   sum(cnt) (traced scalar)
+    """
+    nb = build_ids.shape[0]
+    live_b = build_sel & (build_ids >= 0)
+    bkey = jnp.where(live_b, build_ids, jnp.iinfo(jnp.int32).max)
+    iota = jnp.arange(nb, dtype=jnp.int32)
+    sbkey, perm = jax.lax.sort([bkey, iota], dimension=0, is_stable=True, num_keys=1)
+    live_p = probe_sel & (probe_ids >= 0)
+    pid = jnp.where(live_p, probe_ids, jnp.iinfo(jnp.int32).max - 1)
+    lo = jnp.searchsorted(sbkey, pid, side="left").astype(jnp.int32)
+    hi = jnp.searchsorted(sbkey, pid, side="right").astype(jnp.int32)
+    cnt = jnp.where(live_p, hi - lo, 0).astype(jnp.int32)
+    total = jnp.sum(cnt.astype(jnp.int64))
+    return perm, lo, cnt, total
+
+
+def join_expand(
+    perm: jax.Array,
+    lo: jax.Array,
+    cnt: jax.Array,
+    out_capacity: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Phase 2: produce (probe_row, build_row, out_valid) for each output slot.
+
+    Output slot j belongs to probe row p where offsets[p] <= j < offsets[p]+cnt[p];
+    found via searchsorted over the exclusive prefix sum of counts.
+    """
+    offsets = jnp.cumsum(cnt.astype(jnp.int64)) - cnt.astype(jnp.int64)
+    total = offsets[-1] + cnt[-1].astype(jnp.int64) if cnt.shape[0] else jnp.int64(0)
+    j = jnp.arange(out_capacity, dtype=jnp.int64)
+    probe_row = (jnp.searchsorted(offsets, j, side="right") - 1).astype(jnp.int32)
+    probe_row = jnp.clip(probe_row, 0, cnt.shape[0] - 1)
+    match_idx = (j - offsets[probe_row]).astype(jnp.int32)
+    out_valid = j < total
+    pos = jnp.clip(lo[probe_row] + match_idx, 0, perm.shape[0] - 1)
+    build_row = perm[pos]
+    return probe_row, build_row, out_valid
