@@ -1,0 +1,146 @@
+"""Catalog: table registration and providers.
+
+Capability analog of the reference catalog layer (datafusion/catalog/src/
+catalog.rs, table.rs, memory/; ListingTable in catalog-listing/src/table.rs):
+TableProvider abstraction with in-memory, parquet and CSV implementations.
+Providers cache the device-resident encoding of their data so repeated query
+execution hits warm HBM (the reference analog is the CacheManager's
+file-statistics / metadata caches, execution/src/cache/cache_manager.rs)."""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+from ..common.errors import PlanError
+from ..common.schema import Schema
+from ..data.device import DeviceRelation, to_device
+from ..data.table import Table
+
+
+class TableProvider:
+    def schema(self) -> Schema:
+        raise NotImplementedError
+
+    def host_table(self) -> Table:
+        raise NotImplementedError
+
+    def scan_device(self, ctx) -> DeviceRelation:
+        raise NotImplementedError
+
+    def statistics(self) -> Dict:
+        """Row-count (and later min/max) statistics for the optimizer
+        (reference: Statistics, common/src/stats.rs:368)."""
+        try:
+            return {"num_rows": self.host_table().num_rows}
+        except Exception:
+            return {}
+
+
+class MemTable(TableProvider):
+    def __init__(self, table: Table):
+        self._table = table
+        self._device: Optional[DeviceRelation] = None
+
+    def schema(self) -> Schema:
+        return self._table.schema
+
+    def host_table(self) -> Table:
+        return self._table
+
+    def scan_device(self, ctx) -> DeviceRelation:
+        if self._device is None:
+            self._device = to_device(self._table, device=ctx.device if ctx else None)
+        return self._device
+
+
+class FileTable(TableProvider):
+    """Base for file-backed tables: lazy host read, cached device encoding."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._table: Optional[Table] = None
+        self._device: Optional[DeviceRelation] = None
+
+    def _read(self) -> Table:
+        raise NotImplementedError
+
+    def schema(self) -> Schema:
+        return self.host_table().schema
+
+    def host_table(self) -> Table:
+        if self._table is None:
+            self._table = self._read()
+        return self._table
+
+    def scan_device(self, ctx) -> DeviceRelation:
+        if self._device is None:
+            self._device = to_device(self.host_table(), device=ctx.device if ctx else None)
+        return self._device
+
+
+class ParquetTable(FileTable):
+    """Parquet scan via the Arrow C++ reader (native IO path; reference:
+    datasource-parquet/src/opener/mod.rs)."""
+
+    def _read(self) -> Table:
+        import pyarrow.parquet as pq
+
+        paths = self._expand(self.path, (".parquet",))
+        import pyarrow as pa
+
+        tables = [pq.read_table(p) for p in paths]
+        at = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+        return Table.from_arrow(at)
+
+    @staticmethod
+    def _expand(path: str, exts) -> List[str]:
+        if os.path.isdir(path):
+            out = sorted(
+                os.path.join(path, f) for f in os.listdir(path)
+                if f.endswith(exts)
+            )
+            if not out:
+                raise PlanError(f"no files matching {exts} under {path}")
+            return out
+        return [path]
+
+
+class CsvTable(FileTable):
+    def __init__(self, path: str, has_header: bool = True, delimiter: str = ","):
+        super().__init__(path)
+        self.has_header = has_header
+        self.delimiter = delimiter
+
+    def _read(self) -> Table:
+        import pyarrow as pa
+        import pyarrow.csv as pcsv
+
+        paths = ParquetTable._expand(self.path, (".csv", ".tbl", ".txt"))
+        opts = pcsv.ParseOptions(delimiter=self.delimiter)
+        ropts = pcsv.ReadOptions(autogenerate_column_names=not self.has_header)
+        tables = [pcsv.read_csv(p, parse_options=opts, read_options=ropts) for p in paths]
+        at = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+        return Table.from_arrow(at)
+
+
+class Catalog:
+    def __init__(self):
+        self._tables: Dict[str, TableProvider] = {}
+
+    def register(self, name: str, provider: TableProvider):
+        self._tables[name.lower()] = provider
+
+    def deregister(self, name: str):
+        self._tables.pop(name.lower(), None)
+
+    def get(self, name: str) -> TableProvider:
+        p = self._tables.get(name.lower())
+        if p is None:
+            raise PlanError(f"table {name!r} not found; registered: {sorted(self._tables)}")
+        return p
+
+    def names(self) -> List[str]:
+        return sorted(self._tables)
+
+    def __contains__(self, name: str) -> bool:
+        return name.lower() in self._tables

@@ -1,0 +1,173 @@
+"""SessionContext + DataFrame: the user-facing API.
+
+Capability analog of the reference's SessionContext
+(datafusion/core/src/execution/context/mod.rs:293) and DataFrame
+(core/src/dataframe/mod.rs:229): register tables, run SQL, build plans
+fluently, collect results."""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Union as TyUnion
+
+from .catalog.catalog import Catalog, CsvTable, MemTable, ParquetTable, TableProvider
+from .common.errors import PlanError
+from .common.schema import Schema
+from .data.device import to_host
+from .data.table import Table
+from .expr import nodes as E
+from .logical import plan as L
+from .physical.planner import create_physical_plan
+from .runtime.context import ExecContext
+
+
+class SessionContext:
+    def __init__(self, config: Optional[Dict] = None, device=None):
+        self.catalog = Catalog()
+        self.config = dict(config or {})
+        self.device = device
+
+    # ---- registration ---------------------------------------------------
+    def register_table(self, name: str, data) -> None:
+        if isinstance(data, TableProvider):
+            self.catalog.register(name, data)
+        elif isinstance(data, Table):
+            self.catalog.register(name, MemTable(data))
+        elif isinstance(data, dict):
+            self.catalog.register(name, MemTable(Table.from_pydict(data)))
+        else:
+            try:
+                import pyarrow as pa
+
+                if isinstance(data, pa.Table):
+                    self.catalog.register(name, MemTable(Table.from_arrow(data)))
+                    return
+            except ImportError:
+                pass
+            import pandas as pd
+
+            if isinstance(data, pd.DataFrame):
+                self.catalog.register(name, MemTable(Table.from_pandas(data)))
+            else:
+                raise PlanError(f"cannot register {type(data)}")
+
+    def register_parquet(self, name: str, path: str) -> None:
+        self.catalog.register(name, ParquetTable(path))
+
+    def register_csv(self, name: str, path: str, has_header: bool = True,
+                     delimiter: str = ",") -> None:
+        self.catalog.register(name, CsvTable(path, has_header, delimiter))
+
+    def deregister_table(self, name: str) -> None:
+        self.catalog.deregister(name)
+
+    # ---- plan entry points ----------------------------------------------
+    def table(self, name: str) -> "DataFrame":
+        provider = self.catalog.get(name)
+        return DataFrame(self, L.TableScan(name, provider))
+
+    def sql(self, query: str) -> "DataFrame":
+        from .sql.parser import parse_sql
+        from .sql.planner import SqlPlanner
+
+        stmts = parse_sql(query)
+        if len(stmts) != 1:
+            raise PlanError("expected exactly one statement")
+        plan = SqlPlanner(self.catalog).plan_statement(stmts[0])
+        return DataFrame(self, plan)
+
+    def exec_context(self) -> ExecContext:
+        return ExecContext(self.config, self.device)
+
+
+class DataFrame:
+    def __init__(self, ctx: SessionContext, plan: L.LogicalPlan):
+        self._ctx = ctx
+        self._plan = plan
+
+    # ---- builders (reference: DataFrame API + LogicalPlanBuilder) -------
+    def select(self, *exprs: TyUnion[str, E.Expr]) -> "DataFrame":
+        es = [E.col(e) if isinstance(e, str) else e for e in exprs]
+        return DataFrame(self._ctx, L.Projection(self._plan, es))
+
+    def filter(self, predicate: E.Expr) -> "DataFrame":
+        return DataFrame(self._ctx, L.Filter(self._plan, predicate))
+
+    def aggregate(self, group_by: Sequence[E.Expr], aggs: Sequence[E.Expr]) -> "DataFrame":
+        return DataFrame(self._ctx, L.Aggregate(self._plan, list(group_by), list(aggs)))
+
+    def sort(self, *specs) -> "DataFrame":
+        ss = [s if isinstance(s, E.SortSpec) else E.SortSpec(s) for s in specs]
+        return DataFrame(self._ctx, L.Sort(self._plan, ss))
+
+    def limit(self, fetch: int, skip: int = 0) -> "DataFrame":
+        return DataFrame(self._ctx, L.Limit(self._plan, skip, fetch))
+
+    def join(self, right: "DataFrame", on: Sequence, how: str = "inner",
+             filter: Optional[E.Expr] = None) -> "DataFrame":
+        jt = {
+            "inner": L.JoinType.INNER, "left": L.JoinType.LEFT,
+            "right": L.JoinType.RIGHT, "full": L.JoinType.FULL,
+            "semi": L.JoinType.LEFT_SEMI, "anti": L.JoinType.LEFT_ANTI,
+            "cross": L.JoinType.CROSS,
+        }[how]
+        pairs = []
+        for item in on:
+            if isinstance(item, str):
+                pairs.append((E.col(item), E.col(item)))
+            else:
+                l, r = item
+                pairs.append((E.col(l) if isinstance(l, str) else l,
+                              E.col(r) if isinstance(r, str) else r))
+        return DataFrame(self._ctx, L.Join(self._plan, right._plan, pairs, jt, filter))
+
+    def distinct(self) -> "DataFrame":
+        return DataFrame(self._ctx, L.Distinct(self._plan))
+
+    def union(self, other: "DataFrame", all: bool = True) -> "DataFrame":
+        u = L.Union([self._plan, other._plan], all=True)
+        return DataFrame(self._ctx, u if all else L.Distinct(u))
+
+    def alias(self, name: str) -> "DataFrame":
+        return DataFrame(self._ctx, L.SubqueryAlias(self._plan, name))
+
+    def window(self, window_exprs: Sequence[E.Expr]) -> "DataFrame":
+        return DataFrame(self._ctx, L.Window(self._plan, list(window_exprs)))
+
+    # ---- introspection ---------------------------------------------------
+    @property
+    def schema(self) -> Schema:
+        return self._plan.schema
+
+    def logical_plan(self) -> L.LogicalPlan:
+        return self._plan
+
+    def optimized_plan(self) -> L.LogicalPlan:
+        from .optimizer.optimizer import optimize
+
+        return optimize(self._plan, self._ctx.catalog)
+
+    def physical_plan(self):
+        return create_physical_plan(self.optimized_plan())
+
+    def explain(self) -> str:
+        lp = self.optimized_plan()
+        pp = create_physical_plan(lp)
+        return f"== Logical Plan ==\n{lp.display()}\n== Physical Plan ==\n{pp.display()}"
+
+    # ---- execution -------------------------------------------------------
+    def collect(self) -> Table:
+        ctx = self._ctx.exec_context()
+        phys = self.physical_plan()
+        rel = phys.execute(ctx)
+        return to_host(rel)
+
+    def to_pandas(self):
+        return self.collect().to_pandas()
+
+    def to_pydict(self):
+        return self.collect().to_pydict()
+
+    def count(self) -> int:
+        return self.collect().num_rows
+
+    def show(self, limit: int = 20):
+        print(self.limit(limit).to_pandas().to_string(index=False))

@@ -1,0 +1,278 @@
+"""Sort-based grouped aggregation.
+
+TPU-native replacement for the reference's GroupedHashAggregateStream
+(physical-plan/src/aggregates/grouped_hash_stream.rs) + GroupValues interning
+(aggregates/group_values/): instead of a hash table, rows are sorted by the
+group keys on the TPU sort network; dense segment ids then drive flat
+per-group state vectors (the GroupsAccumulator contract,
+expr-common/src/groups_accumulator.rs:126) via masked segment reductions.
+
+Two phases with a host sync between them so the group-count capacity stays
+static under jit:
+  phase_sort   : sort rows by keys, compute segment ids + group count
+  phase_reduce : segment reductions into a bucket_capacity(num_groups) output
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import types as T
+from ..common.errors import PlanError
+from ..data.device import DeviceColumn
+from . import kernels as K
+
+
+@dataclasses.dataclass
+class AggSpec:
+    fname: str  # count, count_star, sum, avg, min, max, var.., stddev.., first, last
+    arg: Optional[int]  # index into agg arg column list (None for count(*))
+    distinct: bool
+    out_dtype: T.DataType
+    arg_dtype: Optional[T.DataType] = None
+    filter: Optional[int] = None  # index into filter mask list
+
+
+def phase_sort(
+    group_cols: Sequence[DeviceColumn],
+    agg_args: Sequence[DeviceColumn],
+    filters: Sequence[jax.Array],
+    sel: jax.Array,
+    distinct_arg: Optional[int],
+):
+    """Sort by group keys (plus the distinct argument, if any); return sorted
+    state + segment structure + num_groups (traced)."""
+    keys = [(c.data, c.validity, False, False) for c in group_cols]
+    if distinct_arg is not None:
+        da = agg_args[distinct_arg]
+        keys.append((da.data, da.validity, False, False))
+
+    payload: List[jax.Array] = []
+    layout = []  # (kind, idx, has_validity)
+    for i, c in enumerate(group_cols):
+        payload.append(c.data)
+        if c.validity is not None:
+            payload.append(c.validity)
+        layout.append(("g", i, c.validity is not None))
+    for i, c in enumerate(agg_args):
+        payload.append(c.data)
+        if c.validity is not None:
+            payload.append(c.validity)
+        layout.append(("a", i, c.validity is not None))
+    for i, f in enumerate(filters):
+        payload.append(f)
+        layout.append(("f", i, False))
+
+    sorted_payload, ssel = K.sort_rows(keys, payload, sel)
+
+    # unpack
+    sg: List[DeviceColumn] = []
+    sa: List[DeviceColumn] = []
+    sf: List[jax.Array] = []
+    it = iter(sorted_payload)
+    for kind, i, hasv in layout:
+        data = next(it)
+        validity = next(it) if hasv else None
+        if kind == "g":
+            c = group_cols[i]
+            sg.append(DeviceColumn(data, validity, c.dtype, c.dictionary))
+        elif kind == "a":
+            c = agg_args[i]
+            sa.append(DeviceColumn(data, validity, c.dtype, c.dictionary))
+        else:
+            sf.append(data)
+
+    seg, is_start, num_groups = K.segments_from_sorted_keys(
+        [c.data for c in sg], [c.validity for c in sg], ssel
+    )
+
+    # distinct-run starts: first row of each (group, distinct-value) run
+    distinct_start = None
+    if distinct_arg is not None:
+        da = sa[distinct_arg]
+        dseg, dstart, _ = K.segments_from_sorted_keys(
+            [c.data for c in sg] + [da.data],
+            [c.validity for c in sg] + [da.validity],
+            ssel,
+        )
+        distinct_start = dstart
+
+    return sg, sa, sf, ssel, seg, is_start, distinct_start, num_groups
+
+
+def phase_reduce(
+    sg: Sequence[DeviceColumn],
+    sa: Sequence[DeviceColumn],
+    sf: Sequence[jax.Array],
+    ssel: jax.Array,
+    seg: jax.Array,
+    is_start: jax.Array,
+    distinct_start: Optional[jax.Array],
+    specs: Sequence[AggSpec],
+    num_segments: int,
+) -> Tuple[List[DeviceColumn], List[DeviceColumn], jax.Array]:
+    """Segment reductions. Returns (group key columns, agg result columns,
+    out_sel) with capacity == num_segments."""
+    G = num_segments
+    n = ssel.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+
+    # representative row per group (first row)
+    first_idx = K.segment_min(iota, seg, is_start, G)
+    first_idx = jnp.clip(first_idx, 0, n - 1)
+    group_count = K.segment_count(seg, ssel, G)
+    out_sel = group_count > 0
+
+    out_keys = []
+    for c in sg:
+        data = c.data[first_idx]
+        validity = None if c.validity is None else (c.validity[first_idx] & out_sel)
+        out_keys.append(DeviceColumn(data, validity, c.dtype, c.dictionary))
+
+    out_aggs = []
+    for spec in specs:
+        out_aggs.append(
+            _reduce_one(spec, sa, sf, ssel, seg, is_start, distinct_start, G, group_count, out_sel)
+        )
+    return out_keys, out_aggs, out_sel
+
+
+def _reduce_one(spec, sa, sf, ssel, seg, is_start, distinct_start, G, group_count, out_sel):
+    f = spec.fname
+    mask = ssel
+    if spec.filter is not None:
+        mask = mask & sf[spec.filter]
+
+    if f == "count_star":
+        cnt = K.segment_count(seg, mask, G)
+        return DeviceColumn(cnt.astype(jnp.int64), None, T.INT64)
+
+    arg = sa[spec.arg] if spec.arg is not None else None
+    if arg is not None:
+        mask = mask & arg.valid() if arg.validity is not None else mask
+
+    if f == "count":
+        if spec.distinct:
+            m = mask & distinct_start
+            cnt = K.segment_count(seg, m, G)
+        else:
+            cnt = K.segment_count(seg, mask, G)
+        return DeviceColumn(cnt.astype(jnp.int64), None, T.INT64)
+
+    if arg is None:
+        raise PlanError(f"aggregate {f} requires an argument")
+    data = arg.data
+    if spec.distinct and f in ("sum", "avg"):
+        mask = mask & distinct_start
+
+    if f == "sum":
+        acc = data
+        if spec.out_dtype.is_float and not arg.dtype.is_float:
+            acc = data.astype(jnp.float64)
+        elif spec.out_dtype.is_float:
+            acc = data.astype(jnp.float64)
+        elif arg.dtype.is_decimal:
+            acc = data  # int64 scaled
+        s = K.segment_sum(acc, seg, mask, G)
+        cnt = K.segment_count(seg, mask, G)
+        if spec.out_dtype.is_decimal:
+            s = s.astype(jnp.int64)
+        elif spec.out_dtype.kind is T.TypeKind.INT64:
+            s = s.astype(jnp.int64)
+        else:
+            s = s.astype(spec.out_dtype.np_dtype())
+        return DeviceColumn(s, (cnt > 0) & out_sel, spec.out_dtype)
+
+    if f in ("avg", "mean"):
+        if arg.dtype.is_decimal:
+            x = data.astype(jnp.float64) / (10.0 ** arg.dtype.scale)
+        else:
+            x = data.astype(jnp.float64)
+        s = K.segment_sum(x, seg, mask, G)
+        cnt = K.segment_count(seg, mask, G)
+        avg = s / jnp.maximum(cnt, 1).astype(jnp.float64)
+        return DeviceColumn(avg, (cnt > 0) & out_sel, T.FLOAT64)
+
+    if f in ("min", "max"):
+        red = K.segment_min if f == "min" else K.segment_max
+        r = red(data, seg, mask, G)
+        cnt = K.segment_count(seg, mask, G)
+        r = jnp.clip(r, 0, None) if arg.dictionary is not None else r
+        return DeviceColumn(r, (cnt > 0) & out_sel, spec.out_dtype, arg.dictionary)
+
+    if f in ("var", "var_samp", "var_pop", "stddev", "stddev_samp", "stddev_pop"):
+        x = data.astype(jnp.float64)
+        if arg.dtype.is_decimal:
+            x = x / (10.0 ** arg.dtype.scale)
+        s = K.segment_sum(x, seg, mask, G)
+        s2 = K.segment_sum(x * x, seg, mask, G)
+        cnt = K.segment_count(seg, mask, G).astype(jnp.float64)
+        pop = f.endswith("_pop")
+        denom = jnp.maximum(cnt if pop else cnt - 1.0, 1.0)
+        var = (s2 - s * s / jnp.maximum(cnt, 1.0)) / denom
+        var = jnp.maximum(var, 0.0)
+        out = jnp.sqrt(var) if f.startswith("stddev") else var
+        min_n = 1.0 if pop else 2.0
+        return DeviceColumn(out, (cnt >= min_n) & out_sel, T.FLOAT64)
+
+    if f in ("first_value", "last_value", "any_value"):
+        n = ssel.shape[0]
+        iota = jnp.arange(n, dtype=jnp.int32)
+        if f == "last_value":
+            idx = K.segment_max(iota, seg, mask, G)
+        else:
+            idx = K.segment_min(iota, seg, mask, G)
+        cnt = K.segment_count(seg, mask, G)
+        idx = jnp.clip(idx, 0, n - 1)
+        validity = (cnt > 0) & out_sel
+        if arg.validity is not None:
+            validity = validity & arg.validity[idx]
+        return DeviceColumn(arg.data[idx], validity, spec.out_dtype, arg.dictionary)
+
+    if f in ("bool_and", "bool_or"):
+        red = K.segment_min if f == "bool_and" else K.segment_max
+        r = red(data, seg, mask, G)
+        cnt = K.segment_count(seg, mask, G)
+        return DeviceColumn(r.astype(jnp.bool_), (cnt > 0) & out_sel, T.BOOL)
+
+    raise PlanError(f"aggregate function {f!r} not implemented")
+
+
+def global_aggregate(
+    agg_args: Sequence[DeviceColumn],
+    filters: Sequence[jax.Array],
+    sel: jax.Array,
+    specs: Sequence[AggSpec],
+    out_capacity: int,
+) -> Tuple[List[DeviceColumn], jax.Array]:
+    """No GROUP BY: reduce whole relation to one row (padded to out_capacity).
+    Implemented as a single-segment reduction so it shares _reduce_one."""
+    n = sel.shape[0]
+    distinct_arg = next((s.arg for s in specs if s.distinct), None)
+    if distinct_arg is not None:
+        _, sa, sf, ssel, seg, is_start, distinct_start, _ = phase_sort(
+            [], agg_args, filters, sel, distinct_arg
+        )
+        agg_args, filters, sel = sa, sf, ssel
+    else:
+        seg = jnp.zeros(n, dtype=jnp.int32)
+        is_start = jnp.zeros(n, dtype=bool).at[0].set(True)
+        distinct_start = None
+
+    one = jnp.ones(1, dtype=bool)
+    group_count = K.segment_count(seg, sel, 1)
+    outs = []
+    for spec in specs:
+        c = _reduce_one(spec, agg_args, filters, sel, seg, is_start, distinct_start, 1, group_count, one)
+        # pad to out_capacity
+        data = jnp.zeros(out_capacity, c.data.dtype).at[0].set(c.data[0])
+        validity = None
+        if c.validity is not None:
+            validity = jnp.zeros(out_capacity, jnp.bool_).at[0].set(c.validity[0])
+        outs.append(DeviceColumn(data, validity, c.dtype, c.dictionary))
+    out_sel = jnp.zeros(out_capacity, dtype=jnp.bool_).at[0].set(True)
+    return outs, out_sel

@@ -1,0 +1,228 @@
+"""Subquery decorrelation.
+
+Capability analog of the reference rules DecorrelatePredicateSubquery and
+ScalarSubqueryToJoin (datafusion/optimizer/src/{decorrelate_predicate_subquery,
+scalar_subquery_to_join}.rs):
+
+* EXISTS / NOT EXISTS      -> LEFT SEMI / LEFT ANTI join, correlated equality
+                              conjuncts lifted into join keys
+* expr IN (subquery)       -> LEFT SEMI join on (expr = subquery column)
+* expr NOT IN (subquery)   -> LEFT ANTI join
+* cmp with correlated scalar aggregate subquery
+                           -> subquery's correlation keys appended to its
+                              GROUP BY; INNER join on the keys; the comparison
+                              becomes a plain filter over the joined schema
+* uncorrelated scalar aggregate subquery
+                           -> cross join against the single-row subquery
+
+Only top-level conjuncts of Filter predicates are rewritten (matches the
+reference's supported surface for these rules).
+"""
+from __future__ import annotations
+
+import itertools
+from typing import List, Optional, Tuple
+
+from ..common.errors import PlanError
+from ..expr import nodes as E
+from ..logical import plan as L
+
+_COUNTER = itertools.count()
+
+
+def split_conjuncts(e: E.Expr) -> List[E.Expr]:
+    if isinstance(e, E.BinaryOp) and e.op is E.Op.AND:
+        return split_conjuncts(e.left) + split_conjuncts(e.right)
+    return [e]
+
+
+def conjoin(exprs: List[E.Expr]) -> Optional[E.Expr]:
+    out = None
+    for e in exprs:
+        out = e if out is None else E.BinaryOp(E.Op.AND, out, e)
+    return out
+
+
+def _has_subquery(e: E.Expr) -> bool:
+    if isinstance(e, (E.Exists, E.InSubquery, E.ScalarSubquery)):
+        return True
+    return any(_has_subquery(c) for c in e.children())
+
+
+def _outer_refs(e: E.Expr, inner_schema) -> List[E.Column]:
+    """Columns in e not resolvable against inner_schema."""
+    out = []
+    for c in E.collect_columns(e):
+        try:
+            if inner_schema.find(c.flat_name) is None:
+                out.append(c)
+        except PlanError:
+            pass  # ambiguous -> resolvable
+    return out
+
+
+def _extract_correlated(plan: L.LogicalPlan):
+    """Remove correlated conjuncts from Filters inside `plan`.
+    Returns (new_plan, [(outer_expr, inner_expr)], [residual correlated preds])."""
+    pairs: List[Tuple[E.Expr, E.Expr]] = []
+    residual: List[E.Expr] = []
+
+    def walk(p: L.LogicalPlan) -> L.LogicalPlan:
+        kids = p.children()
+        if kids:
+            new_kids = [walk(k) for k in kids]
+            if any(n is not o for n, o in zip(new_kids, kids)):
+                p = p.with_children(new_kids)
+        if isinstance(p, L.Filter):
+            inner_schema = p.input.schema
+            keep = []
+            for c in split_conjuncts(p.predicate):
+                refs = _outer_refs(c, inner_schema)
+                if not refs:
+                    keep.append(c)
+                    continue
+                # correlated conjunct
+                if (isinstance(c, E.BinaryOp) and c.op is E.Op.EQ):
+                    lrefs = _outer_refs(c.left, inner_schema)
+                    rrefs = _outer_refs(c.right, inner_schema)
+                    if lrefs and not rrefs:
+                        pairs.append((c.left, c.right))
+                        continue
+                    if rrefs and not lrefs:
+                        pairs.append((c.right, c.left))
+                        continue
+                residual.append(c)
+            pred = conjoin(keep)
+            p = L.Filter(p.input, pred) if pred is not None else p.input
+        return p
+
+    return walk(plan), pairs, residual
+
+
+def _strip_projections_to(plan: L.LogicalPlan):
+    """Descend through Projection/SubqueryAlias to find an Aggregate."""
+    path = []
+    p = plan
+    while isinstance(p, (L.Projection, L.SubqueryAlias)):
+        path.append(p)
+        p = p.input
+    return path, p
+
+
+def decorrelate_rule(plan: L.LogicalPlan) -> L.LogicalPlan:
+    return L.transform_up(plan, _rewrite_node)
+
+
+def _rewrite_node(plan: L.LogicalPlan) -> L.LogicalPlan:
+    if not isinstance(plan, L.Filter) or not _has_subquery(plan.predicate):
+        return plan
+    input_plan = plan.input
+    remaining: List[E.Expr] = []
+    for conj in split_conjuncts(plan.predicate):
+        input_plan, handled = _rewrite_conjunct(conj, input_plan)
+        if not handled:
+            remaining.append(conj)
+    pred = conjoin(remaining)
+    return L.Filter(input_plan, pred) if pred is not None else input_plan
+
+
+def _rewrite_conjunct(conj: E.Expr, input_plan: L.LogicalPlan):
+    """Returns (new_input_plan, handled)."""
+    if isinstance(conj, E.Exists):
+        return _rewrite_exists(conj, input_plan), True
+    if isinstance(conj, E.Not) and isinstance(conj.expr, E.Exists):
+        inner = conj.expr
+        return _rewrite_exists(E.Exists(inner.plan, not inner.negated), input_plan), True
+    if isinstance(conj, E.InSubquery):
+        return _rewrite_in(conj, input_plan), True
+    if isinstance(conj, E.Not) and isinstance(conj.expr, E.InSubquery):
+        inner = conj.expr
+        return _rewrite_in(E.InSubquery(inner.expr, inner.plan, not inner.negated), input_plan), True
+    if _has_subquery(conj):
+        return _rewrite_scalar_cmp(conj, input_plan), True
+    return input_plan, False
+
+
+def _rewrite_exists(e: E.Exists, input_plan: L.LogicalPlan) -> L.LogicalPlan:
+    sub, pairs, residual = _extract_correlated(decorrelate_rule(e.plan))
+    jt = L.JoinType.LEFT_ANTI if e.negated else L.JoinType.LEFT_SEMI
+    on = [(outer, inner) for outer, inner in pairs]
+    filt = conjoin(residual)
+    # project the subquery to just the inner join-key columns to keep schemas lean
+    return L.Join(input_plan, sub, on, jt, filt)
+
+
+def _rewrite_in(e: E.InSubquery, input_plan: L.LogicalPlan) -> L.LogicalPlan:
+    sub0 = decorrelate_rule(e.plan)
+    if len(sub0.schema) != 1:
+        raise PlanError("IN subquery must produce exactly one column")
+    first = sub0.schema.fields[0]
+    sub, pairs, residual = _extract_correlated(sub0)
+    if pairs and isinstance(sub, L.Projection):
+        # keep the correlation key columns visible through the projection
+        extra = [p[1] for p in pairs]
+        sub = L.Projection(sub.input, list(sub.proj_exprs) + extra)
+    inner_col = E.Column(first.name, first.qualifier)
+    on = [(e.expr, inner_col)] + list(pairs)
+    jt = L.JoinType.LEFT_ANTI if e.negated else L.JoinType.LEFT_SEMI
+    return L.Join(input_plan, sub, on, jt, conjoin(residual))
+
+
+def _find_scalar_subquery(e: E.Expr) -> Optional[E.ScalarSubquery]:
+    if isinstance(e, E.ScalarSubquery):
+        return e
+    for c in e.children():
+        f = _find_scalar_subquery(c)
+        if f is not None:
+            return f
+    return None
+
+
+def _replace_expr(e: E.Expr, target: E.Expr, replacement: E.Expr) -> E.Expr:
+    return E.map_expr(e, lambda x: replacement if x == target else x)
+
+
+def _rewrite_scalar_cmp(conj: E.Expr, input_plan: L.LogicalPlan) -> L.LogicalPlan:
+    sq = _find_scalar_subquery(conj)
+    if sq is None:
+        raise PlanError(f"unsupported subquery pattern: {conj!r}")
+    sub, pairs, residual = _extract_correlated(decorrelate_rule(sq.plan))
+    if residual:
+        raise PlanError("non-equality correlated predicate in scalar subquery")
+    alias = f"__sq_{next(_COUNTER)}"
+
+    if not pairs:
+        # uncorrelated: cross join the 1-row aggregate
+        sub_aliased = L.SubqueryAlias(sub, alias)
+        joined = L.Join(input_plan, sub_aliased, [], L.JoinType.INNER, None)
+        scalar_col = E.Column(sub_aliased.schema.fields[0].name, alias)
+        new_pred = _replace_expr(conj, sq, scalar_col)
+        return L.Filter(joined, new_pred)
+
+    # correlated: group the subquery by its correlation keys
+    path, agg = _strip_projections_to(sub)
+    if not isinstance(agg, L.Aggregate):
+        raise PlanError("correlated scalar subquery must be an aggregate")
+    inner_keys = [inner for _, inner in pairs]
+    new_agg = L.Aggregate(agg.input, list(agg.group_exprs) + inner_keys, agg.aggr_exprs)
+    # rebuild projections on top, extended with the key columns
+    rebuilt: L.LogicalPlan = new_agg
+    for node in reversed(path):
+        if isinstance(node, L.Projection):
+            extra = [E.Column(k.name(), None) if not isinstance(k, E.Column) else k
+                     for k in inner_keys]
+            rebuilt = L.Projection(rebuilt, list(node.proj_exprs) + list(extra))
+        elif isinstance(node, L.SubqueryAlias):
+            rebuilt = L.SubqueryAlias(rebuilt, node.alias)
+    sub_aliased = L.SubqueryAlias(rebuilt, alias)
+
+    # scalar output = first field of the original subquery schema
+    scalar_name = sq.plan.schema.fields[0].name
+    scalar_col = E.Column(scalar_name, alias)
+    on = []
+    for (outer, inner) in pairs:
+        iname = inner.name() if not isinstance(inner, E.Column) else inner.cname
+        on.append((outer, E.Column(iname, alias)))
+    joined = L.Join(input_plan, sub_aliased, on, L.JoinType.INNER, None)
+    new_pred = _replace_expr(conj, sq, scalar_col)
+    return L.Filter(joined, new_pred)

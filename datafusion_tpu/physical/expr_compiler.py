@@ -1,0 +1,411 @@
+"""Vectorized expression evaluation over device relations.
+
+Capability analog of the reference's PhysicalExpr tree
+(datafusion/physical-expr/src/physical_expr.rs + expressions/*): each logical
+Expr is evaluated into a DeviceColumn with Arrow-style null semantics
+(three-valued logic for AND/OR, null-propagating arithmetic/comparison).
+
+Evaluation is *traceable*: all dictionary work (string literal encoding, LIKE
+lookup tables, dictionary merges) runs at trace time on static metadata and
+becomes device constants; all row-wise work is jnp ops that XLA fuses.  An
+operator wraps eval_expr in jit, so each distinct (plan, capacity) pair
+compiles once -- the analog of the reference compiling a PhysicalExpr once per
+plan rather than per batch.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import types as T
+from ..common.errors import PlanError
+from ..common.schema import Schema
+from ..data.column import Dictionary
+from ..data.device import DeviceColumn, DeviceRelation
+from ..expr import nodes as E
+from ..expr.typing import arith_result, infer
+from ..utils import dates as DU
+from . import functions as F
+
+# dictionary-merge memo keyed by identity of the two dictionaries
+_MERGE_CACHE: Dict[Tuple[int, int], Tuple[Dictionary, np.ndarray, np.ndarray]] = {}
+
+
+def merge_dictionaries(a: Dictionary, b: Dictionary):
+    """Merged sorted dictionary + code translation arrays for both inputs."""
+    key = (id(a), id(b))
+    hit = _MERGE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    av = np.asarray(a.values, dtype="U") if len(a.values) else np.array([], "U1")
+    bv = np.asarray(b.values, dtype="U") if len(b.values) else np.array([], "U1")
+    merged = np.union1d(av, bv)
+    amap = np.searchsorted(merged, av).astype(np.int32)
+    bmap = np.searchsorted(merged, bv).astype(np.int32)
+    out = (Dictionary(merged.astype(object)), amap, bmap)
+    _MERGE_CACHE[key] = out
+    return out
+
+
+def _translate_codes(col: DeviceColumn, mapping: np.ndarray, merged: Dictionary) -> DeviceColumn:
+    if len(mapping) == 0:
+        return DeviceColumn(jnp.zeros_like(col.data), col.validity, T.STRING, merged)
+    codes = jnp.asarray(mapping)[jnp.clip(col.data, 0, len(mapping) - 1)]
+    return DeviceColumn(codes, col.validity, T.STRING, merged)
+
+
+def unify_many_string_columns(cols):
+    """Re-encode string columns onto one merged dictionary (n-way)."""
+    dicts = [c.dictionary for c in cols]
+    ids = {id(d) for d in dicts if d is not None}
+    if len(ids) <= 1 and all(d is not None for d in dicts):
+        return list(cols)
+    uniq = []
+    seen = set()
+    for d in dicts:
+        if d is not None and id(d) not in seen:
+            seen.add(id(d))
+            uniq.append(d)
+    vals = [np.asarray(d.values, dtype="U") for d in uniq if len(d.values)]
+    merged_np = np.unique(np.concatenate(vals)) if vals else np.array([], "U1")
+    merged = Dictionary(merged_np.astype(object))
+    maps = {}
+    for d in uniq:
+        dv = np.asarray(d.values, dtype="U") if len(d.values) else np.array([], "U1")
+        maps[id(d)] = np.searchsorted(merged_np, dv).astype(np.int32)
+    out = []
+    for c in cols:
+        if c.dictionary is None:
+            out.append(DeviceColumn(jnp.zeros_like(c.data), c.validity, T.STRING, merged))
+        else:
+            out.append(_translate_codes(c, maps[id(c.dictionary)], merged))
+    return out
+
+
+def unify_string_columns(l: DeviceColumn, r: DeviceColumn) -> Tuple[DeviceColumn, DeviceColumn]:
+    if l.dictionary is r.dictionary and l.dictionary is not None:
+        return l, r
+    dl = l.dictionary or Dictionary(np.array([], dtype=object))
+    dr = r.dictionary or Dictionary(np.array([], dtype=object))
+    merged, ml, mr = merge_dictionaries(dl, dr)
+    return _translate_codes(l, ml, merged), _translate_codes(r, mr, merged)
+
+
+def _combine_validity(*vs: Optional[jnp.ndarray]) -> Optional[jnp.ndarray]:
+    out = None
+    for v in vs:
+        if v is not None:
+            out = v if out is None else (out & v)
+    return out
+
+
+def _to_float(col: DeviceColumn) -> jnp.ndarray:
+    if col.dtype.is_decimal:
+        return col.data.astype(jnp.float64) / (10.0 ** col.dtype.scale)
+    return col.data.astype(jnp.float64)
+
+
+def _rescale_decimal(data: jnp.ndarray, from_scale: int, to_scale: int) -> jnp.ndarray:
+    if to_scale == from_scale:
+        return data
+    if to_scale > from_scale:
+        return data * (10 ** (to_scale - from_scale))
+    return data // (10 ** (from_scale - to_scale))
+
+
+def cast_column(col: DeviceColumn, dtype: T.DataType, capacity: int) -> DeviceColumn:
+    if col.dtype == dtype:
+        return col
+    v = col.validity
+    if dtype.is_string:
+        if col.dtype.is_string:
+            return col
+        raise PlanError(f"cast {col.dtype} -> string not supported on device")
+    if col.dtype.is_string:
+        d = col.dictionary
+        vals = np.asarray(d.values, dtype="U") if d and len(d.values) else np.array([], "U1")
+        if dtype.kind is T.TypeKind.DATE32:
+            lut = vals.astype("datetime64[D]").astype(np.int32) if len(vals) else np.zeros(1, np.int32)
+        elif dtype.kind is T.TypeKind.TIMESTAMP:
+            lut = vals.astype("datetime64[us]").astype(np.int64) if len(vals) else np.zeros(1, np.int64)
+        elif dtype.is_numeric:
+            fl = vals.astype(np.float64) if len(vals) else np.zeros(1)
+            if dtype.is_decimal:
+                lut = np.rint(fl * 10 ** dtype.scale).astype(np.int64)
+            else:
+                lut = fl.astype(dtype.np_dtype())
+        else:
+            raise PlanError(f"cast string -> {dtype} not supported")
+        data = jnp.asarray(lut)[jnp.clip(col.data, 0, len(lut) - 1)]
+        return DeviceColumn(data, v, dtype)
+    if dtype.is_decimal:
+        if col.dtype.is_decimal:
+            return DeviceColumn(_rescale_decimal(col.data, col.dtype.scale, dtype.scale), v, dtype)
+        if col.dtype.is_float:
+            return DeviceColumn(jnp.rint(col.data * 10 ** dtype.scale).astype(jnp.int64), v, dtype)
+        return DeviceColumn(col.data.astype(jnp.int64) * (10 ** dtype.scale), v, dtype)
+    if col.dtype.is_decimal:
+        if dtype.is_float:
+            return DeviceColumn(_to_float(col).astype(dtype.np_dtype()), v, dtype)
+        # decimal -> int truncates toward zero
+        q = col.data // (10 ** col.dtype.scale)
+        neg_fix = ((col.data % (10 ** col.dtype.scale)) != 0) & (col.data < 0)
+        return DeviceColumn((q + neg_fix.astype(q.dtype)).astype(dtype.np_dtype()), v, dtype)
+    if dtype.kind is T.TypeKind.TIMESTAMP and col.dtype.kind is T.TypeKind.DATE32:
+        return DeviceColumn(col.data.astype(jnp.int64) * np.int64(86_400_000_000), v, dtype)
+    if dtype.kind is T.TypeKind.DATE32 and col.dtype.kind is T.TypeKind.TIMESTAMP:
+        return DeviceColumn((col.data // np.int64(86_400_000_000)).astype(jnp.int32), v, dtype)
+    return DeviceColumn(col.data.astype(dtype.np_dtype()), v, dtype)
+
+
+def _literal_column(e: E.Literal, capacity: int) -> DeviceColumn:
+    t = e.dtype
+    if e.value is None:
+        dt = t if t.kind is not T.TypeKind.NULL else T.INT64
+        return DeviceColumn(
+            jnp.zeros(capacity, dtype=dt.np_dtype()),
+            jnp.zeros(capacity, dtype=jnp.bool_),
+            dt,
+        )
+    if t.is_string:
+        d = Dictionary(np.array([str(e.value)], dtype=object))
+        return DeviceColumn(jnp.zeros(capacity, dtype=jnp.int32), None, T.STRING, d)
+    if t.is_decimal:
+        raw = int(round(float(e.value) * 10 ** t.scale))
+        return DeviceColumn(jnp.full(capacity, raw, jnp.int64), None, t)
+    if t.kind is T.TypeKind.DATE32:
+        v = e.value if isinstance(e.value, (int, np.integer)) else DU.date_str_to_days(str(e.value))
+        return DeviceColumn(jnp.full(capacity, v, jnp.int32), None, t)
+    if t.kind is T.TypeKind.TIMESTAMP:
+        v = e.value if isinstance(e.value, (int, np.integer)) else int(np.datetime64(str(e.value), "us").astype(np.int64))
+        return DeviceColumn(jnp.full(capacity, v, jnp.int64), None, t)
+    return DeviceColumn(jnp.full(capacity, e.value, t.np_dtype()), None, t)
+
+
+_CMP = {
+    E.Op.EQ: lambda a, b: a == b,
+    E.Op.NEQ: lambda a, b: a != b,
+    E.Op.LT: lambda a, b: a < b,
+    E.Op.LE: lambda a, b: a <= b,
+    E.Op.GT: lambda a, b: a > b,
+    E.Op.GE: lambda a, b: a >= b,
+}
+
+
+def eval_binary(e: E.BinaryOp, l: DeviceColumn, r: DeviceColumn, schema: Schema) -> DeviceColumn:
+    op = e.op
+    if op.is_logic:
+        vl = l.validity if l.validity is not None else None
+        vr = r.validity if r.validity is not None else None
+        ld, rd = l.data, r.data
+        if op is E.Op.AND:
+            lT = ld if vl is None else (ld | ~vl)
+            rT = rd if vr is None else (rd | ~vr)
+            data = lT & rT
+            if vl is None and vr is None:
+                valid = None
+            else:
+                vl_ = vl if vl is not None else jnp.ones_like(ld)
+                vr_ = vr if vr is not None else jnp.ones_like(rd)
+                valid = (vl_ & vr_) | (vl_ & ~ld) | (vr_ & ~rd)
+        else:
+            lF = ld if vl is None else (ld & vl)
+            rF = rd if vr is None else (rd & vr)
+            data = lF | rF
+            if vl is None and vr is None:
+                valid = None
+            else:
+                vl_ = vl if vl is not None else jnp.ones_like(ld)
+                vr_ = vr if vr is not None else jnp.ones_like(rd)
+                valid = (vl_ & vr_) | (vl_ & ld) | (vr_ & rd)
+        return DeviceColumn(data, valid, T.BOOL)
+
+    if op.is_comparison:
+        if l.dtype.is_string or r.dtype.is_string:
+            l2, r2 = unify_string_columns(l, r)
+            data = _CMP[op](l2.data, r2.data)
+        else:
+            ld, rd = _align_numeric(l, r)
+            data = _CMP[op](ld, rd)
+        return DeviceColumn(data, _combine_validity(l.validity, r.validity), T.BOOL)
+
+    # arithmetic
+    valid = _combine_validity(l.validity, r.validity)
+    lt, rt = l.dtype, r.dtype
+    out_t = arith_result(op, lt, rt)
+
+    # temporal arithmetic
+    if lt.kind is T.TypeKind.DATE32 and rt.kind is T.TypeKind.INTERVAL_DAYS:
+        delta = r.data if op is E.Op.ADD else -r.data
+        return DeviceColumn(l.data + delta.astype(jnp.int32), valid, T.DATE32)
+    if lt.kind is T.TypeKind.DATE32 and rt.kind is T.TypeKind.INTERVAL_MONTHS:
+        months = r.data.astype(jnp.int64) if op is E.Op.ADD else -r.data.astype(jnp.int64)
+        return DeviceColumn(DU.add_months(l.data, months), valid, T.DATE32)
+    if lt.kind is T.TypeKind.INTERVAL_DAYS and rt.kind is T.TypeKind.DATE32 and op is E.Op.ADD:
+        return DeviceColumn(r.data + l.data.astype(jnp.int32), valid, T.DATE32)
+    if lt.kind is T.TypeKind.DATE32 and rt.kind is T.TypeKind.DATE32 and op is E.Op.SUB:
+        return DeviceColumn(l.data - r.data, valid, T.INT32)
+
+    if op is E.Op.DIV:
+        if lt.is_integer and rt.is_integer:
+            ld, rd = _align_numeric(l, r)
+            safe = jnp.where(rd == 0, jnp.ones_like(rd), rd)
+            q = jnp.where(rd == 0, jnp.zeros_like(ld), ld // safe)
+            # SQL integer division truncates toward zero
+            rem = ld - q * safe
+            q = q + ((rem != 0) & ((ld < 0) != (rd < 0))).astype(q.dtype)
+            return DeviceColumn(q, valid, out_t)
+        lf, rf = _to_float(l), _to_float(r)
+        return DeviceColumn(lf / rf, valid, T.FLOAT64)
+
+    if op is E.Op.MOD:
+        ld, rd = _align_numeric(l, r)
+        safe = jnp.where(rd == 0, jnp.ones_like(rd), rd)
+        m = jnp.where(rd == 0, jnp.zeros_like(ld), jnp.fmod(ld, safe) if jnp.issubdtype(ld.dtype, jnp.floating) else ld - (ld // safe) * safe)
+        if jnp.issubdtype(ld.dtype, jnp.integer):
+            # truncated (C-style) remainder to match SQL
+            tq = ld // safe + (((ld - (ld // safe) * safe) != 0) & ((ld < 0) != (rd < 0))).astype(ld.dtype)
+            m = ld - tq * safe
+        return DeviceColumn(m, valid, out_t)
+
+    if out_t.is_decimal and op is E.Op.MUL:
+        ld = l.data if lt.is_decimal else l.data.astype(jnp.int64)
+        rd = r.data if rt.is_decimal else r.data.astype(jnp.int64)
+        return DeviceColumn(ld.astype(jnp.int64) * rd.astype(jnp.int64), valid, out_t)
+
+    if out_t.is_decimal:
+        s = out_t.scale
+        ld = _rescale_decimal(l.data.astype(jnp.int64), lt.scale if lt.is_decimal else 0, s)
+        rd = _rescale_decimal(r.data.astype(jnp.int64), rt.scale if rt.is_decimal else 0, s)
+        data = ld + rd if op is E.Op.ADD else ld - rd
+        return DeviceColumn(data, valid, out_t)
+
+    if out_t.is_float:
+        lf, rf = _to_float(l), _to_float(r)
+        data = {E.Op.ADD: lf + rf, E.Op.SUB: lf - rf, E.Op.MUL: lf * rf}[op]
+        return DeviceColumn(data.astype(out_t.np_dtype()), valid, out_t)
+
+    ld = l.data.astype(out_t.np_dtype())
+    rd = r.data.astype(out_t.np_dtype())
+    data = {E.Op.ADD: ld + rd, E.Op.SUB: ld - rd, E.Op.MUL: ld * rd}[op]
+    return DeviceColumn(data, valid, out_t)
+
+
+def _align_numeric(l: DeviceColumn, r: DeviceColumn) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    lt, rt = l.dtype, r.dtype
+    if lt == rt:
+        return l.data, r.data
+    if lt.is_float or rt.is_float:
+        return _to_float(l), _to_float(r)
+    if lt.is_decimal or rt.is_decimal:
+        s = max(lt.scale if lt.is_decimal else 0, rt.scale if rt.is_decimal else 0)
+        ld = _rescale_decimal(l.data.astype(jnp.int64), lt.scale if lt.is_decimal else 0, s)
+        rd = _rescale_decimal(r.data.astype(jnp.int64), rt.scale if rt.is_decimal else 0, s)
+        return ld, rd
+    if lt.is_temporal or rt.is_temporal:
+        return l.data.astype(jnp.int64), r.data.astype(jnp.int64)
+    common = T.common_numeric_type(lt, rt)
+    return l.data.astype(common.np_dtype()), r.data.astype(common.np_dtype())
+
+
+def eval_expr(e: E.Expr, rel: DeviceRelation) -> DeviceColumn:
+    """Evaluate expression over a relation (traceable)."""
+    cap = rel.capacity
+    schema = rel.schema
+
+    if isinstance(e, E.Column):
+        return rel.column(e.flat_name)
+    if isinstance(e, E.Literal):
+        return _literal_column(e, cap)
+    if isinstance(e, E.Alias):
+        return eval_expr(e.expr, rel)
+    if isinstance(e, E.SortSpec):
+        return eval_expr(e.expr, rel)
+    if isinstance(e, E.Cast):
+        return cast_column(eval_expr(e.expr, rel), e.dtype, cap)
+    if isinstance(e, E.Negative):
+        c = eval_expr(e.expr, rel)
+        return DeviceColumn(-c.data, c.validity, c.dtype)
+    if isinstance(e, E.Not):
+        c = eval_expr(e.expr, rel)
+        return DeviceColumn(~c.data, c.validity, T.BOOL)
+    if isinstance(e, E.IsNull):
+        c = eval_expr(e.expr, rel)
+        data = jnp.zeros(cap, jnp.bool_) if c.validity is None else ~c.validity
+        return DeviceColumn(data, None, T.BOOL)
+    if isinstance(e, E.BinaryOp):
+        return eval_binary(e, eval_expr(e.left, rel), eval_expr(e.right, rel), schema)
+    if isinstance(e, E.Between):
+        low = E.BinaryOp(E.Op.GE, e.expr, e.low)
+        high = E.BinaryOp(E.Op.LE, e.expr, e.high)
+        both = E.BinaryOp(E.Op.AND, low, high)
+        out = eval_expr(both, rel)
+        if e.negated:
+            out = DeviceColumn(~out.data, out.validity, T.BOOL)
+        return out
+    if isinstance(e, E.InList):
+        c = eval_expr(e.expr, rel)
+        acc = None
+        for v in e.values:
+            eq = eval_binary(E.BinaryOp(E.Op.EQ, e.expr, v), c, eval_expr(v, rel), schema)
+            acc = eq if acc is None else eval_binary(
+                E.BinaryOp(E.Op.OR, e.expr, v), acc, eq, schema
+            )
+        if acc is None:
+            return DeviceColumn(jnp.zeros(cap, jnp.bool_), None, T.BOOL)
+        data = ~acc.data if e.negated else acc.data
+        return DeviceColumn(data, acc.validity, T.BOOL)
+    if isinstance(e, E.Like):
+        c = eval_expr(e.expr, rel)
+        if not isinstance(e.pattern, E.Literal):
+            raise PlanError("LIKE pattern must be a literal")
+        data = F.eval_like(c, str(e.pattern.value), e.case_insensitive)
+        if e.negated:
+            data = ~data
+        return DeviceColumn(data, c.validity, T.BOOL)
+    if isinstance(e, E.Case):
+        return _eval_case(e, rel)
+    if isinstance(e, E.ScalarFunction):
+        args = [eval_expr(a, rel) for a in e.args]
+        out_t, _ = infer(e, schema)
+        return F.eval_scalar_function(e.fname, args, e.args, out_t, cap)
+    raise PlanError(f"cannot evaluate {type(e).__name__} on device: {e!r}")
+
+
+def _eval_case(e: E.Case, rel: DeviceRelation) -> DeviceColumn:
+    cap = rel.capacity
+    out_t, _ = infer(e, rel.schema)
+
+    def branch_cond(w: E.Expr) -> DeviceColumn:
+        if e.operand is not None:
+            return eval_expr(E.BinaryOp(E.Op.EQ, e.operand, w), rel)
+        return eval_expr(w, rel)
+
+    if e.else_expr is not None:
+        cur = cast_column(eval_expr(e.else_expr, rel), out_t, cap)
+        data, valid = cur.data, cur.validity
+    else:
+        data = jnp.zeros(cap, out_t.np_dtype())
+        valid = jnp.zeros(cap, jnp.bool_)
+
+    for w, t in reversed(e.branches):
+        cond = branch_cond(w)
+        cmask = cond.data if cond.validity is None else (cond.data & cond.validity)
+        tcol = cast_column(eval_expr(t, rel), out_t, cap)
+        data = jnp.where(cmask, tcol.data, data)
+        tvalid = tcol.validity if tcol.validity is not None else jnp.ones(cap, jnp.bool_)
+        cur_valid = valid if valid is not None else jnp.ones(cap, jnp.bool_)
+        valid = jnp.where(cmask, tvalid, cur_valid)
+
+    return DeviceColumn(data, valid, out_t)
+
+
+def eval_predicate(e: E.Expr, rel: DeviceRelation) -> jnp.ndarray:
+    """Evaluate a boolean predicate to a keep-mask (NULL -> False)."""
+    c = eval_expr(e, rel)
+    mask = c.data
+    if c.validity is not None:
+        mask = mask & c.validity
+    return mask

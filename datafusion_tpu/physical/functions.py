@@ -1,0 +1,404 @@
+"""Scalar function library: typing + vectorized device implementations.
+
+Capability analog of the reference function crates (datafusion/functions/src/:
+math, string, datetime, core modules; registered via all_default_functions(),
+functions/src/lib.rs:169).
+
+String functions operate on the *dictionary* (host-side, vectorized numpy
+char ops over the distinct values) producing a code-remap that is applied on
+device as a constant gather -- O(distinct) host work at compile time, O(rows)
+device work at run time.
+"""
+from __future__ import annotations
+
+import re
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import types as T
+from ..common.errors import PlanError
+from ..common.schema import Schema
+from ..data.column import Dictionary
+from ..data.device import DeviceColumn
+from ..expr import nodes as E
+from ..utils import dates as DU
+
+
+# ---------------------------------------------------------------------------
+# typing
+# ---------------------------------------------------------------------------
+
+_NUMERIC_UNARY = {
+    "abs", "ceil", "floor", "round", "trunc", "sqrt", "cbrt", "exp", "ln",
+    "log10", "log2", "sin", "cos", "tan", "asin", "acos", "atan", "sinh",
+    "cosh", "tanh", "degrees", "radians", "signum", "sign",
+}
+_STRING_UNARY = {"upper", "lower", "trim", "ltrim", "rtrim", "reverse", "initcap", "btrim"}
+
+
+def scalar_function_type(e: E.ScalarFunction, schema: Schema) -> Tuple[T.DataType, bool]:
+    from ..expr.typing import infer
+
+    f = e.fname
+    argt = [infer(a, schema) for a in e.args]
+    nullable = any(n for _, n in argt)
+    if f in ("date_part", "extract"):
+        return T.INT64, nullable
+    if f in ("year", "month", "day"):
+        return T.INT64, nullable
+    if f == "date_trunc":
+        return argt[1][0], nullable
+    if f in _NUMERIC_UNARY:
+        t = argt[0][0]
+        if f == "abs":
+            return t, nullable
+        if f in ("ceil", "floor", "round", "trunc", "sign", "signum"):
+            return (t if t.is_integer or t.is_decimal else T.FLOAT64), nullable
+        return T.FLOAT64, nullable
+    if f in ("power", "pow", "atan2", "log"):
+        return T.FLOAT64, nullable
+    if f in ("substr", "substring", "left", "right", "concat", "concat_ws",
+             "replace", "translate", "lpad", "rpad", "repeat") or f in _STRING_UNARY:
+        return T.STRING, nullable
+    if f in ("length", "char_length", "character_length", "octet_length",
+             "bit_length", "strpos", "position", "ascii", "levenshtein"):
+        return T.INT64, nullable
+    if f in ("starts_with", "ends_with", "contains"):
+        return T.BOOL, nullable
+    if f == "coalesce":
+        base = argt[0][0]
+        for t, _ in argt[1:]:
+            if base.is_numeric and t.is_numeric and t != base:
+                base = T.common_numeric_type(base, t)
+            elif base.kind is T.TypeKind.NULL:
+                base = t
+        return base, all(n for _, n in argt)
+    if f == "nullif":
+        return argt[0][0], True
+    if f in ("isnan", "iszero"):
+        return T.BOOL, False
+    if f == "nvl" or f == "ifnull":
+        return argt[0][0], nullable
+    if f == "md5":
+        return T.STRING, nullable
+    if f == "to_date":
+        return T.DATE32, nullable
+    if f == "now" or f == "current_timestamp":
+        return T.TIMESTAMP, False
+    if f == "current_date" or f == "today":
+        return T.DATE32, False
+    if f == "random":
+        return T.FLOAT64, False
+    if f == "pi":
+        return T.FLOAT64, False
+    raise PlanError(f"unknown scalar function {f!r}")
+
+
+# ---------------------------------------------------------------------------
+# dictionary transforms
+# ---------------------------------------------------------------------------
+
+
+def transform_dictionary(col: DeviceColumn, values_fn) -> DeviceColumn:
+    """Apply a host-side transform over the dictionary's distinct values and
+    re-encode: new sorted dictionary + on-device constant-gather code remap."""
+    d = col.dictionary
+    if d is None:
+        raise PlanError("string op on non-dictionary column")
+    old = np.asarray(d.values, dtype="U") if len(d.values) else np.array([], "U1")
+    new_vals = values_fn(old)
+    uniq = np.unique(new_vals) if len(new_vals) else np.array([], "U1")
+    remap = np.searchsorted(uniq, new_vals).astype(np.int32) if len(new_vals) else np.zeros(0, np.int32)
+    codes = jnp.asarray(remap)[jnp.clip(col.data, 0, max(len(remap) - 1, 0))] if len(remap) else jnp.zeros_like(col.data)
+    return DeviceColumn(codes, col.validity, T.STRING, Dictionary(uniq.astype(object)))
+
+
+def dict_predicate(col: DeviceColumn, pred_fn) -> jnp.ndarray:
+    """Evaluate a host predicate over dictionary values -> device bool column
+    (constant lookup-table gather). Used for LIKE / regex / contains."""
+    d = col.dictionary
+    old = np.asarray(d.values, dtype="U") if d is not None and len(d.values) else np.array([], "U1")
+    lut = pred_fn(old).astype(bool) if len(old) else np.zeros(0, bool)
+    if len(lut) == 0:
+        return jnp.zeros(col.data.shape[0], dtype=jnp.bool_)
+    return jnp.asarray(lut)[jnp.clip(col.data, 0, len(lut) - 1)]
+
+
+def like_to_regex(pattern: str) -> str:
+    out = []
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        elif ch == "\\" and i + 1 < len(pattern):
+            out.append(re.escape(pattern[i + 1]))
+            i += 1
+        else:
+            out.append(re.escape(ch))
+        i += 1
+    return "^" + "".join(out) + "$"
+
+
+def eval_like(col: DeviceColumn, pattern: str, case_insensitive: bool = False) -> jnp.ndarray:
+    rx = re.compile(like_to_regex(pattern), re.IGNORECASE if case_insensitive else 0)
+
+    def pred(vals: np.ndarray) -> np.ndarray:
+        return np.fromiter((rx.match(v) is not None for v in vals), dtype=bool, count=len(vals))
+
+    return dict_predicate(col, pred)
+
+
+# ---------------------------------------------------------------------------
+# implementations
+# ---------------------------------------------------------------------------
+
+
+def _to_float(col: DeviceColumn) -> jnp.ndarray:
+    if col.dtype.is_decimal:
+        return col.data.astype(jnp.float64) / (10.0 ** col.dtype.scale)
+    return col.data.astype(jnp.float64)
+
+
+def _and_validity(cols: List[DeviceColumn]):
+    v = None
+    for c in cols:
+        if c.validity is not None:
+            v = c.validity if v is None else (v & c.validity)
+    return v
+
+
+def eval_scalar_function(
+    fname: str,
+    args: List[DeviceColumn],
+    arg_exprs: Tuple[E.Expr, ...],
+    out_dtype: T.DataType,
+    capacity: int,
+) -> DeviceColumn:
+    f = fname
+    validity = _and_validity(args)
+
+    if f in ("date_part", "extract", "year", "month", "day"):
+        if f in ("date_part", "extract"):
+            part_expr = arg_exprs[0]
+            if not isinstance(part_expr, E.Literal):
+                raise PlanError("extract part must be a literal")
+            part = str(part_expr.value).lower()
+            datecol = args[1]
+        else:
+            part, datecol = f, args[0]
+        days = datecol.data
+        if datecol.dtype.kind is T.TypeKind.TIMESTAMP:
+            days = (days // np.int64(86_400_000_000)).astype(jnp.int32)
+        y, m, d = DU.civil_from_days(days)
+        val = {"year": y, "month": m, "day": d}.get(part)
+        if val is None:
+            if part == "quarter":
+                val = (m - 1) // 3 + 1
+            elif part in ("dow", "dayofweek"):
+                val = (days.astype(jnp.int64) + 4) % 7
+            elif part in ("doy", "dayofyear"):
+                val = days - DU.days_from_civil(y, jnp.ones_like(m), jnp.ones_like(d)) + 1
+            else:
+                raise PlanError(f"unsupported date part {part!r}")
+        return DeviceColumn(val.astype(jnp.int64), validity, T.INT64)
+
+    if f == "date_trunc":
+        unit = str(_literal_value(arg_exprs[0])).lower()
+        datecol = args[1]
+        days = datecol.data
+        y, m, d = DU.civil_from_days(days)
+        one = jnp.ones_like(m)
+        if unit == "year":
+            out = DU.days_from_civil(y, one, one)
+        elif unit == "quarter":
+            qm = ((m - 1) // 3) * 3 + 1
+            out = DU.days_from_civil(y, qm, one)
+        elif unit == "month":
+            out = DU.days_from_civil(y, m, one)
+        elif unit == "week":
+            out = (days - ((days.astype(jnp.int64) + 3) % 7).astype(days.dtype))
+        elif unit == "day":
+            out = days
+        else:
+            raise PlanError(f"unsupported date_trunc unit {unit!r}")
+        return DeviceColumn(out, validity, T.DATE32)
+
+    if f in _NUMERIC_UNARY:
+        a = args[0]
+        if f == "abs":
+            return DeviceColumn(jnp.abs(a.data), validity, a.dtype)
+        if f in ("sign", "signum"):
+            return DeviceColumn(jnp.sign(a.data), validity, a.dtype)
+        x = _to_float(a)
+        impl = {
+            "ceil": jnp.ceil, "floor": jnp.floor, "trunc": jnp.trunc,
+            "sqrt": jnp.sqrt, "cbrt": jnp.cbrt, "exp": jnp.exp, "ln": jnp.log,
+            "log10": jnp.log10, "log2": jnp.log2, "sin": jnp.sin,
+            "cos": jnp.cos, "tan": jnp.tan, "asin": jnp.arcsin,
+            "acos": jnp.arccos, "atan": jnp.arctan, "sinh": jnp.sinh,
+            "cosh": jnp.cosh, "tanh": jnp.tanh, "degrees": jnp.degrees,
+            "radians": jnp.radians, "round": jnp.round,
+        }[f]
+        out = impl(x)
+        if f in ("ceil", "floor", "round", "trunc") and (a.dtype.is_integer or a.dtype.is_decimal):
+            if a.dtype.is_decimal:
+                s = 10 ** a.dtype.scale
+                sc = _to_float(a)
+                out = impl(sc) if f != "round" else jnp.round(sc)
+                return DeviceColumn(jnp.rint(out * s).astype(jnp.int64), validity, a.dtype)
+            return DeviceColumn(a.data, validity, a.dtype)
+        return DeviceColumn(out, validity, T.FLOAT64)
+
+    if f == "round" and len(args) == 2:
+        x = _to_float(args[0])
+        nd = _literal_value(arg_exprs[1])
+        scale = 10.0 ** int(nd)
+        return DeviceColumn(jnp.round(x * scale) / scale, validity, T.FLOAT64)
+
+    if f in ("power", "pow"):
+        return DeviceColumn(jnp.power(_to_float(args[0]), _to_float(args[1])), validity, T.FLOAT64)
+    if f == "atan2":
+        return DeviceColumn(jnp.arctan2(_to_float(args[0]), _to_float(args[1])), validity, T.FLOAT64)
+    if f == "log" and len(args) == 2:
+        b, x = _to_float(args[0]), _to_float(args[1])
+        return DeviceColumn(jnp.log(x) / jnp.log(b), validity, T.FLOAT64)
+    if f == "pi":
+        return DeviceColumn(jnp.full(capacity, np.pi, jnp.float64), None, T.FLOAT64)
+
+    if f in _STRING_UNARY:
+        a = args[0]
+        impl = {
+            "upper": np.char.upper, "lower": np.char.lower,
+            "trim": np.char.strip, "btrim": np.char.strip,
+            "ltrim": np.char.lstrip, "rtrim": np.char.rstrip,
+            "initcap": np.char.title,
+            "reverse": lambda v: np.array([s[::-1] for s in v], dtype="U"),
+        }[f]
+        return transform_dictionary(a, impl)
+
+    if f in ("substr", "substring"):
+        a = args[0]
+        start = int(_literal_value(arg_exprs[1]))
+        length = int(_literal_value(arg_exprs[2])) if len(arg_exprs) > 2 else None
+        i0 = max(start - 1, 0)
+        i1 = None if length is None else i0 + max(length, 0)
+
+        def fn(vals):
+            return np.array([v[i0:i1] for v in vals], dtype="U")
+
+        return transform_dictionary(a, fn)
+
+    if f in ("left", "right"):
+        a = args[0]
+        n = int(_literal_value(arg_exprs[1]))
+        fn = (lambda vals: np.array([v[:n] for v in vals], "U")) if f == "left" else (
+            lambda vals: np.array([v[-n:] if n else "" for v in vals], "U"))
+        return transform_dictionary(a, fn)
+
+    if f == "replace":
+        a = args[0]
+        old = str(_literal_value(arg_exprs[1]))
+        new = str(_literal_value(arg_exprs[2]))
+        return transform_dictionary(a, lambda vals: np.char.replace(vals, old, new))
+
+    if f == "concat":
+        # supported: any mix of string columns sharing one dictionary source
+        # and literals is out of scope round 1; literal+column works
+        from ..common.errors import NotImplementedYet
+
+        str_cols = [(i, a) for i, a in enumerate(args) if a.dtype.is_string and a.dictionary is not None]
+        if len(str_cols) != 1:
+            raise NotImplementedYet("concat of multiple string columns")
+        idx, a = str_cols[0]
+        parts = []
+        for i, ae in enumerate(arg_exprs):
+            parts.append(None if i == idx else str(_literal_value(ae)))
+
+        def fn(vals):
+            out = vals
+            pre = "".join(p for p in parts[:idx] if p is not None)
+            post = "".join(p for p in parts[idx + 1:] if p is not None)
+            return np.array([pre + v + post for v in out], "U")
+
+        return transform_dictionary(a, fn)
+
+    if f in ("length", "char_length", "character_length", "octet_length"):
+        a = args[0]
+        d = a.dictionary
+        lens = np.char.str_len(np.asarray(d.values, dtype="U")) if d and len(d.values) else np.zeros(1, np.int64)
+        lut = jnp.asarray(lens.astype(np.int64))
+        out = lut[jnp.clip(a.data, 0, len(lens) - 1)]
+        return DeviceColumn(out, validity, T.INT64)
+
+    if f in ("starts_with", "ends_with", "contains"):
+        a = args[0]
+        pat = str(_literal_value(arg_exprs[1]))
+        impl = {
+            "starts_with": lambda v: np.char.startswith(v, pat),
+            "ends_with": lambda v: np.char.endswith(v, pat),
+            "contains": lambda v: np.char.find(v, pat) >= 0,
+        }[f]
+        return DeviceColumn(dict_predicate(a, impl), validity, T.BOOL)
+
+    if f == "strpos" or f == "position":
+        a = args[0]
+        pat = str(_literal_value(arg_exprs[1]))
+        d = a.dictionary
+        pos = (np.char.find(np.asarray(d.values, "U"), pat) + 1).astype(np.int64) if d and len(d.values) else np.zeros(1, np.int64)
+        out = jnp.asarray(pos)[jnp.clip(a.data, 0, len(pos) - 1)]
+        return DeviceColumn(out, validity, T.INT64)
+
+    if f == "coalesce":
+        out = args[-1]
+        data, valid = out.data, out.valid()
+        for c in reversed(args[:-1]):
+            cd = _coerce_to(c, out_dtype)
+            data = jnp.where(c.valid(), cd, data)
+            valid = c.valid() | valid
+        all_valid = bool(all(a.validity is None for a in args))
+        return DeviceColumn(data, None if all_valid else valid, out_dtype)
+
+    if f in ("nvl", "ifnull"):
+        a, b = args
+        bd = _coerce_to(b, a.dtype)
+        data = jnp.where(a.valid(), a.data, bd)
+        valid = a.valid() | b.valid()
+        return DeviceColumn(data, None if (a.validity is None or b.validity is None) else valid, a.dtype)
+
+    if f == "nullif":
+        a, b = args
+        eqmask = (a.data == _coerce_to(b, a.dtype)) & a.valid() & b.valid()
+        valid = a.valid() & ~eqmask
+        return DeviceColumn(a.data, valid, a.dtype)
+
+    raise PlanError(f"scalar function {f!r} not implemented")
+
+
+def _coerce_to(col: DeviceColumn, dtype: T.DataType) -> jnp.ndarray:
+    if col.dtype == dtype:
+        return col.data
+    if dtype.is_float:
+        return _to_float(col).astype(dtype.np_dtype())
+    if dtype.is_decimal:
+        if col.dtype.is_decimal:
+            ds = dtype.scale - col.dtype.scale
+            return col.data * (10 ** ds) if ds >= 0 else col.data // (10 ** -ds)
+        return (col.data.astype(jnp.int64)) * (10 ** dtype.scale)
+    return col.data.astype(dtype.np_dtype())
+
+
+def _literal_value(e: E.Expr):
+    if isinstance(e, E.Alias):
+        return _literal_value(e.expr)
+    if isinstance(e, E.Cast):
+        return _literal_value(e.expr)
+    if isinstance(e, E.Literal):
+        return e.value
+    if isinstance(e, E.Negative):
+        return -_literal_value(e.expr)
+    raise PlanError(f"expected literal argument, got {e!r}")

@@ -1,0 +1,576 @@
+"""Physical operators.
+
+Capability analog of the reference's ExecutionPlan operator set
+(datafusion/physical-plan/src/execution_plan.rs:99 and §2.2 of SURVEY.md),
+re-designed for TPU execution: operators are whole-partition vectorized
+transforms over capacity-padded DeviceRelations, each compiled once per input
+shape by jax.jit (XLA fuses the expression work into the surrounding ops).
+Data-dependent output sizes (join expansion, group counts) are handled with a
+single host sync choosing a power-of-two output capacity, so recompiles are
+logarithmic in data size.
+
+Operators here:
+  ScanExec, FilterExec, ProjectionExec, AggregateExec (grouped + global),
+  SortExec (+fetch = TopK), LimitExec, JoinExec (all types, residual filters),
+  DistinctExec, UnionExec, ValuesExec, EmptyExec, WindowExec (window.py).
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import types as T
+from ..common.errors import ExecutionError, PlanError
+from ..common.schema import Field, Schema
+from ..data.column import Dictionary
+from ..data.device import (DeviceColumn, DeviceRelation, bucket_capacity,
+                           empty_relation, to_device)
+from ..expr import nodes as E
+from ..logical.plan import JoinType
+from ..ops import groupby as G
+from ..ops import joinimpl as J
+from ..ops import kernels as K
+from ..runtime.context import ExecContext
+from .expr_compiler import eval_expr, eval_predicate, unify_string_columns
+
+
+def _scatter_any(capacity: int, idx, flags):
+    acc = jnp.zeros(capacity, jnp.int32).at[idx].max(flags.astype(jnp.int32), mode="drop")
+    return acc > 0
+
+
+class PhysicalPlan:
+    schema: Schema
+
+    def children(self) -> Tuple["PhysicalPlan", ...]:
+        return ()
+
+    def execute(self, ctx: ExecContext) -> DeviceRelation:
+        raise NotImplementedError
+
+    def _timed(self, ctx: ExecContext, fn, *args):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        ctx.metric(type(self).__name__).record(0, time.perf_counter() - t0)
+        return out
+
+    def display(self, indent: int = 0) -> str:
+        pad = "  " * indent
+        return "\n".join([pad + self._line()] + [c.display(indent + 1) for c in self.children()])
+
+    def _line(self) -> str:
+        return type(self).__name__
+
+
+class ScanExec(PhysicalPlan):
+    def __init__(self, provider, schema: Schema, projection: Optional[List[str]], alias: str):
+        self.provider = provider
+        self.schema = schema
+        self.projection = projection
+        self.alias = alias
+
+    def execute(self, ctx: ExecContext) -> DeviceRelation:
+        rel = self.provider.scan_device(ctx)
+        # select/rename columns to match the (qualified, possibly projected) schema
+        cols = []
+        src = {f.name: c for f, c in zip(rel.schema.fields, rel.columns)}
+        for f in self.schema.fields:
+            cols.append(src[f.name])
+        return DeviceRelation(self.schema, tuple(cols), rel.sel)
+
+    def _line(self):
+        return f"ScanExec: {self.alias}"
+
+
+class FilterExec(PhysicalPlan):
+    def __init__(self, input: PhysicalPlan, predicate: E.Expr):
+        self.input = input
+        self.predicate = predicate
+        self.schema = input.schema
+        self._fn = jax.jit(self._transform)
+
+    def children(self):
+        return (self.input,)
+
+    def _transform(self, rel: DeviceRelation) -> DeviceRelation:
+        mask = eval_predicate(self.predicate, rel)
+        return rel.with_sel(rel.sel & mask)
+
+    def execute(self, ctx: ExecContext) -> DeviceRelation:
+        rel = self.input.execute(ctx)
+        return self._timed(ctx, self._fn, rel)
+
+    def _line(self):
+        return f"FilterExec: {self.predicate.name()}"
+
+
+class ProjectionExec(PhysicalPlan):
+    def __init__(self, input: PhysicalPlan, exprs: Sequence[E.Expr], schema: Schema):
+        self.input = input
+        self.exprs = tuple(exprs)
+        self.schema = schema
+        self._fn = jax.jit(self._transform)
+
+    def children(self):
+        return (self.input,)
+
+    def _transform(self, rel: DeviceRelation) -> DeviceRelation:
+        cols = [eval_expr(e, rel) for e in self.exprs]
+        return DeviceRelation(self.schema, tuple(cols), rel.sel)
+
+    def execute(self, ctx: ExecContext) -> DeviceRelation:
+        rel = self.input.execute(ctx)
+        return self._timed(ctx, self._fn, rel)
+
+    def _line(self):
+        return f"ProjectionExec: {[e.name() for e in self.exprs]}"
+
+
+class LimitExec(PhysicalPlan):
+    def __init__(self, input: PhysicalPlan, skip: int = 0, fetch: Optional[int] = None):
+        self.input = input
+        self.skip = skip
+        self.fetch = fetch
+        self.schema = input.schema
+        self._fn = jax.jit(self._transform)
+
+    def children(self):
+        return (self.input,)
+
+    def _transform(self, rel: DeviceRelation) -> DeviceRelation:
+        rank = jnp.cumsum(rel.sel.astype(jnp.int64))
+        keep = rel.sel & (rank > self.skip)
+        if self.fetch is not None:
+            keep = keep & (rank <= self.skip + self.fetch)
+        return rel.with_sel(keep)
+
+    def execute(self, ctx: ExecContext) -> DeviceRelation:
+        return self._timed(ctx, self._fn, self.input.execute(ctx))
+
+    def _line(self):
+        return f"LimitExec: skip={self.skip} fetch={self.fetch}"
+
+
+class SortExec(PhysicalPlan):
+    """Full multi-key sort; with fetch this is the TopK operator
+    (reference: SortExec + topk/mod.rs fast path)."""
+
+    def __init__(self, input: PhysicalPlan, specs: Sequence[E.SortSpec],
+                 fetch: Optional[int] = None):
+        self.input = input
+        self.specs = tuple(specs)
+        self.fetch = fetch
+        self.schema = input.schema
+        self._fn = jax.jit(self._transform)
+
+    def children(self):
+        return (self.input,)
+
+    def _transform(self, rel: DeviceRelation) -> DeviceRelation:
+        keys = []
+        for s in self.specs:
+            c = eval_expr(s.expr, rel)
+            keys.append((c.data, c.validity, not s.asc, s.nulls_first))
+        payload = []
+        layout = []
+        for c in rel.columns:
+            payload.append(c.data)
+            if c.validity is not None:
+                payload.append(c.validity)
+            layout.append(c.validity is not None)
+        sorted_payload, ssel = K.sort_rows(keys, payload, rel.sel)
+        cols = []
+        it = iter(sorted_payload)
+        for c, hasv in zip(rel.columns, layout):
+            data = next(it)
+            validity = next(it) if hasv else None
+            cols.append(DeviceColumn(data, validity, c.dtype, c.dictionary))
+        if self.fetch is not None:
+            iota = jnp.arange(rel.capacity, dtype=jnp.int64)
+            ssel = ssel & (iota < self.fetch)
+        return DeviceRelation(self.schema, tuple(cols), ssel)
+
+    def execute(self, ctx: ExecContext) -> DeviceRelation:
+        return self._timed(ctx, self._fn, self.input.execute(ctx))
+
+    def _line(self):
+        keys = ", ".join(f"{s.expr.name()} {'ASC' if s.asc else 'DESC'}" for s in self.specs)
+        return f"SortExec: [{keys}] fetch={self.fetch}"
+
+
+class AggregateExec(PhysicalPlan):
+    """Grouped / global aggregation (reference: AggregateExec,
+    physical-plan/src/aggregates/mod.rs:828; sorted-grouping design notes in
+    ops/groupby.py)."""
+
+    def __init__(self, input: PhysicalPlan, group_exprs: Sequence[E.Expr],
+                 agg_exprs: Sequence[E.Expr], schema: Schema):
+        self.input = input
+        self.group_exprs = tuple(group_exprs)
+        self.agg_exprs = tuple(agg_exprs)  # Alias(AggregateFunction) | AggregateFunction
+        self.schema = schema
+        self._specs_cache = None
+        self._sort_fn = jax.jit(self._phase_sort)
+        self._reduce_fns: Dict[int, Callable] = {}
+        self._global_fn = jax.jit(self._global)
+
+    def children(self):
+        return (self.input,)
+
+    def _agg_fns(self) -> List[E.AggregateFunction]:
+        out = []
+        for e in self.agg_exprs:
+            a = e.expr if isinstance(e, E.Alias) else e
+            if not isinstance(a, E.AggregateFunction):
+                raise PlanError(f"aggregate expr must be an aggregate function: {e!r}")
+            out.append(a)
+        return out
+
+    def _prepare(self, rel: DeviceRelation):
+        """Evaluate group keys, agg args, filters; build AggSpecs."""
+        from ..expr.typing import infer
+
+        group_cols = [eval_expr(g, rel) for g in self.group_exprs]
+        aggs = self._agg_fns()
+        arg_cols: List[DeviceColumn] = []
+        filter_cols: List[jnp.ndarray] = []
+        specs: List[G.AggSpec] = []
+        distinct_arg: Optional[int] = None
+        for a in aggs:
+            fname = a.fname
+            out_dtype, _ = infer(a, rel.schema)
+            if fname == "count" and (len(a.args) == 0 or isinstance(a.args[0], E.Literal)) and not a.distinct:
+                arg_i = None
+                fname = "count_star"
+                arg_dt = None
+            else:
+                arg = eval_expr(a.args[0], rel)
+                arg_i = len(arg_cols)
+                arg_cols.append(arg)
+                arg_dt = arg.dtype
+            filt_i = None
+            if a.filter is not None:
+                filt_i = len(filter_cols)
+                filter_cols.append(eval_predicate(a.filter, rel))
+            if a.distinct:
+                if distinct_arg is not None and distinct_arg != arg_i:
+                    raise PlanError("only one DISTINCT aggregate argument supported")
+                distinct_arg = arg_i
+            specs.append(G.AggSpec(fname, arg_i, a.distinct, out_dtype, arg_dt, filt_i))
+        return group_cols, arg_cols, filter_cols, specs, distinct_arg
+
+    def _phase_sort(self, rel: DeviceRelation):
+        group_cols, arg_cols, filter_cols, specs, distinct_arg = self._prepare(rel)
+        return G.phase_sort(group_cols, arg_cols, filter_cols, rel.sel, distinct_arg)
+
+    def _global(self, rel: DeviceRelation) -> DeviceRelation:
+        _, arg_cols, filter_cols, specs, _ = self._prepare(rel)
+        outs, out_sel = G.global_aggregate(arg_cols, filter_cols, rel.sel, specs, 128)
+        cols = [self._coerce_out(c, f) for c, f in zip(outs, self.schema.fields)]
+        return DeviceRelation(self.schema, tuple(cols), out_sel)
+
+    @staticmethod
+    def _coerce_out(c: DeviceColumn, f: Field) -> DeviceColumn:
+        if c.dtype != f.dtype and c.data.dtype != f.dtype.np_dtype():
+            return DeviceColumn(c.data.astype(f.dtype.np_dtype()), c.validity, f.dtype, c.dictionary)
+        return DeviceColumn(c.data, c.validity, f.dtype, c.dictionary)
+
+    def execute(self, ctx: ExecContext) -> DeviceRelation:
+        rel = self.input.execute(ctx)
+        if not self.group_exprs:
+            return self._timed(ctx, self._global_fn, rel)
+        t0 = time.perf_counter()
+        sorted_state = self._sort_fn(rel)
+        num_groups = int(sorted_state[-1])
+        cap = bucket_capacity(max(num_groups, 1))
+        if cap not in self._reduce_fns:
+            specs_fn = self  # closure
+
+            def reduce_fn(state, rel_in, cap=cap):
+                sg, sa, sf, ssel, seg, is_start, distinct_start, _ = state
+                _, _, _, specs, _ = specs_fn._prepare(rel_in)
+                out_keys, out_aggs, out_sel = G.phase_reduce(
+                    sg, sa, sf, ssel, seg, is_start, distinct_start, specs, cap
+                )
+                cols = [
+                    specs_fn._coerce_out(c, f)
+                    for c, f in zip(list(out_keys) + list(out_aggs), specs_fn.schema.fields)
+                ]
+                return DeviceRelation(specs_fn.schema, tuple(cols), out_sel)
+
+            self._reduce_fns[cap] = jax.jit(reduce_fn)
+        out = self._reduce_fns[cap](sorted_state, rel)
+        ctx.metric("AggregateExec").record(num_groups, time.perf_counter() - t0)
+        return out
+
+    def _line(self):
+        return (f"AggregateExec: group=[{', '.join(e.name() for e in self.group_exprs)}] "
+                f"aggs=[{', '.join(e.name() for e in self.agg_exprs)}]")
+
+
+class JoinExec(PhysicalPlan):
+    """Equi-join (+ residual filter) for all join types; see ops/joinimpl.py."""
+
+    def __init__(self, left: PhysicalPlan, right: PhysicalPlan,
+                 on: Sequence[Tuple[E.Expr, E.Expr]], join_type: JoinType,
+                 filter: Optional[E.Expr], schema: Schema):
+        self.left = left
+        self.right = right
+        self.on = tuple(on)
+        self.join_type = join_type
+        self.filter = filter
+        self.schema = schema
+        self._phase1 = jax.jit(self._p1)
+        self._phase2: Dict[int, Callable] = {}
+        self._semi_fn = jax.jit(self._semi_simple)
+
+    def children(self):
+        return (self.left, self.right)
+
+    # -- phase 1: counts ---------------------------------------------------
+    def _keys(self, lrel, rrel):
+        lkeys = [eval_expr(l, lrel) for l, _ in self.on]
+        rkeys = [eval_expr(r, rrel) for _, r in self.on]
+        # unify string key dictionaries pairwise
+        for i in range(len(lkeys)):
+            if lkeys[i].dtype.is_string or rkeys[i].dtype.is_string:
+                lkeys[i], rkeys[i] = unify_string_columns(lkeys[i], rkeys[i])
+        return lkeys, rkeys
+
+    def _p1(self, lrel: DeviceRelation, rrel: DeviceRelation):
+        lkeys, rkeys = self._keys(lrel, rrel)
+        return J.join_phase1(lkeys, rkeys, lrel.sel, rrel.sel)
+
+    def _semi_simple(self, lrel: DeviceRelation, rrel: DeviceRelation):
+        """Semi/anti join without residual filter: no expansion needed."""
+        perm, lo, cnt, total = self._p1(lrel, rrel)
+        if self.join_type in (JoinType.LEFT_SEMI, JoinType.RIGHT_SEMI):
+            keep = cnt > 0
+        else:
+            keep = cnt == 0
+        return lrel.with_sel(lrel.sel & keep)
+
+    def execute(self, ctx: ExecContext) -> DeviceRelation:
+        t0 = time.perf_counter()
+        jt = self.join_type
+        swapped = jt in (JoinType.RIGHT, JoinType.RIGHT_SEMI, JoinType.RIGHT_ANTI)
+        lplan, rplan = (self.right, self.left) if swapped else (self.left, self.right)
+        lrel = lplan.execute(ctx)
+        rrel = rplan.execute(ctx)
+        if swapped:
+            # re-express as the mirrored left-flavored join
+            jt = {JoinType.RIGHT: JoinType.LEFT, JoinType.RIGHT_SEMI: JoinType.LEFT_SEMI,
+                  JoinType.RIGHT_ANTI: JoinType.LEFT_ANTI}[jt]
+        self._exec_on = tuple((r, l) for l, r in self.on) if swapped else self.on
+
+        if jt in (JoinType.LEFT_SEMI, JoinType.LEFT_ANTI) and self.filter is None:
+            out = self._run_semi(lrel, rrel, swapped)
+        else:
+            out = self._run_expand(ctx, lrel, rrel, jt, swapped)
+        ctx.metric("JoinExec").record(0, time.perf_counter() - t0)
+        return out
+
+    def _run_semi(self, lrel, rrel, swapped):
+        key = ("semi", swapped)
+        fn = self._phase2.get(key)
+        if fn is None:
+            on = self._exec_on
+
+            def f(lr, rr):
+                lkeys = [eval_expr(l, lr) for l, _ in on]
+                rkeys = [eval_expr(r, rr) for _, r in on]
+                for i in range(len(lkeys)):
+                    if lkeys[i].dtype.is_string or rkeys[i].dtype.is_string:
+                        lkeys[i], rkeys[i] = unify_string_columns(lkeys[i], rkeys[i])
+                perm, lo, cnt, total = J.join_phase1(lkeys, rkeys, lr.sel, rr.sel)
+                keep = (cnt > 0) if self.join_type in (JoinType.LEFT_SEMI, JoinType.RIGHT_SEMI) else (cnt == 0)
+                return DeviceRelation(self.schema, lr.columns, lr.sel & keep)
+
+            fn = self._phase2[key] = jax.jit(f)
+        return fn(lrel, rrel)
+
+    def _run_expand(self, ctx, lrel, rrel, jt, swapped):
+        on = self._exec_on
+        p1key = ("p1", swapped)
+        p1 = self._phase2.get(p1key)
+        if p1 is None:
+            def f1(lr, rr):
+                lkeys = [eval_expr(l, lr) for l, _ in on]
+                rkeys = [eval_expr(r, rr) for _, r in on]
+                for i in range(len(lkeys)):
+                    if lkeys[i].dtype.is_string or rkeys[i].dtype.is_string:
+                        lkeys[i], rkeys[i] = unify_string_columns(lkeys[i], rkeys[i])
+                return J.join_phase1(lkeys, rkeys, lr.sel, rr.sel)
+
+            p1 = self._phase2[p1key] = jax.jit(f1)
+        perm, lo, cnt, total = p1(lrel, rrel)
+        co = bucket_capacity(max(int(total), 1))
+        key = ("p2", swapped, jt, co)
+        fn = self._phase2.get(key)
+        if fn is None:
+            fn = self._phase2[key] = jax.jit(
+                lambda lr, rr, pm, l, c: self._expand_impl(lr, rr, pm, l, c, jt, swapped, co)
+            )
+        return fn(lrel, rrel, perm, lo, cnt)
+
+    def _expand_impl(self, lrel, rrel, perm, lo, cnt, jt, swapped, co):
+        probe_row, build_row, out_valid = K.join_expand(perm, lo, cnt, co)
+        lcols = J.gather_columns(list(lrel.columns), probe_row, out_valid)
+        rcols = J.gather_columns(list(rrel.columns), build_row, out_valid)
+        matched_schema = self._block_schema(lrel, rrel, swapped)
+        block = DeviceRelation(
+            matched_schema,
+            tuple(rcols + lcols) if swapped else tuple(lcols + rcols),
+            out_valid,
+        )
+        sel_matched = out_valid
+        if self.filter is not None:
+            sel_matched = sel_matched & eval_predicate(self.filter, block)
+        block = block.with_sel(sel_matched)
+
+        if jt in (JoinType.LEFT_SEMI, JoinType.LEFT_ANTI):
+            # filtered semi/anti: any passing match per probe row
+            any_pass = _scatter_any(lrel.capacity, probe_row, sel_matched)
+            keep = any_pass if jt is JoinType.LEFT_SEMI else (lrel.sel & ~any_pass)
+            return DeviceRelation(self.schema, lrel.columns, lrel.sel & keep)
+
+        blocks = [block]
+        if jt in (JoinType.LEFT, JoinType.FULL):
+            any_pass = _scatter_any(lrel.capacity, probe_row, sel_matched)
+            unmatched = lrel.sel & ~any_pass
+            null_r = jnp.ones(lrel.capacity, dtype=jnp.bool_)
+            lcols2 = list(lrel.columns)
+            rcols2 = J.gather_columns(
+                list(rrel.columns), jnp.zeros(lrel.capacity, jnp.int32), unmatched, null_extend=null_r
+            )
+            blocks.append(DeviceRelation(
+                self._block_schema(lrel, rrel, swapped),
+                tuple(rcols2 + lcols2) if swapped else tuple(lcols2 + rcols2),
+                unmatched,
+            ))
+        if jt is JoinType.FULL:
+            matched_b = _scatter_any(rrel.capacity, build_row, sel_matched)
+            unmatched_b = rrel.sel & ~matched_b
+            null_l = jnp.ones(rrel.capacity, dtype=jnp.bool_)
+            rcols3 = list(rrel.columns)
+            lcols3 = J.gather_columns(
+                list(lrel.columns), jnp.zeros(rrel.capacity, jnp.int32), unmatched_b, null_extend=null_l
+            )
+            blocks.append(DeviceRelation(
+                self._block_schema(lrel, rrel, swapped),
+                tuple(rcols3 + lcols3) if swapped else tuple(lcols3 + rcols3),
+                unmatched_b,
+            ))
+        out = concat_relations(blocks, self.schema)
+        return out
+
+    def _block_schema(self, lrel, rrel, swapped):
+        return self.schema
+
+    def _line(self):
+        on = ", ".join(f"{l.name()}={r.name()}" for l, r in self.on)
+        return f"JoinExec: {self.join_type.value} on=[{on}]"
+
+
+def concat_relations(rels: List[DeviceRelation], schema: Schema) -> DeviceRelation:
+    """Concatenate relations (used by outer joins and UNION). String columns
+    are re-encoded onto a merged dictionary when they differ."""
+    ncols = len(schema)
+    out_cols = []
+    for i in range(ncols):
+        cols = [r.columns[i] for r in rels]
+        f = schema.fields[i]
+        if f.dtype.is_string:
+            from .expr_compiler import unify_many_string_columns
+
+            cols = unify_many_string_columns(cols)
+        data = jnp.concatenate([c.data for c in cols])
+        any_valid = any(c.validity is not None for c in cols)
+        validity = None
+        if any_valid:
+            validity = jnp.concatenate([c.valid() for c in cols])
+        dictionary = cols[0].dictionary
+        out_cols.append(DeviceColumn(data.astype(f.dtype.np_dtype()) if data.dtype != f.dtype.np_dtype() else data,
+                                     validity, f.dtype, dictionary))
+    sel = jnp.concatenate([r.sel for r in rels])
+    return DeviceRelation(schema, tuple(out_cols), sel)
+
+
+class UnionExec(PhysicalPlan):
+    def __init__(self, inputs: Sequence[PhysicalPlan], schema: Schema):
+        self.inputs = list(inputs)
+        self.schema = schema
+        self._fn = jax.jit(lambda rels: concat_relations(list(rels), self.schema))
+
+    def children(self):
+        return tuple(self.inputs)
+
+    def execute(self, ctx: ExecContext) -> DeviceRelation:
+        rels = [p.execute(ctx) for p in self.inputs]
+        return self._timed(ctx, self._fn, tuple(rels))
+
+
+class DistinctExec(PhysicalPlan):
+    def __init__(self, input: PhysicalPlan):
+        self.input = input
+        self.schema = input.schema
+        self._fn = jax.jit(self._transform)
+
+    def children(self):
+        return (self.input,)
+
+    def _transform(self, rel: DeviceRelation) -> DeviceRelation:
+        keys = [(c.data, c.validity, False, False) for c in rel.columns]
+        payload = []
+        layout = []
+        for c in rel.columns:
+            payload.append(c.data)
+            if c.validity is not None:
+                payload.append(c.validity)
+            layout.append(c.validity is not None)
+        sorted_payload, ssel = K.sort_rows(keys, payload, rel.sel)
+        cols = []
+        it = iter(sorted_payload)
+        for c, hasv in zip(rel.columns, layout):
+            data = next(it)
+            validity = next(it) if hasv else None
+            cols.append(DeviceColumn(data, validity, c.dtype, c.dictionary))
+        _, is_start, _ = K.segments_from_sorted_keys(
+            [c.data for c in cols], [c.validity for c in cols], ssel
+        )
+        return DeviceRelation(self.schema, tuple(cols), is_start)
+
+    def execute(self, ctx: ExecContext) -> DeviceRelation:
+        return self._timed(ctx, self._fn, self.input.execute(ctx))
+
+
+class ValuesExec(PhysicalPlan):
+    def __init__(self, schema: Schema, rows: List[List[E.Literal]]):
+        self.schema = schema
+        self.rows = rows
+
+    def execute(self, ctx: ExecContext) -> DeviceRelation:
+        from ..data.table import Table
+
+        data = {}
+        for i, f in enumerate(self.schema.fields):
+            data[f.name] = [r[i].value for r in self.rows]
+        t = Table.from_pydict(data, {f.name: f.dtype for f in self.schema.fields})
+        rel = to_device(t)
+        return DeviceRelation(self.schema, rel.columns, rel.sel)
+
+
+class EmptyExec(PhysicalPlan):
+    def __init__(self, schema: Schema, one_row: bool = True):
+        self.schema = schema
+        self.one_row = one_row
+
+    def execute(self, ctx: ExecContext) -> DeviceRelation:
+        rel = empty_relation(self.schema)
+        if self.one_row:
+            rel = rel.with_sel(rel.sel.at[0].set(True))
+        return rel

@@ -1,0 +1,84 @@
+"""Physical planner: LogicalPlan -> PhysicalPlan.
+
+Capability analog of the reference's DefaultPhysicalPlanner
+(datafusion/core/src/physical_planner.rs:149), much simpler because the
+TPU operators are whole-partition transforms: the multi-phase
+Partial/Final aggregate split and Repartition insertion of the reference
+(EnsureRequirements, physical-optimizer/src/ensure_requirements/) appear in
+the distributed planner (parallel/), not here."""
+from __future__ import annotations
+
+from typing import Optional
+
+from ..common.errors import PlanError
+from ..expr import nodes as E
+from ..logical import plan as L
+from . import plan as P
+
+
+class AliasExec(P.PhysicalPlan):
+    """Schema-renaming passthrough (SubqueryAlias)."""
+
+    def __init__(self, input: P.PhysicalPlan, schema):
+        self.input = input
+        self.schema = schema
+
+    def children(self):
+        return (self.input,)
+
+    def execute(self, ctx):
+        rel = self.input.execute(ctx)
+        from ..data.device import DeviceRelation
+
+        return DeviceRelation(self.schema, rel.columns, rel.sel)
+
+
+def create_physical_plan(plan: L.LogicalPlan) -> P.PhysicalPlan:
+    if isinstance(plan, L.TableScan):
+        node: P.PhysicalPlan = P.ScanExec(plan.source, plan.schema, plan.projection, plan.alias)
+        for f in plan.filters:
+            node = P.FilterExec(node, f)
+        return node
+    if isinstance(plan, L.Projection):
+        return P.ProjectionExec(create_physical_plan(plan.input), plan.proj_exprs, plan.schema)
+    if isinstance(plan, L.Filter):
+        return P.FilterExec(create_physical_plan(plan.input), plan.predicate)
+    if isinstance(plan, L.Aggregate):
+        return P.AggregateExec(
+            create_physical_plan(plan.input), plan.group_exprs, plan.aggr_exprs, plan.schema
+        )
+    if isinstance(plan, L.Sort):
+        return P.SortExec(create_physical_plan(plan.input), plan.sort_specs, plan.fetch)
+    if isinstance(plan, L.Limit):
+        return P.LimitExec(create_physical_plan(plan.input), plan.skip, plan.fetch)
+    if isinstance(plan, L.Join):
+        left = create_physical_plan(plan.left)
+        right = create_physical_plan(plan.right)
+        if plan.join_type is L.JoinType.CROSS or not plan.on:
+            return _cross_join(left, right, plan)
+        return P.JoinExec(left, right, plan.on, plan.join_type, plan.filter, plan.schema)
+    if isinstance(plan, L.SubqueryAlias):
+        return AliasExec(create_physical_plan(plan.input), plan.schema)
+    if isinstance(plan, L.Distinct):
+        return P.DistinctExec(create_physical_plan(plan.input))
+    if isinstance(plan, L.Union):
+        return P.UnionExec([create_physical_plan(p) for p in plan.inputs], plan.schema)
+    if isinstance(plan, L.Values):
+        return P.ValuesExec(plan.schema, plan.rows)
+    if isinstance(plan, L.EmptyRelation):
+        return P.EmptyExec(plan.schema, plan.produce_one_row)
+    if isinstance(plan, L.Window):
+        from .window import WindowExec
+
+        return WindowExec(create_physical_plan(plan.input), plan.window_exprs, plan.schema)
+    raise PlanError(f"no physical plan for {type(plan).__name__}")
+
+
+def _cross_join(left: P.PhysicalPlan, right: P.PhysicalPlan, plan: L.Join) -> P.PhysicalPlan:
+    """Cross join as an equi-join on a constant key (both sides key=0) --
+    the expansion machinery produces the cartesian product; any filter is a
+    residual (reference: CrossJoinExec / NestedLoopJoinExec,
+    physical-plan/src/joins/{cross_join.rs,nested_loop_join.rs})."""
+    one = E.lit(1)
+    jt = plan.join_type if plan.join_type is not L.JoinType.CROSS else L.JoinType.INNER
+    return P.JoinExec(left, right, [(one, one)], jt, plan.filter, plan.schema)

@@ -1,0 +1,40 @@
+"""Execution runtime context.
+
+Capability analog of the reference's TaskContext + RuntimeEnv
+(datafusion/execution/src/task.rs:52, runtime_env.rs:73): per-query config,
+device placement, metrics registry, and memory accounting hooks passed to
+every operator's execute()."""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Dict, Optional
+
+
+@dataclasses.dataclass
+class ExecMetrics:
+    """Per-operator metrics (analog of BaselineMetrics,
+    physical-expr-common/src/metrics/baseline.rs:53)."""
+
+    output_rows: int = 0
+    elapsed_seconds: float = 0.0
+    compilations: int = 0
+
+    def record(self, rows: int, seconds: float):
+        self.output_rows += int(rows)
+        self.elapsed_seconds += seconds
+
+
+class ExecContext:
+    def __init__(self, config: Optional[Dict[str, Any]] = None, device=None):
+        self.config = dict(config or {})
+        self.device = device
+        self.metrics: Dict[str, ExecMetrics] = {}
+
+    def metric(self, name: str) -> ExecMetrics:
+        if name not in self.metrics:
+            self.metrics[name] = ExecMetrics()
+        return self.metrics[name]
+
+    def opt(self, key: str, default=None):
+        return self.config.get(key, default)
