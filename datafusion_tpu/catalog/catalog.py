@@ -126,6 +126,7 @@ class CsvTable(FileTable):
 class Catalog:
     def __init__(self):
         self._tables: Dict[str, TableProvider] = {}
+        self.views: Dict[str, object] = {}  # name -> LogicalPlan
 
     def register(self, name: str, provider: TableProvider):
         self._tables[name.lower()] = provider

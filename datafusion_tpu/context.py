@@ -10,7 +10,8 @@ from typing import Dict, List, Optional, Sequence, Union as TyUnion
 
 from .catalog.catalog import Catalog, CsvTable, MemTable, ParquetTable, TableProvider
 from .common.errors import PlanError
-from .common.schema import Schema
+from .common import types as T
+from .common.schema import Field, Schema
 from .data.device import to_host
 from .data.table import Table
 from .expr import nodes as E
@@ -65,14 +66,62 @@ class SessionContext:
         return DataFrame(self, L.TableScan(name, provider))
 
     def sql(self, query: str) -> "DataFrame":
+        """Run one or more SQL statements; DDL executes eagerly, the last
+        query statement is returned lazily as a DataFrame (reference:
+        SessionContext::sql, core/src/execution/context/mod.rs:611)."""
+        from .sql import ast as A
         from .sql.parser import parse_sql
         from .sql.planner import SqlPlanner
 
         stmts = parse_sql(query)
-        if len(stmts) != 1:
-            raise PlanError("expected exactly one statement")
-        plan = SqlPlanner(self.catalog).plan_statement(stmts[0])
-        return DataFrame(self, plan)
+        out: Optional[DataFrame] = None
+        for stmt in stmts:
+            out = self._run_statement(stmt, A, SqlPlanner)
+        if out is None:
+            out = DataFrame(self, L.EmptyRelation(False))
+        return out
+
+    def _run_statement(self, stmt, A, SqlPlanner) -> Optional["DataFrame"]:
+        if isinstance(stmt, A.SelectStmt):
+            return DataFrame(self, SqlPlanner(self.catalog).plan_statement(stmt))
+        if isinstance(stmt, A.Explain):
+            plan = SqlPlanner(self.catalog).plan_statement(stmt.query)
+            df = DataFrame(self, plan)
+            text = df.explain()
+            return DataFrame(self, L.Values(
+                Schema([Field("plan", T.STRING, False)]),
+                [[E.lit(line)] for line in text.splitlines()],
+            ))
+        if isinstance(stmt, A.CreateExternalTable):
+            if stmt.format == "parquet":
+                self.register_parquet(stmt.name, stmt.location)
+            elif stmt.format == "csv":
+                self.register_csv(stmt.name, stmt.location, stmt.has_header, stmt.delimiter)
+            else:
+                raise PlanError(f"unsupported format {stmt.format!r}")
+            return None
+        if isinstance(stmt, A.CreateTableAs):
+            df = DataFrame(self, SqlPlanner(self.catalog).plan_statement(stmt.query))
+            self.register_table(stmt.name, df.collect())
+            return None
+        if isinstance(stmt, A.CreateViewAs):
+            plan = SqlPlanner(self.catalog).plan_statement(stmt.query)
+            self.catalog.views[stmt.name.lower()] = plan
+            return None
+        if isinstance(stmt, A.DropTable):
+            self.catalog.deregister(stmt.name)
+            self.catalog.views.pop(stmt.name.lower(), None)
+            return None
+        if isinstance(stmt, A.ShowTables):
+            names = self.catalog.names()
+            return DataFrame(self, L.Values(
+                Schema([Field("table_name", T.STRING, False)]),
+                [[E.lit(n)] for n in names],
+            ))
+        if isinstance(stmt, A.SetVariable):
+            self.config[stmt.key] = stmt.value
+            return None
+        raise PlanError(f"unsupported statement {type(stmt).__name__}")
 
     def exec_context(self) -> ExecContext:
         return ExecContext(self.config, self.device)

@@ -383,23 +383,31 @@ def _eval_case(e: E.Case, rel: DeviceRelation) -> DeviceColumn:
             return eval_expr(E.BinaryOp(E.Op.EQ, e.operand, w), rel)
         return eval_expr(w, rel)
 
-    if e.else_expr is not None:
-        cur = cast_column(eval_expr(e.else_expr, rel), out_t, cap)
-        data, valid = cur.data, cur.validity
+    then_cols = [cast_column(eval_expr(t, rel), out_t, cap) for _, t in e.branches]
+    else_col = cast_column(eval_expr(e.else_expr, rel), out_t, cap) if e.else_expr is not None else None
+    dictionary = None
+    if out_t.is_string:
+        allc = then_cols + ([else_col] if else_col is not None else [])
+        unified = unify_many_string_columns(allc)
+        then_cols = unified[: len(then_cols)]
+        else_col = unified[len(then_cols)] if else_col is not None else None
+        dictionary = then_cols[0].dictionary if then_cols else None
+
+    if else_col is not None:
+        data, valid = else_col.data, else_col.validity
     else:
         data = jnp.zeros(cap, out_t.np_dtype())
         valid = jnp.zeros(cap, jnp.bool_)
 
-    for w, t in reversed(e.branches):
+    for (w, _), tcol in zip(reversed(e.branches), reversed(then_cols)):
         cond = branch_cond(w)
         cmask = cond.data if cond.validity is None else (cond.data & cond.validity)
-        tcol = cast_column(eval_expr(t, rel), out_t, cap)
         data = jnp.where(cmask, tcol.data, data)
         tvalid = tcol.validity if tcol.validity is not None else jnp.ones(cap, jnp.bool_)
         cur_valid = valid if valid is not None else jnp.ones(cap, jnp.bool_)
         valid = jnp.where(cmask, tvalid, cur_valid)
 
-    return DeviceColumn(data, valid, out_t)
+    return DeviceColumn(data, valid, out_t, dictionary)
 
 
 def eval_predicate(e: E.Expr, rel: DeviceRelation) -> jnp.ndarray:

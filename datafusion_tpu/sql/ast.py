@@ -1,0 +1,136 @@
+"""SQL AST (reference capability: sqlparser-rs AST + DataFusion statements,
+datafusion/sql/src/parser.rs). Expressions reuse the logical Expr IR with
+three SQL-only subquery wrappers resolved by the planner."""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple, Union
+
+from ..expr import nodes as E
+
+
+@dataclasses.dataclass(frozen=True, eq=True)
+class SqlScalarSubquery(E.Expr):
+    query: object  # SelectStmt
+
+
+@dataclasses.dataclass(frozen=True, eq=True)
+class SqlExists(E.Expr):
+    query: object
+    negated: bool = False
+
+
+@dataclasses.dataclass(frozen=True, eq=True)
+class SqlInSubquery(E.Expr):
+    expr: E.Expr
+    query: object
+    negated: bool = False
+
+
+@dataclasses.dataclass(frozen=True, eq=True)
+class Star(E.Expr):
+    qualifier: Optional[str] = None
+
+
+@dataclasses.dataclass
+class SelectItem:
+    expr: E.Expr
+    alias: Optional[str] = None
+
+
+@dataclasses.dataclass
+class Relation:
+    name: str
+    alias: Optional[str] = None
+
+
+@dataclasses.dataclass
+class Derived:
+    query: "SelectStmt"
+    alias: str
+
+
+@dataclasses.dataclass
+class JoinRef:
+    left: object
+    right: object
+    kind: str  # inner, left, right, full, cross
+    on: Optional[E.Expr] = None
+    using: Optional[List[str]] = None
+
+
+@dataclasses.dataclass
+class OrderItem:
+    expr: E.Expr
+    asc: bool = True
+    nulls_first: Optional[bool] = None
+
+
+@dataclasses.dataclass
+class SelectCore:
+    items: List[SelectItem]
+    from_: List[object]  # Relation | Derived | JoinRef
+    where: Optional[E.Expr] = None
+    group_by: Optional[List[E.Expr]] = None
+    having: Optional[E.Expr] = None
+    distinct: bool = False
+
+
+@dataclasses.dataclass
+class SetOp:
+    op: str  # union, union_all, except, intersect
+    left: object  # SelectCore | SetOp
+    right: object
+
+
+@dataclasses.dataclass
+class SelectStmt:
+    body: object  # SelectCore | SetOp
+    ctes: List[Tuple[str, "SelectStmt"]] = dataclasses.field(default_factory=list)
+    order_by: List[OrderItem] = dataclasses.field(default_factory=list)
+    limit: Optional[int] = None
+    offset: Optional[int] = None
+
+
+@dataclasses.dataclass
+class CreateExternalTable:
+    name: str
+    format: str  # parquet, csv
+    location: str
+    has_header: bool = True
+    delimiter: str = ","
+
+
+@dataclasses.dataclass
+class CreateTableAs:
+    name: str
+    query: SelectStmt
+
+
+@dataclasses.dataclass
+class CreateViewAs:
+    name: str
+    query: SelectStmt
+
+
+@dataclasses.dataclass
+class DropTable:
+    name: str
+    if_exists: bool = False
+
+
+@dataclasses.dataclass
+class Explain:
+    query: SelectStmt
+    analyze: bool = False
+
+
+@dataclasses.dataclass
+class ShowTables:
+    pass
+
+
+@dataclasses.dataclass
+class SetVariable:
+    key: str
+    value: str

@@ -1,0 +1,660 @@
+"""Recursive-descent SQL parser.
+
+Capability analog of the reference's DFParser (datafusion/sql/src/parser.rs,
+which extends sqlparser-rs): SELECT with joins/subqueries/CTEs/set-ops, the
+expression grammar (CASE/CAST/EXTRACT/SUBSTRING/BETWEEN/IN/LIKE/EXISTS/
+window OVER), and the DDL used by the CLI (CREATE EXTERNAL TABLE, CREATE
+TABLE AS, DROP, EXPLAIN, SHOW, SET)."""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from ..common import types as T
+from ..common.errors import ParseError
+from ..expr import nodes as E
+from . import ast as A
+from .lexer import Token, tokenize
+
+
+def parse_sql(sql: str) -> List[object]:
+    p = Parser(tokenize(sql))
+    out = []
+    while not p.at("eof"):
+        out.append(p.statement())
+        while p.eat_op(";"):
+            pass
+    return out
+
+
+class Parser:
+    def __init__(self, tokens: List[Token]):
+        self.toks = tokens
+        self.i = 0
+
+    # ---- token helpers ---------------------------------------------------
+    def peek(self, k: int = 0) -> Token:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def at(self, kind: str, value: Optional[str] = None) -> bool:
+        t = self.peek()
+        return t.kind == kind and (value is None or t.value == value)
+
+    def at_kw(self, *kws: str) -> bool:
+        t = self.peek()
+        return t.kind == "kw" and t.value in kws
+
+    def next(self) -> Token:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def eat_kw(self, *kws: str) -> Optional[str]:
+        if self.at_kw(*kws):
+            return self.next().value
+        return None
+
+    def expect_kw(self, kw: str) -> None:
+        if not self.eat_kw(kw):
+            raise ParseError(f"expected {kw.upper()}, got {self.peek()}")
+
+    def eat_op(self, op: str) -> bool:
+        if self.at("op", op):
+            self.next()
+            return True
+        return False
+
+    def expect_op(self, op: str) -> None:
+        if not self.eat_op(op):
+            raise ParseError(f"expected {op!r}, got {self.peek()}")
+
+    def ident(self) -> str:
+        t = self.peek()
+        if t.kind == "ident":
+            return self.next().value
+        if t.kind == "kw":  # allow non-reserved-ish keywords as idents
+            return self.next().value
+        raise ParseError(f"expected identifier, got {t}")
+
+    # ---- statements ------------------------------------------------------
+    def statement(self):
+        if self.at_kw("explain"):
+            self.next()
+            analyze = self.eat_kw("analyze") is not None
+            return A.Explain(self.select_stmt(), analyze)
+        if self.at_kw("create"):
+            return self._create()
+        if self.at_kw("drop"):
+            self.next()
+            self.expect_kw("table")
+            if_exists = False
+            if self.eat_kw("if"):
+                self.expect_kw("exists")
+                if_exists = True
+            return A.DropTable(self.ident(), if_exists)
+        if self.at_kw("show"):
+            self.next()
+            self.ident()  # "tables"
+            return A.ShowTables()
+        if self.at_kw("set"):
+            self.next()
+            key = self.ident()
+            while self.eat_op("."):
+                key += "." + self.ident()
+            self.expect_op("=")
+            t = self.next()
+            return A.SetVariable(key, t.value)
+        return self.select_stmt()
+
+    def _create(self):
+        self.expect_kw("create")
+        self.eat_kw("or")  # CREATE OR REPLACE
+        self.eat_kw("replace")
+        if self.eat_kw("external"):
+            self.expect_kw("table")
+            name = self.ident()
+            if self.eat_op("("):  # optional column list, ignored (inferred)
+                depth = 1
+                while depth:
+                    t = self.next()
+                    if t.kind == "op" and t.value == "(":
+                        depth += 1
+                    elif t.kind == "op" and t.value == ")":
+                        depth -= 1
+            self.expect_kw("stored")
+            self.expect_kw("as")
+            fmt = self.ident().lower()
+            has_header = False
+            delimiter = ","
+            while True:
+                if self.eat_kw("with"):
+                    self.expect_kw("header")
+                    self.ident()  # row
+                    has_header = True
+                elif self.eat_kw("delimiter"):
+                    delimiter = self.next().value
+                elif self.eat_kw("location"):
+                    loc = self.next().value
+                    break
+                elif self.eat_kw("options"):
+                    self.expect_op("(")
+                    while not self.eat_op(")"):
+                        self.next()
+                else:
+                    raise ParseError(f"unexpected {self.peek()} in CREATE EXTERNAL TABLE")
+            return A.CreateExternalTable(name, fmt, loc, has_header, delimiter)
+        is_view = self.eat_kw("view") is not None
+        if not is_view:
+            self.expect_kw("table")
+        name = self.ident()
+        self.expect_kw("as")
+        q = self.select_stmt()
+        return A.CreateViewAs(name, q) if is_view else A.CreateTableAs(name, q)
+
+    # ---- queries ---------------------------------------------------------
+    def select_stmt(self) -> A.SelectStmt:
+        ctes: List[Tuple[str, A.SelectStmt]] = []
+        if self.eat_kw("with"):
+            self.eat_kw("recursive")
+            while True:
+                name = self.ident()
+                self.expect_kw("as")
+                self.expect_op("(")
+                q = self.select_stmt()
+                self.expect_op(")")
+                ctes.append((name, q))
+                if not self.eat_op(","):
+                    break
+        body = self.set_expr()
+        order_by: List[A.OrderItem] = []
+        limit = offset = None
+        if self.eat_kw("order"):
+            self.expect_kw("by")
+            order_by = self.order_items()
+        if self.eat_kw("limit"):
+            limit = int(self.next().value)
+        if self.eat_kw("offset"):
+            offset = int(self.next().value)
+        return A.SelectStmt(body, ctes, order_by, limit, offset)
+
+    def order_items(self) -> List[A.OrderItem]:
+        items = []
+        while True:
+            e = self.expr()
+            asc = True
+            if self.eat_kw("desc"):
+                asc = False
+            elif self.eat_kw("asc"):
+                asc = True
+            nf = None
+            if self.eat_kw("nulls"):
+                w = self.eat_kw("first", "last")
+                nf = w == "first"
+            items.append(A.OrderItem(e, asc, nf))
+            if not self.eat_op(","):
+                return items
+
+    def set_expr(self):
+        left = self.select_core()
+        while self.at_kw("union", "except", "intersect"):
+            op = self.next().value
+            if op == "union" and self.eat_kw("all"):
+                op = "union_all"
+            elif self.eat_kw("distinct"):
+                pass
+            right = self.select_core()
+            left = A.SetOp(op, left, right)
+        return left
+
+    def select_core(self):
+        if self.eat_op("("):
+            inner = self.select_stmt()
+            self.expect_op(")")
+            return inner
+        self.expect_kw("select")
+        distinct = self.eat_kw("distinct") is not None
+        self.eat_kw("all")
+        items: List[A.SelectItem] = []
+        while True:
+            if self.at("op", "*"):
+                self.next()
+                items.append(A.SelectItem(A.Star()))
+            else:
+                e = self.expr()
+                alias = None
+                if self.eat_kw("as"):
+                    alias = self.ident()
+                elif self.peek().kind == "ident":
+                    alias = self.next().value
+                items.append(A.SelectItem(e, alias))
+            if not self.eat_op(","):
+                break
+        from_: List[object] = []
+        if self.eat_kw("from"):
+            from_.append(self.table_ref())
+            while self.eat_op(","):
+                from_.append(self.table_ref())
+        where = self.expr() if self.eat_kw("where") else None
+        group_by = None
+        if self.eat_kw("group"):
+            self.expect_kw("by")
+            group_by = [self.expr()]
+            while self.eat_op(","):
+                group_by.append(self.expr())
+        having = self.expr() if self.eat_kw("having") else None
+        return A.SelectCore(items, from_, where, group_by, having, distinct)
+
+    def table_ref(self):
+        left = self.table_primary()
+        while True:
+            kind = None
+            if self.eat_kw("cross"):
+                self.expect_kw("join")
+                kind = "cross"
+            elif self.eat_kw("inner"):
+                self.expect_kw("join")
+                kind = "inner"
+            elif self.at_kw("left", "right", "full"):
+                kind = self.next().value
+                self.eat_kw("outer")
+                self.expect_kw("join")
+            elif self.eat_kw("join"):
+                kind = "inner"
+            else:
+                return left
+            right = self.table_primary()
+            on = None
+            using = None
+            if kind != "cross":
+                if self.eat_kw("on"):
+                    on = self.expr()
+                elif self.eat_kw("using"):
+                    self.expect_op("(")
+                    using = [self.ident()]
+                    while self.eat_op(","):
+                        using.append(self.ident())
+                    self.expect_op(")")
+            left = A.JoinRef(left, right, kind, on, using)
+
+    def table_primary(self):
+        if self.eat_op("("):
+            if self.at_kw("select", "with") or self.at("op", "("):
+                q = self.select_stmt()
+                self.expect_op(")")
+                self.eat_kw("as")
+                alias = self.ident()
+                return A.Derived(q, alias)
+            inner = self.table_ref()
+            self.expect_op(")")
+            return inner
+        name = self.ident()
+        alias = None
+        if self.eat_kw("as"):
+            alias = self.ident()
+        elif self.peek().kind == "ident":
+            alias = self.next().value
+        return A.Relation(name, alias)
+
+    # ---- expressions -----------------------------------------------------
+    def expr(self) -> E.Expr:
+        return self.or_expr()
+
+    def or_expr(self) -> E.Expr:
+        left = self.and_expr()
+        while self.eat_kw("or"):
+            left = E.BinaryOp(E.Op.OR, left, self.and_expr())
+        return left
+
+    def and_expr(self) -> E.Expr:
+        left = self.not_expr()
+        while self.eat_kw("and"):
+            left = E.BinaryOp(E.Op.AND, left, self.not_expr())
+        return left
+
+    def not_expr(self) -> E.Expr:
+        if self.eat_kw("not"):
+            return E.Not(self.not_expr())
+        return self.comparison()
+
+    def comparison(self) -> E.Expr:
+        left = self.additive()
+        while True:
+            negated = False
+            if self.at_kw("not") and self.peek(1).kind == "kw" and self.peek(1).value in ("in", "between", "like", "ilike"):
+                self.next()
+                negated = True
+            if self.at("op") and self.peek().value in ("=", "<>", "!=", "<", "<=", ">", ">="):
+                op = self.next().value
+                opmap = {"=": E.Op.EQ, "<>": E.Op.NEQ, "!=": E.Op.NEQ, "<": E.Op.LT,
+                         "<=": E.Op.LE, ">": E.Op.GT, ">=": E.Op.GE}
+                right = self.additive()
+                left = E.BinaryOp(opmap[op], left, right)
+                continue
+            if self.eat_kw("is"):
+                neg = self.eat_kw("not") is not None
+                if self.eat_kw("null"):
+                    left = E.Not(E.IsNull(left)) if neg else E.IsNull(left)
+                elif self.eat_kw("true"):
+                    e = left
+                    left = E.Not(e) if neg else e
+                elif self.eat_kw("false"):
+                    e = E.Not(left)
+                    left = E.Not(e) if neg else e
+                else:
+                    raise ParseError(f"expected NULL after IS, got {self.peek()}")
+                continue
+            if self.eat_kw("between"):
+                low = self.additive()
+                self.expect_kw("and")
+                high = self.additive()
+                left = E.Between(left, low, high, negated)
+                continue
+            if self.at_kw("like", "ilike"):
+                ci = self.next().value == "ilike"
+                pattern = self.additive()
+                if self.eat_kw("escape"):
+                    self.next()
+                left = E.Like(left, pattern, negated, ci)
+                continue
+            if self.eat_kw("in"):
+                self.expect_op("(")
+                if self.at_kw("select", "with"):
+                    q = self.select_stmt()
+                    self.expect_op(")")
+                    left = A.SqlInSubquery(left, q, negated)
+                else:
+                    vals = [self.expr()]
+                    while self.eat_op(","):
+                        vals.append(self.expr())
+                    self.expect_op(")")
+                    left = E.InList(left, tuple(vals), negated)
+                continue
+            return left
+
+    def additive(self) -> E.Expr:
+        left = self.multiplicative()
+        while True:
+            if self.at("op", "+"):
+                self.next()
+                left = E.BinaryOp(E.Op.ADD, left, self.multiplicative())
+            elif self.at("op", "-"):
+                self.next()
+                left = E.BinaryOp(E.Op.SUB, left, self.multiplicative())
+            elif self.at("op", "||"):
+                self.next()
+                right = self.multiplicative()
+                if isinstance(left, E.ScalarFunction) and left.fname == "concat":
+                    left = E.ScalarFunction("concat", left.args + (right,))
+                else:
+                    left = E.ScalarFunction("concat", (left, right))
+            else:
+                return left
+
+    def multiplicative(self) -> E.Expr:
+        left = self.unary()
+        while True:
+            if self.at("op", "*"):
+                self.next()
+                left = E.BinaryOp(E.Op.MUL, left, self.unary())
+            elif self.at("op", "/"):
+                self.next()
+                left = E.BinaryOp(E.Op.DIV, left, self.unary())
+            elif self.at("op", "%"):
+                self.next()
+                left = E.BinaryOp(E.Op.MOD, left, self.unary())
+            else:
+                return left
+
+    def unary(self) -> E.Expr:
+        if self.at("op", "-"):
+            self.next()
+            inner = self.unary()
+            if isinstance(inner, E.Literal) and inner.dtype.is_numeric:
+                return E.Literal(-inner.value, inner.dtype)
+            return E.Negative(inner)
+        if self.at("op", "+"):
+            self.next()
+            return self.unary()
+        return self.postfix()
+
+    def postfix(self) -> E.Expr:
+        e = self.primary()
+        while self.at("op", "::"):
+            self.next()
+            e = E.Cast(e, self.type_name())
+        return e
+
+    def type_name(self) -> T.DataType:
+        name = self.ident().lower()
+        if name in ("int", "integer"):
+            return T.INT32
+        if name == "smallint":
+            return T.INT16
+        if name == "tinyint":
+            return T.INT8
+        if name == "bigint":
+            return T.INT64
+        if name in ("double", "float8"):
+            self.eat_kw("precision") or (self.peek().kind == "ident" and self.peek().value.lower() == "precision" and self.next())
+            return T.FLOAT64
+        if name in ("real", "float", "float4"):
+            return T.FLOAT32
+        if name in ("decimal", "numeric"):
+            p, s = 38, 10
+            if self.eat_op("("):
+                p = int(self.next().value)
+                s = 0
+                if self.eat_op(","):
+                    s = int(self.next().value)
+                self.expect_op(")")
+            return T.decimal(p, s)
+        if name in ("varchar", "char", "text", "string", "character"):
+            if self.eat_op("("):
+                self.next()
+                self.expect_op(")")
+            return T.STRING
+        if name == "date":
+            return T.DATE32
+        if name == "timestamp":
+            return T.TIMESTAMP
+        if name in ("boolean", "bool"):
+            return T.BOOL
+        raise ParseError(f"unknown type {name!r}")
+
+    def primary(self) -> E.Expr:
+        t = self.peek()
+        if t.kind == "number":
+            self.next()
+            v = t.value
+            if "." in v and "e" not in v.lower():
+                scale = len(v.split(".", 1)[1])
+                return E.Literal(float(v), T.decimal(38, scale))
+            if "e" in v.lower() or "." in v:
+                return E.Literal(float(v), T.FLOAT64)
+            return E.Literal(int(v), T.INT64)
+        if t.kind == "string":
+            self.next()
+            return E.Literal(t.value, T.STRING)
+        if t.kind == "kw":
+            kw = t.value
+            if kw == "null":
+                self.next()
+                return E.Literal(None, T.NULL)
+            if kw in ("true", "false"):
+                self.next()
+                return E.Literal(kw == "true", T.BOOL)
+            if kw == "date":
+                if self.peek(1).kind == "string":
+                    self.next()
+                    s = self.next().value
+                    from ..utils.dates import date_str_to_days
+
+                    return E.Literal(date_str_to_days(s), T.DATE32)
+            if kw == "timestamp":
+                if self.peek(1).kind == "string":
+                    self.next()
+                    s = self.next().value
+                    import numpy as np
+
+                    return E.Literal(int(np.datetime64(s, "us").astype(np.int64)), T.TIMESTAMP)
+            if kw == "interval":
+                self.next()
+                tv = self.next()
+                parts = tv.value.split()
+                if len(parts) == 2:
+                    n, unit = int(parts[0]), parts[1].lower()
+                else:
+                    n = int(tv.value)
+                    unit = self.ident().lower()
+                unit = unit.rstrip("s")
+                if unit == "day":
+                    return E.Literal(n, T.INTERVAL_DAYS)
+                if unit == "month":
+                    return E.Literal(n, T.INTERVAL_MONTHS)
+                if unit == "year":
+                    return E.Literal(12 * n, T.INTERVAL_MONTHS)
+                if unit == "week":
+                    return E.Literal(7 * n, T.INTERVAL_DAYS)
+                raise ParseError(f"unsupported interval unit {unit!r}")
+            if kw == "case":
+                return self._case()
+            if kw in ("cast", "try_cast"):
+                self.next()
+                self.expect_op("(")
+                inner = self.expr()
+                self.expect_kw("as")
+                ty = self.type_name()
+                self.expect_op(")")
+                return E.Cast(inner, ty, safe=kw == "try_cast")
+            if kw == "extract":
+                self.next()
+                self.expect_op("(")
+                part = self.ident().lower()
+                self.expect_kw("from")
+                inner = self.expr()
+                self.expect_op(")")
+                return E.ScalarFunction("extract", (E.Literal(part, T.STRING), inner))
+            if kw == "substring":
+                self.next()
+                self.expect_op("(")
+                inner = self.expr()
+                if self.eat_kw("from"):
+                    start = self.expr()
+                    args = (inner, start)
+                    if self.eat_kw("for"):
+                        args = args + (self.expr(),)
+                else:
+                    self.expect_op(",")
+                    start = self.expr()
+                    args = (inner, start)
+                    if self.eat_op(","):
+                        args = args + (self.expr(),)
+                self.expect_op(")")
+                return E.ScalarFunction("substr", args)
+            if kw == "exists":
+                self.next()
+                self.expect_op("(")
+                q = self.select_stmt()
+                self.expect_op(")")
+                return A.SqlExists(q, False)
+            if kw == "distinct":
+                raise ParseError("unexpected DISTINCT")
+        if t.kind == "op" and t.value == "(":
+            self.next()
+            if self.at_kw("select", "with"):
+                q = self.select_stmt()
+                self.expect_op(")")
+                return A.SqlScalarSubquery(q)
+            inner = self.expr()
+            self.expect_op(")")
+            return inner
+        # identifier chain / function call
+        if t.kind in ("ident", "kw"):
+            name = self.ident()
+            if self.at("op", "("):
+                return self._function_call(name)
+            parts = [name]
+            while self.at("op", ".") and self.peek(1).kind in ("ident", "kw"):
+                self.next()
+                if self.at("op", "*"):
+                    self.next()
+                    return A.Star(qualifier=parts[0])
+                parts.append(self.ident())
+            if self.eat_op("."):
+                if self.eat_op("*"):
+                    return A.Star(qualifier=parts[0])
+            if len(parts) == 1:
+                return E.Column(parts[0])
+            return E.Column(parts[-1], ".".join(parts[:-1]))
+        raise ParseError(f"unexpected token {t}")
+
+    _AGG_FNS = {
+        "count", "sum", "avg", "mean", "min", "max", "stddev", "stddev_samp",
+        "stddev_pop", "var", "var_samp", "var_pop", "median", "approx_median",
+        "approx_distinct", "first_value", "last_value", "any_value", "corr",
+        "covar", "covar_pop", "covar_samp", "bit_and", "bit_or", "bit_xor",
+        "bool_and", "bool_or", "string_agg", "array_agg",
+        "approx_percentile_cont",
+    }
+    _WINDOW_FNS = {"row_number", "rank", "dense_rank", "percent_rank",
+                   "cume_dist", "ntile", "lead", "lag", "nth_value"}
+
+    def _function_call(self, name: str) -> E.Expr:
+        fname = name.lower()
+        self.expect_op("(")
+        distinct = self.eat_kw("distinct") is not None
+        args: List[E.Expr] = []
+        star = False
+        if self.at("op", "*"):
+            self.next()
+            star = True
+        elif not self.at("op", ")"):
+            args.append(self.expr())
+            while self.eat_op(","):
+                args.append(self.expr())
+        self.expect_op(")")
+
+        over = None
+        if self.eat_kw("over"):
+            self.expect_op("(")
+            partition_by: List[E.Expr] = []
+            order_by: List[E.SortSpec] = []
+            if self.eat_kw("partition"):
+                self.expect_kw("by")
+                partition_by.append(self.expr())
+                while self.eat_op(","):
+                    partition_by.append(self.expr())
+            if self.eat_kw("order"):
+                self.expect_kw("by")
+                for it in self.order_items():
+                    order_by.append(E.SortSpec(it.expr, it.asc,
+                                               it.nulls_first if it.nulls_first is not None else not it.asc))
+            # frame clause: parsed and ignored (default frames supported)
+            while not self.at("op", ")"):
+                self.next()
+            self.expect_op(")")
+            over = (tuple(partition_by), tuple(order_by))
+
+        if over is not None:
+            return E.WindowFunction(fname, tuple(args), over[0], over[1])
+        if fname in self._AGG_FNS:
+            if star or (fname == "count" and not args):
+                return E.AggregateFunction("count", (), distinct)
+            return E.AggregateFunction(fname, tuple(args), distinct)
+        return E.ScalarFunction(fname, tuple(args))
+
+    def _case(self) -> E.Expr:
+        self.expect_kw("case")
+        operand = None
+        if not self.at_kw("when"):
+            operand = self.expr()
+        branches = []
+        while self.eat_kw("when"):
+            w = self.expr()
+            self.expect_kw("then")
+            th = self.expr()
+            branches.append((w, th))
+        else_expr = None
+        if self.eat_kw("else"):
+            else_expr = self.expr()
+        self.expect_kw("end")
+        return E.Case(operand, tuple(branches), else_expr)

@@ -1,0 +1,412 @@
+"""SQL AST -> LogicalPlan.
+
+Capability analog of the reference's SqlToRel planner
+(datafusion/sql/src/planner.rs:454 + select.rs/query.rs): name resolution with
+nested scopes (outer references survive as qualified columns for the
+decorrelation rule), star expansion, aggregate extraction from
+SELECT/HAVING/ORDER BY, GROUP BY alias/ordinal resolution, CTEs, derived
+tables, set operations."""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from ..common import types as T
+from ..common.errors import PlanError
+from ..common.schema import Schema
+from ..expr import nodes as E
+from ..logical import plan as L
+from . import ast as A
+
+
+def replace_topdown(e: E.Expr, mapping: Dict[E.Expr, E.Expr]) -> E.Expr:
+    if e in mapping:
+        return mapping[e]
+
+    def fn(x: E.Expr) -> E.Expr:
+        return x
+
+    # rebuild children with replacement applied before descending
+    def rec(x: E.Expr) -> E.Expr:
+        if x in mapping:
+            return mapping[x]
+        return E.map_expr(x, lambda y: mapping.get(y, y)) if False else _rebuild(x)
+
+    def _rebuild(x: E.Expr) -> E.Expr:
+        import dataclasses
+
+        if not dataclasses.is_dataclass(x):
+            return x
+        changes = {}
+        for f in dataclasses.fields(x):
+            v = getattr(x, f.name)
+            if isinstance(v, E.Expr):
+                changes[f.name] = rec(v)
+            elif isinstance(v, tuple) and v and all(isinstance(i, E.Expr) or (isinstance(i, tuple)) for i in v):
+                new = []
+                for i in v:
+                    if isinstance(i, E.Expr):
+                        new.append(rec(i))
+                    elif isinstance(i, tuple):
+                        new.append(tuple(rec(j) if isinstance(j, E.Expr) else j for j in i))
+                    else:
+                        new.append(i)
+                changes[f.name] = tuple(new)
+        if changes:
+            return dataclasses.replace(x, **changes)
+        return x
+
+    return rec(e)
+
+
+class SqlPlanner:
+    def __init__(self, catalog, outer_schemas: Optional[List[Schema]] = None,
+                 ctes: Optional[Dict[str, L.LogicalPlan]] = None):
+        self.catalog = catalog
+        self.outer_schemas = outer_schemas or []
+        self.ctes = dict(ctes or {})
+
+    # ------------------------------------------------------------------
+    def plan_statement(self, stmt) -> L.LogicalPlan:
+        if isinstance(stmt, A.SelectStmt):
+            return self.plan_query(stmt)
+        raise PlanError(f"cannot plan {type(stmt).__name__} here")
+
+    def plan_query(self, q: A.SelectStmt, strip_projection: bool = False) -> L.LogicalPlan:
+        ctes = dict(self.ctes)
+        for name, sub in q.ctes:
+            sub_plan = SqlPlanner(self.catalog, self.outer_schemas, ctes).plan_query(sub)
+            ctes[name.lower()] = sub_plan
+        planner = SqlPlanner(self.catalog, self.outer_schemas, ctes)
+        plan = planner.plan_body(q.body, q, strip_projection)
+        return plan
+
+    def plan_body(self, body, q: A.SelectStmt, strip_projection: bool) -> L.LogicalPlan:
+        if isinstance(body, A.SetOp):
+            left = self.plan_body(body.left, A.SelectStmt(body.left), False)
+            right = self.plan_body(body.right, A.SelectStmt(body.right), False)
+            if body.op in ("union", "union_all"):
+                u = L.Union([left, right], all=True)
+                plan = u if body.op == "union_all" else L.Distinct(u)
+            elif body.op == "intersect":
+                on = [(E.Column(f.name, f.qualifier), E.Column(g.name, g.qualifier))
+                      for f, g in zip(left.schema.fields, right.schema.fields)]
+                plan = L.Distinct(L.Join(left, right, on, L.JoinType.LEFT_SEMI, None))
+            elif body.op == "except":
+                on = [(E.Column(f.name, f.qualifier), E.Column(g.name, g.qualifier))
+                      for f, g in zip(left.schema.fields, right.schema.fields)]
+                plan = L.Distinct(L.Join(left, right, on, L.JoinType.LEFT_ANTI, None))
+            else:
+                raise PlanError(f"unsupported set op {body.op}")
+            return self._order_limit(plan, q, None)
+        if isinstance(body, A.SelectStmt):
+            # parenthesized subquery as body
+            inner = self.plan_query(body)
+            return self._order_limit(inner, q, None)
+        return self.plan_select_core(body, q, strip_projection)
+
+    # ------------------------------------------------------------------
+    def plan_select_core(self, core: A.SelectCore, q: A.SelectStmt,
+                         strip_projection: bool) -> L.LogicalPlan:
+        # 1. FROM
+        if core.from_:
+            plan = self.plan_table_ref(core.from_[0])
+            for tr in core.from_[1:]:
+                right = self.plan_table_ref(tr)
+                plan = L.Join(plan, right, [], L.JoinType.CROSS, None)
+        else:
+            plan = L.EmptyRelation(True)
+        schema = plan.schema
+
+        # 2. WHERE
+        if core.where is not None:
+            pred = self.resolve(core.where, schema)
+            plan = L.Filter(plan, pred)
+
+        # 3. SELECT items (star expansion + resolution)
+        items: List[Tuple[E.Expr, Optional[str]]] = []
+        for it in core.items:
+            if isinstance(it.expr, A.Star):
+                for f in schema.fields:
+                    if it.expr.qualifier is None or f.qualifier == it.expr.qualifier:
+                        items.append((E.Column(f.name, f.qualifier), None))
+            else:
+                items.append((self.resolve(it.expr, schema), it.alias))
+
+        having = self.resolve(core.having, schema) if core.having is not None else None
+        order_items = [(self.resolve_order(it.expr, items, schema), it) for it in (q.order_by or [])]
+
+        # 4. GROUP BY resolution (ordinals / aliases / exprs)
+        group_exprs: List[E.Expr] = []
+        if core.group_by:
+            for g in core.group_by:
+                if isinstance(g, E.Literal) and isinstance(g.value, int) and not isinstance(g.value, bool):
+                    group_exprs.append(items[g.value - 1][0])
+                elif isinstance(g, E.Column) and g.qualifier is None and \
+                        any(al == g.cname for _, al in items):
+                    idx = next(i for i, (_, al) in enumerate(items) if al == g.cname)
+                    group_exprs.append(items[idx][0])
+                else:
+                    group_exprs.append(self.resolve(g, schema))
+
+        # 5. aggregate extraction
+        agg_fns: List[E.AggregateFunction] = []
+
+        def collect_aggs(e: E.Expr):
+            if isinstance(e, E.AggregateFunction):
+                if e not in agg_fns:
+                    agg_fns.append(e)
+                return
+            for c in e.children():
+                collect_aggs(c)
+
+        for e, _ in items:
+            collect_aggs(e)
+        if having is not None:
+            collect_aggs(having)
+        for oe, _ in order_items:
+            collect_aggs(oe)
+
+        if agg_fns or group_exprs:
+            plan = L.Aggregate(plan, group_exprs, agg_fns)
+            mapping: Dict[E.Expr, E.Expr] = {}
+            for ge, f in zip(group_exprs, plan.schema.fields[: len(group_exprs)]):
+                mapping[ge] = E.Column(f.name, f.qualifier)
+            for af, f in zip(agg_fns, plan.schema.fields[len(group_exprs):]):
+                mapping[af] = E.Column(f.name, f.qualifier)
+            items = [(replace_topdown(e, mapping), al) for e, al in items]
+            if having is not None:
+                having = replace_topdown(having, mapping)
+            order_items = [(replace_topdown(oe, mapping), it) for oe, it in order_items]
+            if having is not None:
+                plan = L.Filter(plan, having)
+        elif having is not None:
+            raise PlanError("HAVING requires aggregation")
+
+        # 6. projection (+ hidden sort columns), DISTINCT, ORDER BY, LIMIT
+        if strip_projection:
+            return plan
+        visible = []
+        for e, al in items:
+            visible.append(E.Alias(e, al) if al is not None else e)
+
+        specs: List[E.SortSpec] = []
+        hidden: List[E.Expr] = []
+        if order_items:
+            vis_names = []
+            probe = L.Projection(plan, visible)
+            for pe, f in zip(visible, probe.schema.fields):
+                vis_names.append((pe.expr if isinstance(pe, E.Alias) else pe, f))
+            for oe, it in order_items:
+                bound = None
+                if isinstance(oe, E.Literal) and isinstance(oe.value, int) and not isinstance(oe.value, bool):
+                    f = probe.schema.fields[oe.value - 1]
+                    bound = E.Column(f.name, f.qualifier)
+                else:
+                    for inner, f in vis_names:
+                        if oe == inner:
+                            bound = E.Column(f.name, f.qualifier)
+                            break
+                if bound is None:
+                    hname = f"__sort_{len(hidden)}"
+                    hidden.append(E.Alias(oe, hname))
+                    bound = E.Column(hname)
+                specs.append(E.SortSpec(bound, it.asc,
+                                        it.nulls_first if it.nulls_first is not None else not it.asc))
+
+        proj = L.Projection(plan, visible + hidden)
+        out: L.LogicalPlan = proj
+        if core.distinct:
+            if hidden:
+                raise PlanError("ORDER BY expression must appear in SELECT DISTINCT list")
+            out = L.Distinct(out)
+        if specs:
+            out = L.Sort(out, specs)
+        if q.limit is not None or q.offset is not None:
+            out = L.Limit(out, q.offset or 0, q.limit)
+        if hidden:
+            keep = [E.Column(f.name, f.qualifier) for f in proj.schema.fields[: len(visible)]]
+            out = L.Projection(out, keep)
+        return out
+
+    # ------------------------------------------------------------------
+    def _order_limit(self, plan: L.LogicalPlan, q: A.SelectStmt, order_ctx) -> L.LogicalPlan:
+        if q.order_by:
+            specs = []
+            if order_ctx is None:
+                for it in q.order_by:
+                    e = self.resolve(it.expr, plan.schema)
+                    specs.append(E.SortSpec(e, it.asc,
+                                            it.nulls_first if it.nulls_first is not None else not it.asc))
+            else:
+                order_items, proj, pre_schema = order_ctx
+                out_schema = plan.schema
+                for oe, it in order_items:
+                    e = self._bind_order_expr(oe, it, plan, proj)
+                    specs.append(E.SortSpec(e, it.asc,
+                                            it.nulls_first if it.nulls_first is not None else not it.asc))
+            plan = L.Sort(plan, specs)
+        if q.limit is not None or q.offset is not None:
+            plan = L.Limit(plan, q.offset or 0, q.limit)
+        return plan
+
+    def _bind_order_expr(self, oe: E.Expr, it: A.OrderItem, plan: L.LogicalPlan, proj: L.Projection) -> E.Expr:
+        out_schema = plan.schema
+        # ordinal
+        if isinstance(oe, E.Literal) and isinstance(oe.value, int) and not isinstance(oe.value, bool):
+            f = out_schema.fields[oe.value - 1]
+            return E.Column(f.name, f.qualifier)
+        # match a projection output by structural equality or alias
+        for pe, f in zip(proj.proj_exprs, proj.schema.fields):
+            inner = pe.expr if isinstance(pe, E.Alias) else pe
+            if oe == inner or (isinstance(oe, E.Column) and oe.qualifier is None and oe.cname == f.name):
+                return E.Column(f.name, f.qualifier)
+        # fall back: expression over projection output schema
+        return oe
+
+    # ------------------------------------------------------------------
+    def plan_table_ref(self, tr) -> L.LogicalPlan:
+        if isinstance(tr, A.Relation):
+            key = tr.name.lower()
+            if key in self.ctes:
+                base = self.ctes[key]
+                return L.SubqueryAlias(base, tr.alias or tr.name)
+            views = getattr(self.catalog, "views", {})
+            if key in views:
+                return L.SubqueryAlias(views[key], tr.alias or tr.name)
+            provider = self.catalog.get(tr.name)
+            return L.TableScan(tr.name, provider, alias=tr.alias or tr.name)
+        if isinstance(tr, A.Derived):
+            sub = SqlPlanner(self.catalog, self.outer_schemas, self.ctes).plan_query(tr.query)
+            return L.SubqueryAlias(sub, tr.alias)
+        if isinstance(tr, A.JoinRef):
+            left = self.plan_table_ref(tr.left)
+            right = self.plan_table_ref(tr.right)
+            schema = left.schema.join(right.schema)
+            jt = {"inner": L.JoinType.INNER, "left": L.JoinType.LEFT,
+                  "right": L.JoinType.RIGHT, "full": L.JoinType.FULL,
+                  "cross": L.JoinType.CROSS}[tr.kind]
+            on_pairs: List[Tuple[E.Expr, E.Expr]] = []
+            residual = None
+            if tr.using:
+                for c in tr.using:
+                    lf = left.schema.field(c)
+                    rf = right.schema.field(c)
+                    on_pairs.append((E.Column(lf.name, lf.qualifier), E.Column(rf.name, rf.qualifier)))
+            elif tr.on is not None:
+                resolved = self.resolve(tr.on, schema)
+                from ..optimizer.decorrelate import conjoin, split_conjuncts
+
+                rest = []
+                for conj in split_conjuncts(resolved):
+                    if isinstance(conj, E.BinaryOp) and conj.op is E.Op.EQ:
+                        l, r = conj.left, conj.right
+                        if self._only_in(l, left.schema) and self._only_in(r, right.schema):
+                            on_pairs.append((l, r))
+                            continue
+                        if self._only_in(r, left.schema) and self._only_in(l, right.schema):
+                            on_pairs.append((r, l))
+                            continue
+                    rest.append(conj)
+                residual = conjoin(rest)
+            if jt is L.JoinType.CROSS:
+                return L.Join(left, right, [], jt, None)
+            return L.Join(left, right, on_pairs, jt, residual)
+        raise PlanError(f"unsupported table ref {tr!r}")
+
+    @staticmethod
+    def _only_in(e: E.Expr, schema: Schema) -> bool:
+        cols = E.collect_columns(e)
+        if not cols:
+            return False
+        for c in cols:
+            try:
+                if schema.find(c.flat_name) is None:
+                    return False
+            except PlanError:
+                return False
+        return True
+
+    # ------------------------------------------------------------------
+    def resolve_order(self, e: E.Expr, items, schema: Schema) -> E.Expr:
+        """Resolve an ORDER BY expr: alias > ordinal > normal resolution."""
+        if isinstance(e, E.Literal):
+            return e
+        if isinstance(e, E.Column) and e.qualifier is None:
+            for pe, al in items:
+                if al == e.cname:
+                    return pe
+        try:
+            return self.resolve(e, schema)
+        except PlanError:
+            for pe, al in items:
+                if al == e.cname if isinstance(e, E.Column) else False:
+                    return pe
+            raise
+
+    def resolve(self, e: E.Expr, schema: Schema) -> E.Expr:
+        """Resolve columns against schema (then outer scopes) and plan
+        subquery expressions."""
+
+        def rec(x: E.Expr) -> E.Expr:
+            if isinstance(x, E.Column):
+                return self._resolve_column(x, schema)
+            if isinstance(x, A.SqlScalarSubquery):
+                sub = self._plan_subquery(x.query, schema)
+                return E.ScalarSubquery(sub)
+            if isinstance(x, A.SqlExists):
+                sub = self._plan_subquery(x.query, schema, strip_projection=True)
+                return E.Exists(sub, x.negated)
+            if isinstance(x, A.SqlInSubquery):
+                sub = self._plan_subquery(x.query, schema)
+                return E.InSubquery(rec(x.expr), sub, x.negated)
+            # descend
+            import dataclasses
+
+            if not dataclasses.is_dataclass(x):
+                return x
+            changes = {}
+            for f in dataclasses.fields(x):
+                v = getattr(x, f.name)
+                if isinstance(v, E.Expr):
+                    changes[f.name] = rec(v)
+                elif isinstance(v, tuple):
+                    new = []
+                    dirty = False
+                    for i in v:
+                        if isinstance(i, E.Expr):
+                            ni = rec(i)
+                            dirty = dirty or (ni is not i)
+                            new.append(ni)
+                        elif isinstance(i, tuple):
+                            ni = tuple(rec(j) if isinstance(j, E.Expr) else j for j in i)
+                            dirty = True
+                            new.append(ni)
+                        else:
+                            new.append(i)
+                    if dirty:
+                        changes[f.name] = tuple(new)
+            if changes:
+                return dataclasses.replace(x, **changes)
+            return x
+
+        return rec(e)
+
+    def _resolve_column(self, c: E.Column, schema: Schema) -> E.Column:
+        i = schema.find(c.flat_name)
+        if i is not None:
+            f = schema.fields[i]
+            return E.Column(f.name, f.qualifier)
+        for outer in self.outer_schemas:
+            i = outer.find(c.flat_name)
+            if i is not None:
+                f = outer.fields[i]
+                return E.Column(f.name, f.qualifier)
+        raise PlanError(
+            f"column {c.flat_name!r} not found in scope; available: "
+            f"{[f.qualified_name for f in schema.fields]}"
+        )
+
+    def _plan_subquery(self, q: A.SelectStmt, schema: Schema,
+                       strip_projection: bool = False) -> L.LogicalPlan:
+        sub_planner = SqlPlanner(self.catalog, [schema] + self.outer_schemas, self.ctes)
+        return sub_planner.plan_query(q, strip_projection=strip_projection)
