@@ -25,7 +25,11 @@ class Expr:
             if isinstance(v, Expr):
                 out.append(v)
             elif isinstance(v, tuple):
-                out.extend(x for x in v if isinstance(x, Expr))
+                for x in v:
+                    if isinstance(x, Expr):
+                        out.append(x)
+                    elif isinstance(x, tuple):  # CASE branches: ((when, then), ...)
+                        out.extend(y for y in x if isinstance(y, Expr))
         return tuple(out)
 
     def name(self) -> str:
@@ -327,13 +331,25 @@ def _display(e: Expr) -> str:
     if isinstance(e, IsNull):
         return f"{_display(e.expr)} IS NULL"
     if isinstance(e, Case):
-        return "CASE"
+        parts = ["CASE"]
+        if e.operand is not None:
+            parts.append(_display(e.operand))
+        for w, t in e.branches:
+            parts.append(f"WHEN {_display(w)} THEN {_display(t)}")
+        if e.else_expr is not None:
+            parts.append(f"ELSE {_display(e.else_expr)}")
+        parts.append("END")
+        return " ".join(parts)
     if isinstance(e, Between):
-        return f"{_display(e.expr)} BETWEEN"
+        neg = "NOT " if e.negated else ""
+        return f"{_display(e.expr)} {neg}BETWEEN {_display(e.low)} AND {_display(e.high)}"
     if isinstance(e, InList):
-        return f"{_display(e.expr)} IN (...)"
+        inner = ", ".join(_display(v) for v in e.values)
+        neg = "NOT " if e.negated else ""
+        return f"{_display(e.expr)} {neg}IN ({inner})"
     if isinstance(e, Like):
-        return f"{_display(e.expr)} LIKE"
+        neg = "NOT " if e.negated else ""
+        return f"{_display(e.expr)} {neg}LIKE {_display(e.pattern)}"
     if isinstance(e, ScalarSubquery):
         return "(subquery)"
     if isinstance(e, (Exists, InSubquery)):

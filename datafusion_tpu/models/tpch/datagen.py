@@ -1,0 +1,287 @@
+"""TPC-H data generator (vectorized numpy, dbgen-like distributions).
+
+Generates the 8 TPC-H tables at a given scale factor with the value domains
+the 22 queries select on (segments, brands, types, date ranges, comment
+patterns), deterministic under a fixed seed.  Not byte-identical to dbgen:
+correctness testing is differential (same data into this engine and into the
+pandas reference implementations in queries_ref.py), mirroring the
+reference's fuzzing strategy (datafusion/core/tests/fuzz_cases/
+aggregation_fuzzer, SURVEY.md §4).
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from ...data.table import Table
+
+REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+NATIONS = [
+    ("ALGERIA", 0), ("ARGENTINA", 1), ("BRAZIL", 1), ("CANADA", 1),
+    ("EGYPT", 4), ("ETHIOPIA", 0), ("FRANCE", 3), ("GERMANY", 3),
+    ("INDIA", 2), ("INDONESIA", 2), ("IRAN", 4), ("IRAQ", 4),
+    ("JAPAN", 2), ("JORDAN", 4), ("KENYA", 0), ("MOROCCO", 0),
+    ("MOZAMBIQUE", 0), ("PERU", 1), ("CHINA", 2), ("ROMANIA", 3),
+    ("SAUDI ARABIA", 4), ("VIETNAM", 2), ("RUSSIA", 3),
+    ("UNITED KINGDOM", 3), ("UNITED STATES", 1),
+]
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY", "HOUSEHOLD"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+SHIPMODES = ["REG AIR", "AIR", "RAIL", "SHIP", "TRUCK", "MAIL", "FOB"]
+SHIPINSTRUCT = ["DELIVER IN PERSON", "COLLECT COD", "NONE", "TAKE BACK RETURN"]
+TYPE_1 = ["STANDARD", "SMALL", "MEDIUM", "LARGE", "ECONOMY", "PROMO"]
+TYPE_2 = ["ANODIZED", "BURNISHED", "PLATED", "POLISHED", "BRUSHED"]
+TYPE_3 = ["TIN", "NICKEL", "BRASS", "STEEL", "COPPER"]
+CONTAINER_1 = ["SM", "LG", "MED", "JUMBO", "WRAP"]
+CONTAINER_2 = ["CASE", "BOX", "BAG", "JAR", "PKG", "PACK", "CAN", "DRUM"]
+P_NAME_WORDS = [
+    "almond", "antique", "aquamarine", "azure", "beige", "bisque", "black",
+    "blanched", "blue", "blush", "brown", "burlywood", "burnished",
+    "chartreuse", "chiffon", "chocolate", "coral", "cornflower", "cornsilk",
+    "cream", "cyan", "dark", "deep", "dim", "dodger", "drab", "firebrick",
+    "floral", "forest", "frosted", "gainsboro", "ghost", "goldenrod", "green",
+    "grey", "honeydew", "hot", "hotpink", "indian", "ivory", "khaki",
+    "lace", "lavender", "lawn", "lemon", "light", "lime", "linen", "magenta",
+    "maroon", "medium", "metallic", "midnight", "mint", "misty", "moccasin",
+    "navajo", "navy", "olive", "orange", "orchid", "pale", "papaya", "peach",
+    "peru", "pink", "plum", "powder", "puff", "purple", "red", "rose", "rosy",
+    "royal", "saddle", "salmon", "sandy", "seashell", "sienna", "sky",
+    "slate", "smoke", "snow", "spring", "steel", "tan", "thistle", "tomato",
+    "turquoise", "violet", "wheat", "white", "yellow",
+]
+COMMENT_WORDS = [
+    "carefully", "quickly", "furiously", "slyly", "blithely", "final",
+    "ironic", "regular", "express", "special", "pending", "bold", "even",
+    "silent", "unusual", "deposits", "requests", "packages", "accounts",
+    "instructions", "foxes", "ideas", "theodolites", "pinto", "beans",
+    "platelets", "asymptotes", "dependencies", "excuses", "waters",
+    "sleep", "nag", "haggle", "wake", "cajole", "integrate", "boost",
+]
+
+_DATE0 = np.datetime64("1992-01-01").astype("datetime64[D]").astype(np.int32)
+START_DATE = int(np.datetime64("1992-01-01", "D").astype(np.int32))
+END_DATE = int(np.datetime64("1998-08-02", "D").astype(np.int32))
+
+
+def _money(rng, lo: float, hi: float, n: int) -> np.ndarray:
+    """decimal(15,2) cents."""
+    return rng.integers(int(lo * 100), int(hi * 100) + 1, n, dtype=np.int64)
+
+
+def _comments(rng, n: int, nwords: int = 5, inject: str = "", inject_frac: float = 0.0):
+    w = rng.choice(len(COMMENT_WORDS), size=(n, nwords))
+    arr = np.asarray(COMMENT_WORDS, dtype="U")[w]
+    out = arr[:, 0]
+    for i in range(1, nwords):
+        out = np.char.add(np.char.add(out, " "), arr[:, i])
+    if inject and inject_frac > 0:
+        mask = rng.random(n) < inject_frac
+        out = np.where(mask, np.char.add(np.char.add(out, " "), inject), out)
+    return out.astype(object)
+
+
+def _zfilled(prefix: str, keys: np.ndarray, width: int = 9):
+    return np.char.add(prefix, np.char.zfill(keys.astype("U"), width)).astype(object)
+
+
+def _phones(rng, nations: np.ndarray) -> np.ndarray:
+    a = (10 + nations).astype("U")
+    def seg(width, lo, hi):
+        return np.char.zfill(rng.integers(lo, hi, len(nations)).astype("U"), width)
+    out = np.char.add(np.char.add(np.char.add(a, "-"), seg(3, 100, 1000)), "-")
+    out = np.char.add(np.char.add(out, seg(3, 100, 1000)), "-")
+    out = np.char.add(out, seg(4, 1000, 10000))
+    return out.astype(object)
+
+
+def generate_tpch(sf: float = 0.01, seed: int = 42) -> Dict[str, Table]:
+    rng = np.random.default_rng(seed)
+    n_supp = max(int(10_000 * sf), 10)
+    n_cust = max(int(150_000 * sf), 30)
+    n_part = max(int(200_000 * sf), 40)
+    n_ord = max(int(1_500_000 * sf), 150)
+
+    # ---- region / nation -------------------------------------------------
+    region = Table.from_pydict({
+        "r_regionkey": np.arange(5, dtype=np.int64),
+        "r_name": REGIONS,
+        "r_comment": ["" for _ in REGIONS],
+    })
+    nation = Table.from_pydict({
+        "n_nationkey": np.arange(25, dtype=np.int64),
+        "n_name": [n for n, _ in NATIONS],
+        "n_regionkey": np.asarray([r for _, r in NATIONS], dtype=np.int64),
+        "n_comment": ["" for _ in NATIONS],
+    })
+
+    # ---- supplier --------------------------------------------------------
+    skey = np.arange(1, n_supp + 1, dtype=np.int64)
+    s_nation = rng.integers(0, 25, n_supp).astype(np.int64)
+    supplier = _decimal_table({
+        "s_suppkey": skey,
+        "s_name": _zfilled("Supplier#", skey),
+        "s_address": _comments(rng, n_supp, 2),
+        "s_nationkey": s_nation,
+        "s_phone": _phones(rng, s_nation),
+        "s_acctbal": _money(rng, -999.99, 9999.99, n_supp),
+        "s_comment": _comments(rng, n_supp, 6, "Customer Complaints", 0.01),
+    }, money=["s_acctbal"])
+
+    # ---- part ------------------------------------------------------------
+    pkey = np.arange(1, n_part + 1, dtype=np.int64)
+    w = rng.choice(len(P_NAME_WORDS), size=(n_part, 5))
+    words = np.asarray(P_NAME_WORDS, dtype="U")[w]
+    p_name = words[:, 0]
+    for i in range(1, 5):
+        p_name = np.char.add(np.char.add(p_name, " "), words[:, i])
+    mfgr_n = rng.integers(1, 6, n_part)
+    brand_n = mfgr_n * 10 + rng.integers(1, 6, n_part)
+    t1 = rng.choice(TYPE_1, n_part)
+    t2 = rng.choice(TYPE_2, n_part)
+    t3 = rng.choice(TYPE_3, n_part)
+    p_type = np.char.add(np.char.add(np.char.add(np.char.add(t1.astype("U"), " "), t2.astype("U")), " "), t3.astype("U"))
+    cont = np.char.add(np.char.add(rng.choice(CONTAINER_1, n_part).astype("U"), " "),
+                       rng.choice(CONTAINER_2, n_part).astype("U"))
+    p_retail = 90000 + ((pkey * 100) % 20001) + 100 * (pkey % 1000)  # cents
+    part = _decimal_table({
+        "p_partkey": pkey,
+        "p_name": p_name.astype(object),
+        "p_mfgr": np.char.add("Manufacturer#", mfgr_n.astype("U")).astype(object),
+        "p_brand": np.char.add("Brand#", brand_n.astype("U")).astype(object),
+        "p_type": p_type.astype(object),
+        "p_size": rng.integers(1, 51, n_part).astype(np.int64),
+        "p_container": cont.astype(object),
+        "p_retailprice": p_retail.astype(np.int64),
+        "p_comment": _comments(rng, n_part, 3),
+    }, money=["p_retailprice"])
+
+    # ---- partsupp --------------------------------------------------------
+    ps_part = np.repeat(pkey, 4)
+    ii = np.tile(np.arange(4, dtype=np.int64), n_part)
+    ps_supp = ((ps_part + ii * (n_supp // 4 + (ps_part - 1) // n_supp)) % n_supp) + 1
+    nps = len(ps_part)
+    partsupp = _decimal_table({
+        "ps_partkey": ps_part,
+        "ps_suppkey": ps_supp,
+        "ps_availqty": rng.integers(1, 10_000, nps).astype(np.int64),
+        "ps_supplycost": _money(rng, 1.00, 1000.00, nps),
+        "ps_comment": _comments(rng, nps, 4),
+    }, money=["ps_supplycost"])
+
+    # ---- customer --------------------------------------------------------
+    ckey = np.arange(1, n_cust + 1, dtype=np.int64)
+    c_nation = rng.integers(0, 25, n_cust).astype(np.int64)
+    customer = _decimal_table({
+        "c_custkey": ckey,
+        "c_name": _zfilled("Customer#", ckey),
+        "c_address": _comments(rng, n_cust, 2),
+        "c_nationkey": c_nation,
+        "c_phone": _phones(rng, c_nation),
+        "c_acctbal": _money(rng, -999.99, 9999.99, n_cust),
+        "c_mktsegment": rng.choice(SEGMENTS, n_cust).astype(object),
+        "c_comment": _comments(rng, n_cust, 6, "special requests", 0.02),
+    }, money=["c_acctbal"])
+
+    # ---- orders ----------------------------------------------------------
+    okey = (np.arange(n_ord, dtype=np.int64) // 4) * 32 + (np.arange(n_ord, dtype=np.int64) % 4) * 2 + 1
+    o_cust = rng.integers(1, n_cust + 1, n_ord).astype(np.int64)
+    o_date = rng.integers(START_DATE, END_DATE - 151, n_ord).astype(np.int32)
+
+    # ---- lineitem --------------------------------------------------------
+    nlines = rng.integers(1, 8, n_ord)
+    l_order = np.repeat(okey, nlines)
+    l_odate = np.repeat(o_date, nlines)
+    nl = len(l_order)
+    first = np.concatenate([[0], np.cumsum(nlines)[:-1]])
+    l_linenumber = (np.arange(nl, dtype=np.int64) - np.repeat(first, nlines)) + 1
+    l_part = rng.integers(1, n_part + 1, nl).astype(np.int64)
+    which = rng.integers(0, 4, nl)
+    l_supp = ((l_part + which * (n_supp // 4 + (l_part - 1) // n_supp)) % n_supp) + 1
+    l_qty = rng.integers(1, 51, nl).astype(np.int64)
+    l_price = l_qty * p_retail[l_part - 1]  # cents
+    l_disc = rng.integers(0, 11, nl).astype(np.int64)  # scale-2 cents (0.00-0.10)
+    l_tax = rng.integers(0, 9, nl).astype(np.int64)
+    l_ship = l_odate + rng.integers(1, 122, nl).astype(np.int32)
+    l_commit = l_odate + rng.integers(30, 91, nl).astype(np.int32)
+    l_receipt = l_ship + rng.integers(1, 31, nl).astype(np.int32)
+    cutoff = int(np.datetime64("1995-06-17", "D").astype(np.int32))
+    l_linestatus = np.where(l_ship > cutoff, "O", "F").astype(object)
+    ret = rng.random(nl)
+    l_returnflag = np.where(l_receipt <= cutoff, np.where(ret < 0.5, "R", "A"), "N").astype(object)
+
+    lineitem = _decimal_table({
+        "l_orderkey": l_order,
+        "l_partkey": l_part,
+        "l_suppkey": l_supp,
+        "l_linenumber": l_linenumber,
+        "l_quantity": l_qty * 100,  # decimal(15,2)
+        "l_extendedprice": l_price,
+        "l_discount": l_disc,
+        "l_tax": l_tax,
+        "l_returnflag": l_returnflag,
+        "l_linestatus": l_linestatus,
+        "l_shipdate": l_ship,
+        "l_commitdate": l_commit,
+        "l_receiptdate": l_receipt,
+        "l_shipinstruct": rng.choice(SHIPINSTRUCT, nl).astype(object),
+        "l_shipmode": rng.choice(SHIPMODES, nl).astype(object),
+        "l_comment": _comments(rng, nl, 3),
+    }, money=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        dates=["l_shipdate", "l_commitdate", "l_receiptdate"])
+
+    # order aggregates from lineitems
+    gross = (l_price * (100 - l_disc) * (100 + l_tax)) // 10000
+    o_total = np.zeros(n_ord, dtype=np.int64)
+    np.add.at(o_total, np.repeat(np.arange(n_ord), nlines), gross)
+    any_open = np.zeros(n_ord, dtype=bool)
+    np.logical_or.at(any_open, np.repeat(np.arange(n_ord), nlines), l_linestatus == "O")
+    all_open = np.ones(n_ord, dtype=bool)
+    np.logical_and.at(all_open, np.repeat(np.arange(n_ord), nlines), l_linestatus == "O")
+    o_status = np.where(all_open, "O", np.where(any_open, "P", "F")).astype(object)
+
+    orders = _decimal_table({
+        "o_orderkey": okey,
+        "o_custkey": o_cust,
+        "o_orderstatus": o_status,
+        "o_totalprice": o_total,
+        "o_orderdate": o_date,
+        "o_orderpriority": rng.choice(PRIORITIES, n_ord).astype(object),
+        "o_clerk": _zfilled("Clerk#", rng.integers(1, max(n_supp // 10, 2), n_ord).astype(np.int64)),
+        "o_shippriority": np.zeros(n_ord, dtype=np.int64),
+        "o_comment": _comments(rng, n_ord, 5, "special requests", 0.02),
+    }, money=["o_totalprice"], dates=["o_orderdate"])
+
+    return {
+        "region": region, "nation": nation, "supplier": supplier,
+        "part": part, "partsupp": partsupp, "customer": customer,
+        "orders": orders, "lineitem": lineitem,
+    }
+
+
+def _decimal_table(data: Dict, money=(), dates=()) -> Table:
+    """Build a Table where `money` columns are decimal(15,2) given as cents
+    and `dates` columns are date32 given as epoch days."""
+    from ...common import types as T
+    from ...common.schema import Field, Schema
+    from ...data.column import HostColumn, column_from_values
+
+    fields, cols = [], []
+    for name, values in data.items():
+        if name in money:
+            col = HostColumn(T.decimal(15, 2), np.asarray(values, dtype=np.int64))
+        elif name in dates:
+            col = HostColumn(T.DATE32, np.asarray(values, dtype=np.int32))
+        elif isinstance(values, np.ndarray) and values.dtype != object:
+            dt = T.INT64 if np.issubdtype(values.dtype, np.integer) else T.FLOAT64
+            col = HostColumn(dt, values.astype(dt.np_dtype()))
+        else:
+            col = column_from_values(list(values))
+        fields.append(Field(name, col.dtype, nullable=False))
+        cols.append(col)
+    return Table(Schema(fields), cols)
+
+
+def register_tpch(ctx, sf: float = 0.01, seed: int = 42) -> None:
+    for name, table in generate_tpch(sf, seed).items():
+        ctx.register_table(name, table)

@@ -37,6 +37,13 @@ def _fold_node(e: E.Expr) -> E.Expr:
             m = int(r.value) if e.op is E.Op.ADD else -int(r.value)
             out = DU.add_months(np.array([days], np.int32), np.array([m], np.int64))
             return E.Literal(int(np.asarray(out)[0]), T.DATE32)
+        if l.dtype.is_decimal and r.dtype.is_decimal and l.value is not None and r.value is not None \
+                and e.op in (E.Op.ADD, E.Op.SUB):
+            s = max(l.dtype.scale, r.dtype.scale)
+            li = int(round(float(l.value) * 10 ** s))
+            ri = int(round(float(r.value) * 10 ** s))
+            v = li + ri if e.op is E.Op.ADD else li - ri
+            return E.Literal(v / 10 ** s, T.decimal(38, s))
         if l.dtype.is_numeric and r.dtype.is_numeric and l.value is not None and r.value is not None:
             try:
                 lv, rv = l.value, r.value

@@ -469,7 +469,12 @@ class JoinExec(PhysicalPlan):
         return out
 
     def _block_schema(self, lrel, rrel, swapped):
-        return self.schema
+        """Schema of an expansion block: always the full (original-left,
+        original-right) column set -- wider than self.schema for semi/anti
+        joins whose output is one side only, so residual filters can see both
+        sides."""
+        lsch, rsch = (rrel.schema, lrel.schema) if swapped else (lrel.schema, rrel.schema)
+        return lsch.join(rsch)
 
     def _line(self):
         on = ", ".join(f"{l.name()}={r.name()}" for l, r in self.on)
