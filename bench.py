@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""TPC-H benchmark for the TPU-native engine.
+
+Prints ONE JSON line:
+  {"metric": "tpch_sf<SF>_geomean_ms", "value": N, "unit": "ms", "vs_baseline": R}
+
+vs_baseline compares against the reference engine's published illustrative
+TPC-H SF1 run (apache/datafusion benchmarks/README.md:189-210, parquet,
+single node): R = baseline_geomean / ours (>1 means we are faster).
+
+Usage:
+  python bench.py                 # SF1 on the default backend (TPU if present)
+  python bench.py --sf 0.1        # smaller scale
+  python bench.py --queries 1,6   # subset
+  python bench.py --check         # also verify vs pandas oracle
+  python bench.py --cpu           # force CPU backend
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+# Reference per-query ms, TPC-H SF1 parquet (benchmarks/README.md:189-210).
+BASELINE_SF1_MS = {
+    1: 2520.52, 2: 222.37, 3: 248.41, 4: 144.01, 5: 339.54, 6: 147.59,
+    7: 605.72, 8: 326.35, 9: 579.02, 10: 403.38, 11: 201.94, 12: 235.94,
+    13: 738.40, 14: 198.73, 15: 183.32, 16: 168.57, 17: 2032.57, 18: 1912.80,
+    19: 391.64, 20: 648.22, 21: 866.25, 22: 115.94,
+}
+
+
+def geomean(xs):
+    import math
+
+    return math.exp(sum(math.log(max(x, 1e-9)) for x in xs) / len(xs))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", type=float, default=1.0)
+    ap.add_argument("--queries", type=str, default="")
+    ap.add_argument("--repeat", type=int, default=3)
+    ap.add_argument("--check", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    from datafusion_tpu.context import SessionContext
+    from datafusion_tpu.models.tpch.datagen import generate_tpch
+    from datafusion_tpu.models.tpch.queries import ALL_QUERY_IDS, query
+
+    qids = [int(x) for x in args.queries.split(",") if x] or ALL_QUERY_IDS
+
+    t0 = time.time()
+    tables = generate_tpch(args.sf)
+    gen_s = time.time() - t0
+    ctx = SessionContext()
+    for name, t in tables.items():
+        ctx.register_table(name, t)
+    if args.verbose:
+        print(f"# generated sf={args.sf} in {gen_s:.1f}s "
+              f"(lineitem={tables['lineitem'].num_rows} rows), backend={jax.devices()[0].platform}",
+              file=sys.stderr)
+
+    pdt = None
+    if args.check:
+        pdt = {name: t.to_pandas() for name, t in tables.items()}
+
+    per_query_ms = {}
+    for qid in qids:
+        sql = query(qid, args.sf)
+        df = ctx.sql(sql)
+        phys = df.physical_plan()
+        ectx = ctx.exec_context()
+        # warmup: trace+compile (+ capacity discovery syncs)
+        t0 = time.time()
+        rel = phys.execute(ectx)
+        jax.block_until_ready(rel.sel)
+        compile_s = time.time() - t0
+        times = []
+        for _ in range(args.repeat):
+            t0 = time.perf_counter()
+            rel = phys.execute(ectx)
+            jax.block_until_ready(rel.sel)
+            times.append((time.perf_counter() - t0) * 1000)
+        ms = min(times)
+        per_query_ms[qid] = ms
+        if args.verbose:
+            print(f"# q{qid:>2}: {ms:9.2f} ms  (compile+first {compile_s*1000:8.0f} ms)",
+                  file=sys.stderr)
+        if args.check and pdt is not None:
+            from datafusion_tpu.data.device import to_host
+            from datafusion_tpu.models.tpch.queries_ref import ref_query
+
+            ours = to_host(rel).to_pandas()
+            ref = ref_query(qid, pdt, args.sf)
+            ok = len(ours) == len(ref)
+            if args.verbose or not ok:
+                print(f"# q{qid} check: rows {len(ours)} vs {len(ref)} {'OK' if ok else 'MISMATCH'}",
+                      file=sys.stderr)
+
+    gm = geomean(list(per_query_ms.values()))
+    base = geomean([BASELINE_SF1_MS[q] for q in qids])
+    out = {
+        "metric": f"tpch_sf{args.sf:g}_geomean_ms",
+        "value": round(gm, 2),
+        "unit": "ms",
+        "vs_baseline": round(base / gm, 3),
+        "queries": {str(k): round(v, 2) for k, v in per_query_ms.items()},
+        "backend": jax.devices()[0].platform,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
