@@ -321,7 +321,12 @@ def _display(e: Expr) -> str:
     if isinstance(e, ScalarFunction):
         return f"{e.fname}({', '.join(_display(a) for a in e.args)})"
     if isinstance(e, WindowFunction):
-        return f"{e.fname}() OVER (...)"
+        args = ", ".join(_display(a) for a in e.args)
+        pb = " PARTITION BY " + ", ".join(_display(p) for p in e.partition_by) if e.partition_by else ""
+        ob = " ORDER BY " + ", ".join(
+            f"{_display(s.expr)} {'ASC' if s.asc else 'DESC'}" for s in e.order_by
+        ) if e.order_by else ""
+        return f"{e.fname}({args}) OVER ({pb.strip()}{ob})"
     if isinstance(e, Cast):
         return _display(e.expr)
     if isinstance(e, Not):

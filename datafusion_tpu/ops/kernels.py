@@ -88,15 +88,16 @@ def _order_key(data: jax.Array, descending: bool) -> jax.Array:
     return -data
 
 
-def sort_rows(
+def sort_permutation(
     keys: Sequence[Tuple[jax.Array, Optional[jax.Array], bool, bool]],
-    payload: Sequence[jax.Array],
     sel: jax.Array,
-) -> Tuple[List[jax.Array], jax.Array]:
-    """Stable multi-key sort.
+) -> jax.Array:
+    """Stable multi-key sort permutation. Dead rows sink to the end.
 
-    keys: list of (data, validity_or_None, descending, nulls_first).
-    Returns (sorted payload arrays, sorted sel). Dead rows sink to the end.
+    Only (keys, iota) go through the sort network; payloads are gathered by
+    the returned permutation afterwards -- variadic many-operand sorts
+    compile pathologically on TPU (observed 12-minute compiles), while
+    sort + gather stays linear in payload count.
     """
     operands: List[jax.Array] = [~sel]  # live rows (False) first
     for data, validity, desc, nulls_first in keys:
@@ -108,9 +109,23 @@ def sort_rows(
             data = jnp.where(validity, data, jnp.zeros_like(data))
         operands.append(_order_key(data, desc))
     nk = len(operands)
-    operands = operands + [sel] + list(payload)
-    out = jax.lax.sort(operands, dimension=0, is_stable=True, num_keys=nk)
-    return list(out[nk + 1:]), out[nk]
+    iota = jnp.arange(sel.shape[0], dtype=jnp.int32)
+    out = jax.lax.sort(operands + [iota], dimension=0, is_stable=True, num_keys=nk)
+    return out[nk]
+
+
+def sort_rows(
+    keys: Sequence[Tuple[jax.Array, Optional[jax.Array], bool, bool]],
+    payload: Sequence[jax.Array],
+    sel: jax.Array,
+) -> Tuple[List[jax.Array], jax.Array]:
+    """Stable multi-key sort of payloads (gather by sort permutation).
+
+    keys: list of (data, validity_or_None, descending, nulls_first).
+    Returns (sorted payload arrays, sorted sel). Dead rows sink to the end.
+    """
+    perm = sort_permutation(keys, sel)
+    return [p[perm] for p in payload], sel[perm]
 
 
 def compaction_order(sel: jax.Array) -> jax.Array:

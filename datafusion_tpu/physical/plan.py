@@ -279,10 +279,86 @@ class AggregateExec(PhysicalPlan):
             return DeviceColumn(c.data.astype(f.dtype.np_dtype()), c.validity, f.dtype, c.dictionary)
         return DeviceColumn(c.data, c.validity, f.dtype, c.dictionary)
 
+    # -- dense-key fast path ---------------------------------------------
+    # When every group key is a dictionary-coded string / bool with a small
+    # static domain, group ids are computed arithmetically: no sort, no
+    # host sync, one fused kernel.  This is the TPU analog of the
+    # reference's typed single-key group tables
+    # (aggregates/group_values/single_group_by/), where key type knowledge
+    # removes the general hash table.
+    DENSE_LIMIT = 16384
+
+    def _dense_sizes(self, rel: DeviceRelation):
+        if any(a.distinct for a in self._agg_fns()):
+            return None
+        try:
+            cols = jax.eval_shape(
+                lambda r: tuple(eval_expr(g, r) for g in self.group_exprs), rel
+            )
+        except Exception:
+            return None
+        sizes = []
+        for c in cols:
+            if c.validity is not None:
+                return None
+            if c.dtype.is_string and c.dictionary is not None:
+                sizes.append(max(c.dictionary.size, 1))
+            elif c.dtype.kind is T.TypeKind.BOOL:
+                sizes.append(2)
+            else:
+                return None
+        total = 1
+        for s in sizes:
+            total *= s
+        if not sizes or total > self.DENSE_LIMIT:
+            return None
+        return sizes, total
+
+    def _dense_transform(self, rel: DeviceRelation, sizes, ngroups):
+        group_cols = [eval_expr(g, rel) for g in self.group_exprs]
+        _, arg_cols, filter_cols, specs, _ = self._prepare(rel)
+        seg = jnp.zeros(rel.capacity, dtype=jnp.int32)
+        strides = []
+        stride = 1
+        for c, size in zip(reversed(group_cols), reversed(sizes)):
+            strides.append(stride)
+            seg = seg + c.data.astype(jnp.int32) * stride
+            stride *= size
+        strides = list(reversed(strides))
+        seg = jnp.where(rel.sel, seg, ngroups)  # dead rows dropped
+        iota_g = jnp.arange(ngroups, dtype=jnp.int32)
+        group_count = K.segment_count(seg, rel.sel, ngroups)
+        out_sel = group_count > 0
+        out_keys = []
+        for c, size, st in zip(group_cols, sizes, strides):
+            code = (iota_g // st) % size
+            data = code.astype(c.data.dtype) if c.dtype.kind is not T.TypeKind.BOOL \
+                else (code > 0)
+            out_keys.append(DeviceColumn(data, None, c.dtype, c.dictionary))
+        is_start = jnp.zeros(rel.capacity, dtype=bool)
+        out_aggs = [
+            G._reduce_one(spec, arg_cols, filter_cols, rel.sel, seg, is_start,
+                          None, ngroups, group_count, out_sel)
+            for spec in specs
+        ]
+        cols = [self._coerce_out(c, f)
+                for c, f in zip(out_keys + out_aggs, self.schema.fields)]
+        return DeviceRelation(self.schema, tuple(cols), out_sel)
+
     def execute(self, ctx: ExecContext) -> DeviceRelation:
         rel = self.input.execute(ctx)
         if not self.group_exprs:
             return self._timed(ctx, self._global_fn, rel)
+        dense = self._dense_sizes(rel)
+        if dense is not None:
+            sizes, ngroups = dense
+            key = ("dense", tuple(sizes))
+            fn = self._reduce_fns.get(key)
+            if fn is None:
+                fn = self._reduce_fns[key] = jax.jit(
+                    lambda r: self._dense_transform(r, sizes, ngroups)
+                )
+            return self._timed(ctx, fn, rel)
         t0 = time.perf_counter()
         sorted_state = self._sort_fn(rel)
         num_groups = int(sorted_state[-1])

@@ -1,0 +1,275 @@
+"""Window functions.
+
+Capability analog of the reference's WindowAggExec / BoundedWindowAggExec
+(physical-plan/src/windows/{window_agg_exec.rs,bounded_window_agg_exec.rs})
+and the functions-window crate (row_number, rank, dense_rank, percent_rank,
+cume_dist, ntile, lead, lag, first/last value, running aggregates).
+
+TPU design: one multi-key sort per distinct (PARTITION BY, ORDER BY) window,
+segment ids for partitions, peer-run ids for RANGE frames, segmented prefix
+scans for running aggregates, then an inverse-permutation scatter back to the
+input row order (window operators preserve input cardinality/order)."""
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import types as T
+from ..common.errors import PlanError
+from ..common.schema import Schema
+from ..data.device import DeviceColumn, DeviceRelation
+from ..expr import nodes as E
+from ..expr.typing import infer
+from ..ops import kernels as K
+from .expr_compiler import eval_expr
+from .plan import PhysicalPlan
+
+
+def _seg_cumsum(x: jax.Array, seg_start: jax.Array) -> jax.Array:
+    """Inclusive cumulative sum resetting at segment starts."""
+    n = x.shape[0]
+    cs = jnp.cumsum(x)
+    excl = cs - x
+    iota = jnp.arange(n)
+    last_start = jax.lax.cummax(jnp.where(seg_start, iota, 0))
+    base = excl[jnp.clip(last_start, 0, n - 1)]
+    return cs - base
+
+
+def _seg_cummax(x, seg_start):
+    def comb(a, b):
+        af, av = a
+        bf, bv = b
+        return af | bf, jnp.where(bf, bv, jnp.maximum(av, bv))
+
+    _, out = jax.lax.associative_scan(comb, (seg_start, x))
+    return out
+
+
+def _seg_cummin(x, seg_start):
+    def comb(a, b):
+        af, av = a
+        bf, bv = b
+        return af | bf, jnp.where(bf, bv, jnp.minimum(av, bv))
+
+    _, out = jax.lax.associative_scan(comb, (seg_start, x))
+    return out
+
+
+class WindowExec(PhysicalPlan):
+    def __init__(self, input: PhysicalPlan, window_exprs: Sequence[E.Expr], schema: Schema):
+        self.input = input
+        self.window_exprs = tuple(window_exprs)
+        self.schema = schema
+        self._fn = jax.jit(self._transform)
+
+    def children(self):
+        return (self.input,)
+
+    def execute(self, ctx):
+        return self._timed(ctx, self._fn, self.input.execute(ctx))
+
+    def _line(self):
+        return f"WindowExec: {[e.name() for e in self.window_exprs]}"
+
+    # ------------------------------------------------------------------
+    def _transform(self, rel: DeviceRelation) -> DeviceRelation:
+        cap = rel.capacity
+        # group window exprs by (partition_by, order_by)
+        groups: Dict[Tuple, List[Tuple[int, E.WindowFunction]]] = {}
+        wfns: List[E.WindowFunction] = []
+        for i, e in enumerate(self.window_exprs):
+            w = e.expr if isinstance(e, E.Alias) else e
+            if not isinstance(w, E.WindowFunction):
+                raise PlanError(f"not a window function: {e!r}")
+            wfns.append(w)
+            key = (w.partition_by, w.order_by)
+            groups.setdefault(key, []).append((i, w))
+
+        results: Dict[int, DeviceColumn] = {}
+        for (partition_by, order_by), members in groups.items():
+            outs = self._eval_window_group(rel, partition_by, order_by, members)
+            results.update(outs)
+
+        cols = list(rel.columns) + [results[i] for i in range(len(self.window_exprs))]
+        return DeviceRelation(self.schema, tuple(cols), rel.sel)
+
+    def _eval_window_group(self, rel, partition_by, order_by, members):
+        cap = rel.capacity
+        keys = []
+        pcols = [eval_expr(p, rel) for p in partition_by]
+        for c in pcols:
+            keys.append((c.data, c.validity, False, False))
+        ocols = [eval_expr(s.expr, rel) for s in order_by]
+        for c, s in zip(ocols, order_by):
+            keys.append((c.data, c.validity, not s.asc, s.nulls_first))
+
+        perm = K.sort_permutation(keys, rel.sel)
+        inv = jnp.zeros(cap, dtype=jnp.int32).at[perm].set(jnp.arange(cap, dtype=jnp.int32))
+        ssel = rel.sel[perm]
+
+        sp = [DeviceColumn(c.data[perm], None if c.validity is None else c.validity[perm],
+                           c.dtype, c.dictionary) for c in pcols]
+        so = [DeviceColumn(c.data[perm], None if c.validity is None else c.validity[perm],
+                           c.dtype, c.dictionary) for c in ocols]
+
+        if sp:
+            seg, seg_start, _ = K.segments_from_sorted_keys(
+                [c.data for c in sp], [c.validity for c in sp], ssel
+            )
+        else:
+            seg = jnp.where(ssel, 0, cap - 1).astype(jnp.int32)
+            seg_start = jnp.zeros(cap, dtype=bool).at[0].set(True)
+        # peer runs: equal on partition + order keys
+        if so:
+            _, peer_start, _ = K.segments_from_sorted_keys(
+                [c.data for c in sp] + [c.data for c in so],
+                [c.validity for c in sp] + [c.validity for c in so],
+                ssel,
+            )
+        else:
+            peer_start = seg_start
+
+        iota = jnp.arange(cap, dtype=jnp.int64)
+        G = cap
+        part_first = K.segment_min(iota.astype(jnp.int32), seg, seg_start, G)
+        part_count = K.segment_count(seg, ssel, G)
+        my_first = jnp.clip(part_first[jnp.clip(seg, 0, G - 1)], 0, cap - 1)
+        my_count = part_count[jnp.clip(seg, 0, G - 1)]
+        row_in_part = (iota - my_first).astype(jnp.int64)
+
+        # rank support: position of current peer-run start
+        peer_pos = jnp.where(peer_start, iota, 0)
+        last_peer_start = jax.lax.cummax(peer_pos)
+        rank_sorted = (last_peer_start - my_first + 1).astype(jnp.int64)
+        dense_sorted = _seg_cumsum(peer_start.astype(jnp.int64), seg_start)
+
+        # peer-run end position (for RANGE ... CURRENT ROW frames)
+        nxt = jnp.concatenate([peer_start[1:], jnp.ones(1, dtype=bool)])
+        is_peer_end = nxt
+        end_pos_rev = jnp.where(is_peer_end, iota, cap + 1)
+        # next peer end at or after each row = reverse cummin
+        peer_end = -jax.lax.cummax(jnp.where(is_peer_end, -iota, -(cap + 1))[::-1])[::-1]
+
+        out: Dict[int, DeviceColumn] = {}
+        for idx, w in members:
+            col = self._one_fn(w, rel, perm, ssel, seg, seg_start, peer_start, peer_end,
+                               row_in_part, my_count, rank_sorted, dense_sorted, G)
+            data = col.data[inv]
+            validity = None if col.validity is None else col.validity[inv]
+            out[idx] = DeviceColumn(data, validity, col.dtype, col.dictionary)
+        return out
+
+    def _one_fn(self, w, rel, perm, ssel, seg, seg_start, peer_start, peer_end,
+                row_in_part, my_count, rank_sorted, dense_sorted, G):
+        cap = rel.capacity
+        f = w.fname
+        out_t, _ = infer(w, rel.schema)
+        iota = jnp.arange(cap, dtype=jnp.int64)
+
+        if f == "row_number":
+            return DeviceColumn((row_in_part + 1).astype(jnp.int64), None, T.INT64)
+        if f == "rank":
+            return DeviceColumn(rank_sorted, None, T.INT64)
+        if f == "dense_rank":
+            return DeviceColumn(dense_sorted, None, T.INT64)
+        if f == "percent_rank":
+            d = jnp.maximum(my_count - 1, 1).astype(jnp.float64)
+            return DeviceColumn((rank_sorted - 1).astype(jnp.float64) / d, None, T.FLOAT64)
+        if f == "cume_dist":
+            covered = (peer_end - (iota - row_in_part) + 1).astype(jnp.float64)
+            return DeviceColumn(covered / jnp.maximum(my_count, 1).astype(jnp.float64),
+                                None, T.FLOAT64)
+        if f == "ntile":
+            n = int(_lit(w.args[0]))
+            bucket = (row_in_part * n) // jnp.maximum(my_count, 1) + 1
+            return DeviceColumn(bucket.astype(jnp.int64), None, T.INT64)
+
+        if f in ("lead", "lag"):
+            argc = eval_expr(w.args[0], rel)
+            sdata = argc.data[perm]
+            svalid = argc.valid()[perm]
+            off = int(_lit(w.args[1])) if len(w.args) > 1 else 1
+            shift = -off if f == "lead" else off
+            src = iota + (off if f == "lead" else -off)
+            in_range = (src >= 0) & (src < cap)
+            srcc = jnp.clip(src, 0, cap - 1).astype(jnp.int32)
+            same_part = seg[srcc] == seg
+            valid = in_range & same_part & svalid[srcc] & ssel
+            data = jnp.where(in_range, sdata[srcc], jnp.zeros_like(sdata))
+            if len(w.args) > 2:  # default value
+                dflt = eval_expr(w.args[2], rel).data[perm]
+                data = jnp.where(in_range & same_part, data, dflt)
+                valid = (in_range & same_part & svalid[srcc]) | ~(in_range & same_part)
+                valid = valid & ssel
+            return DeviceColumn(data, valid, argc.dtype, argc.dictionary)
+
+        # aggregates over the window
+        argc = eval_expr(w.args[0], rel) if w.args else None
+        has_order = len(w.order_by) > 0
+
+        if f == "count" and argc is None:
+            x = ssel.astype(jnp.int64)
+        elif argc is not None:
+            x = argc.data[perm]
+        else:
+            raise PlanError(f"window function {f} needs an argument")
+        avalid = (argc.valid()[perm] & ssel) if argc is not None else ssel
+
+        if f == "first_value":
+            first_idx = K.segment_min(jnp.where(avalid, iota.astype(jnp.int32), jnp.int32(2**31 - 1)),
+                                      seg, avalid, G)
+            my = jnp.clip(first_idx[jnp.clip(seg, 0, G - 1)], 0, cap - 1)
+            return DeviceColumn(x[my], avalid[my] & ssel, argc.dtype, argc.dictionary)
+        if f == "last_value":
+            # default frame: up to last peer of current row
+            idx = jnp.clip(peer_end, 0, cap - 1).astype(jnp.int32)
+            return DeviceColumn(x[idx], avalid[idx] & ssel, argc.dtype, argc.dictionary)
+
+        if f in ("sum", "avg", "count", "min", "max"):
+            if f in ("min", "max"):
+                ident = K._max_ident(x.dtype) if f == "min" else K._min_ident(x.dtype)
+                xm = jnp.where(avalid, x, ident)
+                scan = _seg_cummin(xm, seg_start) if f == "min" else _seg_cummax(xm, seg_start)
+                if has_order:
+                    idx = jnp.clip(peer_end, 0, cap - 1).astype(jnp.int32)
+                    vals = scan[idx]
+                else:
+                    red = K.segment_min if f == "min" else K.segment_max
+                    per = red(x, seg, avalid, G)
+                    vals = per[jnp.clip(seg, 0, G - 1)]
+                cnt_run = _seg_cumsum(avalid.astype(jnp.int64), seg_start)
+                idx2 = jnp.clip(peer_end, 0, cap - 1).astype(jnp.int32)
+                nonzero = (cnt_run[idx2] > 0) if has_order else (
+                    K.segment_count(seg, avalid, G)[jnp.clip(seg, 0, G - 1)] > 0)
+                return DeviceColumn(vals, nonzero & ssel, argc.dtype, argc.dictionary)
+            acc = jnp.where(avalid, x, jnp.zeros_like(x))
+            if acc.dtype == jnp.bool_:
+                acc = acc.astype(jnp.int64)
+            run = _seg_cumsum(acc, seg_start)
+            cnt_run = _seg_cumsum(avalid.astype(jnp.int64), seg_start)
+            if has_order:
+                idx = jnp.clip(peer_end, 0, cap - 1).astype(jnp.int32)
+                s, c = run[idx], cnt_run[idx]
+            else:
+                s = K.segment_sum(acc, seg, avalid, G)[jnp.clip(seg, 0, G - 1)]
+                c = K.segment_count(seg, avalid, G)[jnp.clip(seg, 0, G - 1)]
+            if f == "count":
+                return DeviceColumn(c.astype(jnp.int64), None, T.INT64)
+            if f == "avg":
+                arg_scale = 10.0 ** argc.dtype.scale if argc.dtype.is_decimal else 1.0
+                a = (s.astype(jnp.float64) / arg_scale) / jnp.maximum(c, 1).astype(jnp.float64)
+                return DeviceColumn(a, (c > 0) & ssel, T.FLOAT64)
+            sdt = out_t
+            return DeviceColumn(s.astype(sdt.np_dtype()), (c > 0) & ssel, sdt)
+
+        raise PlanError(f"window function {f!r} not implemented")
+
+
+def _lit(e: E.Expr):
+    if isinstance(e, E.Literal):
+        return e.value
+    raise PlanError("expected literal window argument")

@@ -182,6 +182,30 @@ class SqlPlanner:
         elif having is not None:
             raise PlanError("HAVING requires aggregation")
 
+        # 5b. window function extraction (evaluated after aggregation)
+        window_fns: List[E.WindowFunction] = []
+
+        def collect_windows(e: E.Expr):
+            if isinstance(e, E.WindowFunction):
+                if e not in window_fns:
+                    window_fns.append(e)
+                return
+            for c in e.children():
+                collect_windows(c)
+
+        for e, _ in items:
+            collect_windows(e)
+        for oe, _ in order_items:
+            collect_windows(oe)
+        if window_fns:
+            plan = L.Window(plan, window_fns)
+            wmap: Dict[E.Expr, E.Expr] = {}
+            nbase = len(plan.schema) - len(window_fns)
+            for wf, f in zip(window_fns, plan.schema.fields[nbase:]):
+                wmap[wf] = E.Column(f.name, f.qualifier)
+            items = [(replace_topdown(e, wmap), al) for e, al in items]
+            order_items = [(replace_topdown(oe, wmap), it) for oe, it in order_items]
+
         # 6. projection (+ hidden sort columns), DISTINCT, ORDER BY, LIMIT
         if strip_projection:
             return plan

@@ -1,0 +1,85 @@
+import numpy as np
+import pytest
+
+from datafusion_tpu.context import SessionContext
+
+
+@pytest.fixture
+def ctx():
+    c = SessionContext()
+    c.register_table("t", {
+        "g": ["a", "a", "a", "b", "b", "c"],
+        "x": [10, 20, 20, 5, 15, 7],
+        "id": [1, 2, 3, 4, 5, 6],
+    })
+    return c
+
+
+def q(ctx, sql):
+    return ctx.sql(sql).to_pydict()
+
+
+def test_row_number_rank(ctx):
+    out = q(ctx, """
+        SELECT id,
+               row_number() OVER (PARTITION BY g ORDER BY x) AS rn,
+               rank() OVER (PARTITION BY g ORDER BY x) AS rk,
+               dense_rank() OVER (PARTITION BY g ORDER BY x) AS dr
+        FROM t ORDER BY id
+    """)
+    assert out["rn"] == [1, 2, 3, 1, 2, 1]
+    assert out["rk"] == [1, 2, 2, 1, 2, 1]
+    assert out["dr"] == [1, 2, 2, 1, 2, 1]
+
+
+def test_running_sum_and_partition_agg(ctx):
+    out = q(ctx, """
+        SELECT id,
+               sum(x) OVER (PARTITION BY g ORDER BY id) AS rs,
+               sum(x) OVER (PARTITION BY g) AS ts,
+               count(*) OVER (PARTITION BY g) AS n
+        FROM t ORDER BY id
+    """)
+    assert out["rs"] == [10, 30, 50, 5, 20, 7]
+    assert out["ts"] == [50, 50, 50, 20, 20, 7]
+    assert out["n"] == [3, 3, 3, 2, 2, 1]
+
+
+def test_running_sum_peers(ctx):
+    # ties in ORDER BY are peers: RANGE frame includes the whole peer group
+    out = q(ctx, """
+        SELECT id, sum(x) OVER (PARTITION BY g ORDER BY x) AS rs
+        FROM t ORDER BY id
+    """)
+    assert out["rs"] == [10, 50, 50, 5, 20, 7]
+
+
+def test_lead_lag(ctx):
+    out = q(ctx, """
+        SELECT id,
+               lag(x) OVER (PARTITION BY g ORDER BY id) AS lg,
+               lead(x) OVER (PARTITION BY g ORDER BY id) AS ld
+        FROM t ORDER BY id
+    """)
+    assert out["lg"] == [None, 10, 20, None, 5, None]
+    assert out["ld"] == [20, 20, None, 15, None, None]
+
+
+def test_global_window(ctx):
+    out = q(ctx, "SELECT id, row_number() OVER (ORDER BY x DESC) AS rn FROM t ORDER BY id")
+    assert out["rn"] == [4, 1, 2, 6, 3, 5]
+
+
+def test_first_last_min_max(ctx):
+    out = q(ctx, """
+        SELECT id,
+               first_value(x) OVER (PARTITION BY g ORDER BY id) AS fv,
+               max(x) OVER (PARTITION BY g ORDER BY id) AS mx,
+               min(x) OVER (PARTITION BY g ORDER BY id) AS mn,
+               avg(x) OVER (PARTITION BY g) AS av
+        FROM t ORDER BY id
+    """)
+    assert out["fv"] == [10, 10, 10, 5, 5, 7]
+    assert out["mx"] == [10, 20, 20, 5, 15, 7]
+    assert out["mn"] == [10, 10, 10, 5, 5, 7]
+    assert out["av"] == [50 / 3, 50 / 3, 50 / 3, 10.0, 10.0, 7.0]
