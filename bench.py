@@ -53,6 +53,9 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
 
+    import datafusion_tpu
+
+    datafusion_tpu.enable_compilation_cache()
     from datafusion_tpu.context import SessionContext
     from datafusion_tpu.models.tpch.datagen import generate_tpch
     from datafusion_tpu.models.tpch.queries import ALL_QUERY_IDS, query

@@ -11,6 +11,24 @@ from .expr.nodes import col, lit  # noqa: F401
 
 __version__ = "0.1.0"
 
+
+def enable_compilation_cache(path: str = None) -> None:
+    """Enable JAX's persistent compilation cache. Operator kernels compile
+    once per (plan shape, capacity); on TPU a single join pipeline can cost
+    ~1 minute of XLA compile time, so caching across processes/runs is
+    load-bearing for interactive use (bench.py and the CLI call this)."""
+    import os
+
+    import jax
+
+    path = path or os.environ.get(
+        "DATAFUSION_TPU_CACHE", os.path.expanduser("~/.cache/datafusion_tpu_xla")
+    )
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+
 __all__ = [
     "SessionContext", "DataFrame", "Table", "Schema", "Field", "col", "lit",
     "types", "DataFusionTpuError", "ParseError", "PlanError", "ExecutionError",

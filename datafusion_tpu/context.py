@@ -87,7 +87,7 @@ class SessionContext:
         if isinstance(stmt, A.Explain):
             plan = SqlPlanner(self.catalog).plan_statement(stmt.query)
             df = DataFrame(self, plan)
-            text = df.explain()
+            text = df.explain_analyze() if stmt.analyze else df.explain()
             return DataFrame(self, L.Values(
                 Schema([Field("plan", T.STRING, False)]),
                 [[E.lit(line)] for line in text.splitlines()],
@@ -121,10 +121,62 @@ class SessionContext:
         if isinstance(stmt, A.SetVariable):
             self.config[stmt.key] = stmt.value
             return None
+        if isinstance(stmt, A.InsertInto):
+            return self._insert_into(stmt, SqlPlanner)
+        if isinstance(stmt, A.CopyTo):
+            if isinstance(stmt.source, str):
+                table = self.table(stmt.source).collect()
+            else:
+                table = DataFrame(self, SqlPlanner(self.catalog).plan_statement(stmt.source)).collect()
+            if stmt.format == "parquet":
+                table.write_parquet(stmt.path)
+            elif stmt.format == "csv":
+                table.write_csv(stmt.path)
+            else:
+                raise PlanError(f"unsupported COPY format {stmt.format!r}")
+            return DataFrame(self, L.Values(
+                Schema([Field("count", T.INT64, False)]), [[E.lit(table.num_rows)]]))
         raise PlanError(f"unsupported statement {type(stmt).__name__}")
+
+    def _insert_into(self, stmt, SqlPlanner) -> "DataFrame":
+        provider = self.catalog.get(stmt.table)
+        target = provider.host_table()
+        if isinstance(stmt.source, list):  # VALUES rows
+            names = stmt.columns or target.schema.names()
+            data = {n: [] for n in names}
+            for row in stmt.source:
+                for n, litexpr in zip(names, row):
+                    v = litexpr.value if isinstance(litexpr, E.Literal) else None
+                    if isinstance(litexpr, E.Negative) and isinstance(litexpr.expr, E.Literal):
+                        v = -litexpr.expr.value
+                    data[n].append(v)
+            types = {f.name: f.dtype for f in target.schema.fields if f.name in data}
+            new = Table.from_pydict(data, types)
+        else:
+            new = DataFrame(self, SqlPlanner(self.catalog).plan_statement(stmt.source)).collect()
+        from .catalog.catalog import MemTable
+
+        merged = Table.concat([target, _align_to(new, target)])
+        self.catalog.register(stmt.table, MemTable(merged))
+        return DataFrame(self, L.Values(
+            Schema([Field("count", T.INT64, False)]), [[E.lit(new.num_rows)]]))
 
     def exec_context(self) -> ExecContext:
         return ExecContext(self.config, self.device)
+
+
+def _align_to(new: Table, target: Table) -> Table:
+    """Reorder/rename inserted columns positionally to the target schema."""
+    if new.schema.names() == target.schema.names():
+        return new
+    if len(new.schema) != len(target.schema):
+        raise PlanError(
+            f"INSERT column count {len(new.schema)} != table {len(target.schema)}")
+    from .common.schema import Schema as _S
+    import dataclasses as _dc
+
+    fields = [_dc.replace(f, name=t.name) for f, t in zip(new.schema.fields, target.schema.fields)]
+    return Table(_S(fields), new.columns)
 
 
 class DataFrame:
@@ -202,6 +254,30 @@ class DataFrame:
         pp = create_physical_plan(lp)
         return f"== Logical Plan ==\n{lp.display()}\n== Physical Plan ==\n{pp.display()}"
 
+    def explain_analyze(self) -> str:
+        """Execute and report per-operator metrics (reference: AnalyzeExec,
+        physical-plan/src/analyze.rs:46 + EXPLAIN ANALYZE rendering)."""
+        import time as _t
+
+        ctx = self._ctx.exec_context()
+        phys = self.physical_plan()
+        t0 = _t.perf_counter()
+        rel = phys.execute(ctx)
+        import jax
+
+        jax.block_until_ready(rel.sel)
+        total = _t.perf_counter() - t0
+        rows = int(rel.num_rows())
+        lines = [f"== Physical Plan (EXPLAIN ANALYZE) ==", phys.display(),
+                 f"-- total: {total * 1000:.2f} ms, output rows: {rows}",
+                 f"-- peak device memory accounted: {ctx.memory_pool.peak / 1e6:.1f} MB"]
+        for name, m in sorted(ctx.metrics.items()):
+            lines.append(
+                f"--   {name}: elapsed={m.elapsed_seconds * 1000:.2f} ms"
+                + (f", rows={m.output_rows}" if m.output_rows else "")
+            )
+        return "\n".join(lines)
+
     # ---- execution -------------------------------------------------------
     def collect(self) -> Table:
         ctx = self._ctx.exec_context()
@@ -217,6 +293,12 @@ class DataFrame:
 
     def count(self) -> int:
         return self.collect().num_rows
+
+    def write_parquet(self, path: str) -> None:
+        self.collect().write_parquet(path)
+
+    def write_csv(self, path: str) -> None:
+        self.collect().write_csv(path)
 
     def show(self, limit: int = 20):
         print(self.limit(limit).to_pandas().to_string(index=False))

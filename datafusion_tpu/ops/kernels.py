@@ -169,22 +169,31 @@ def segments_from_sorted_keys(
 
 def segment_sum(values: jax.Array, seg: jax.Array, mask: jax.Array, num_segments: int) -> jax.Array:
     z = jnp.where(mask, values, jnp.zeros_like(values))
+    if num_segments == 1:
+        # global aggregate: a plain reduction beats a 1-segment scatter
+        return jnp.sum(z)[None]
     return jax.ops.segment_sum(z, seg, num_segments=num_segments)
 
 
 def segment_count(seg: jax.Array, mask: jax.Array, num_segments: int) -> jax.Array:
+    if num_segments == 1:
+        return jnp.sum(mask.astype(jnp.int64))[None]
     return jax.ops.segment_sum(mask.astype(jnp.int64), seg, num_segments=num_segments)
 
 
 def segment_min(values: jax.Array, seg: jax.Array, mask: jax.Array, num_segments: int) -> jax.Array:
     ident = _max_ident(values.dtype)
     z = jnp.where(mask, values, ident)
+    if num_segments == 1:
+        return jnp.min(z)[None]
     return jax.ops.segment_min(z, seg, num_segments=num_segments)
 
 
 def segment_max(values: jax.Array, seg: jax.Array, mask: jax.Array, num_segments: int) -> jax.Array:
     ident = _min_ident(values.dtype)
     z = jnp.where(mask, values, ident)
+    if num_segments == 1:
+        return jnp.max(z)[None]
     return jax.ops.segment_max(z, seg, num_segments=num_segments)
 
 

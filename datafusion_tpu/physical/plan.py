@@ -55,7 +55,18 @@ class PhysicalPlan:
     def _timed(self, ctx: ExecContext, fn, *args):
         t0 = time.perf_counter()
         out = fn(*args)
-        ctx.metric(type(self).__name__).record(0, time.perf_counter() - t0)
+        name = type(self).__name__
+        ctx.metric(name).record(0, time.perf_counter() - t0)
+        if isinstance(out, DeviceRelation):
+            from ..runtime.memory import relation_bytes
+
+            new = relation_bytes(out)
+            prev = getattr(self, "_reserved_bytes", 0)
+            if new > prev:
+                ctx.memory_pool.try_grow(name, new - prev)
+            else:
+                ctx.memory_pool.shrink(name, prev - new)
+            self._reserved_bytes = new
         return out
 
     def display(self, indent: int = 0) -> str:

@@ -27,9 +27,16 @@ class ExecMetrics:
 
 class ExecContext:
     def __init__(self, config: Optional[Dict[str, Any]] = None, device=None):
+        from .memory import GreedyMemoryPool, MemoryPool
+
         self.config = dict(config or {})
         self.device = device
         self.metrics: Dict[str, ExecMetrics] = {}
+        limit = self.config.get("memory_limit_bytes")
+        self.memory_pool = GreedyMemoryPool(int(limit)) if limit else MemoryPool()
+        from .spill import SpillManager
+
+        self.spill_manager = SpillManager(self.config.get("spill_dir"))
 
     def metric(self, name: str) -> ExecMetrics:
         if name not in self.metrics:

@@ -1,0 +1,99 @@
+"""Memory accounting: pools + reservations.
+
+Capability analog of the reference's MemoryPool / MemoryReservation
+(datafusion/execution/src/memory_pool/mod.rs:188,375) and the pool
+implementations (pool.rs: Unbounded/Greedy/TrackConsumers).  On TPU the
+managed resource is HBM: operators register the device relations they
+materialize; a bounded pool raises ResourceExhausted with the top consumers
+named (TrackConsumersPool behavior) so callers can spill (device->host
+offload, the disk-spill analog -- see runtime/spill.py)."""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+from ..common.errors import ResourceExhausted
+
+
+class MemoryPool:
+    """Unbounded pool: tracks but never rejects."""
+
+    def __init__(self):
+        self.reserved: int = 0
+        self.peak: int = 0
+        self.by_consumer: Dict[str, int] = {}
+
+    def try_grow(self, consumer: str, additional: int) -> None:
+        self._grow(consumer, additional)
+
+    def _grow(self, consumer: str, additional: int) -> None:
+        self.reserved += additional
+        self.by_consumer[consumer] = self.by_consumer.get(consumer, 0) + additional
+        self.peak = max(self.peak, self.reserved)
+
+    def shrink(self, consumer: str, amount: int) -> None:
+        self.reserved = max(0, self.reserved - amount)
+        if consumer in self.by_consumer:
+            self.by_consumer[consumer] = max(0, self.by_consumer[consumer] - amount)
+
+    def top_consumers(self, k: int = 5) -> List[tuple]:
+        return sorted(self.by_consumer.items(), key=lambda kv: -kv[1])[:k]
+
+
+class GreedyMemoryPool(MemoryPool):
+    """Bounded pool: first-come-first-served up to the limit
+    (reference: GreedyMemoryPool, memory_pool/pool.rs:77)."""
+
+    def __init__(self, limit_bytes: int):
+        super().__init__()
+        self.limit = limit_bytes
+
+    def try_grow(self, consumer: str, additional: int) -> None:
+        if self.reserved + additional > self.limit:
+            top = ", ".join(f"{n}={b // 1024 // 1024}MB" for n, b in self.top_consumers())
+            raise ResourceExhausted(
+                f"memory pool exhausted: need {additional} bytes, "
+                f"{self.limit - self.reserved} available of {self.limit}; "
+                f"top consumers: {top}"
+            )
+        self._grow(consumer, additional)
+
+
+@dataclasses.dataclass
+class MemoryReservation:
+    """RAII-style reservation (reference: MemoryReservation,
+    memory_pool/mod.rs:375)."""
+
+    pool: MemoryPool
+    consumer: str
+    size: int = 0
+
+    def grow(self, additional: int) -> None:
+        self.pool.try_grow(self.consumer, additional)
+        self.size += additional
+
+    def resize(self, new_size: int) -> None:
+        if new_size > self.size:
+            self.grow(new_size - self.size)
+        else:
+            self.pool.shrink(self.consumer, self.size - new_size)
+            self.size = new_size
+
+    def free(self) -> None:
+        self.resize(0)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.free()
+
+
+def relation_bytes(rel) -> int:
+    """Device bytes held by a DeviceRelation."""
+    total = rel.sel.size * rel.sel.dtype.itemsize
+    for c in rel.columns:
+        total += c.data.size * c.data.dtype.itemsize
+        if c.validity is not None:
+            total += c.validity.size * c.validity.dtype.itemsize
+    return int(total)

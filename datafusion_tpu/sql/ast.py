@@ -134,3 +134,17 @@ class ShowTables:
 class SetVariable:
     key: str
     value: str
+
+
+@dataclasses.dataclass
+class InsertInto:
+    table: str
+    columns: Optional[List[str]]
+    source: object  # SelectStmt | list of literal rows
+
+
+@dataclasses.dataclass
+class CopyTo:
+    source: object  # SelectStmt | table name str
+    path: str
+    format: str  # parquet | csv

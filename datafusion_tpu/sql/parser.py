@@ -95,6 +95,46 @@ class Parser:
             self.next()
             self.ident()  # "tables"
             return A.ShowTables()
+        if self.at_kw("insert"):
+            self.next()
+            self.expect_kw("into")
+            name = self.ident()
+            cols = None
+            if self.at("op", "(") :
+                self.next()
+                cols = [self.ident()]
+                while self.eat_op(","):
+                    cols.append(self.ident())
+                self.expect_op(")")
+            if self.at_kw("values"):
+                self.next()
+                rows = []
+                while True:
+                    self.expect_op("(")
+                    row = [self.expr()]
+                    while self.eat_op(","):
+                        row.append(self.expr())
+                    self.expect_op(")")
+                    rows.append(row)
+                    if not self.eat_op(","):
+                        break
+                return A.InsertInto(name, cols, rows)
+            return A.InsertInto(name, cols, self.select_stmt())
+        if self.at_kw("copy"):
+            self.next()
+            if self.at("op", "("):
+                self.next()
+                src = self.select_stmt()
+                self.expect_op(")")
+            else:
+                src = self.ident()
+            self.expect_kw("to")
+            path = self.next().value
+            fmt = "parquet"
+            if self.eat_kw("stored"):
+                self.expect_kw("as")
+                fmt = self.ident().lower()
+            return A.CopyTo(src, path, fmt)
         if self.at_kw("set"):
             self.next()
             key = self.ident()
@@ -287,6 +327,9 @@ class Parser:
             self.expect_op(")")
             return inner
         name = self.ident()
+        while self.at("op", ".") and self.peek(1).kind in ("ident", "kw"):
+            self.next()
+            name += "." + self.ident()
         alias = None
         if self.eat_kw("as"):
             alias = self.ident()

@@ -291,6 +291,8 @@ class SqlPlanner:
     def plan_table_ref(self, tr) -> L.LogicalPlan:
         if isinstance(tr, A.Relation):
             key = tr.name.lower()
+            if key.startswith("information_schema."):
+                return self._information_schema(key.split(".", 1)[1], tr.alias)
             if key in self.ctes:
                 base = self.ctes[key]
                 return L.SubqueryAlias(base, tr.alias or tr.name)
@@ -336,6 +338,37 @@ class SqlPlanner:
                 return L.Join(left, right, [], jt, None)
             return L.Join(left, right, on_pairs, jt, residual)
         raise PlanError(f"unsupported table ref {tr!r}")
+
+    def _information_schema(self, table: str, alias) -> L.LogicalPlan:
+        """Virtual information_schema.{tables,columns} built from the catalog
+        (reference: datafusion/catalog/src/information_schema.rs)."""
+        from ..catalog.catalog import MemTable
+        from ..data.table import Table
+
+        if table == "tables":
+            names = self.catalog.names()
+            views = sorted(getattr(self.catalog, "views", {}))
+            t = Table.from_pydict({
+                "table_catalog": ["datafusion"] * (len(names) + len(views)),
+                "table_schema": ["public"] * len(names) + ["public"] * len(views),
+                "table_name": list(names) + views,
+                "table_type": ["BASE TABLE"] * len(names) + ["VIEW"] * len(views),
+            })
+        elif table == "columns":
+            rows = {"table_name": [], "column_name": [], "ordinal_position": [],
+                    "data_type": [], "is_nullable": []}
+            for name in self.catalog.names():
+                for i, f in enumerate(self.catalog.get(name).schema().fields):
+                    rows["table_name"].append(name)
+                    rows["column_name"].append(f.name)
+                    rows["ordinal_position"].append(i + 1)
+                    rows["data_type"].append(repr(f.dtype))
+                    rows["is_nullable"].append("YES" if f.nullable else "NO")
+            t = Table.from_pydict(rows)
+        else:
+            raise PlanError(f"unknown information_schema table {table!r}")
+        return L.TableScan(f"information_schema.{table}", MemTable(t),
+                           alias=alias or table)
 
     @staticmethod
     def _only_in(e: E.Expr, schema: Schema) -> bool:

@@ -1,0 +1,83 @@
+import os
+
+import numpy as np
+import pytest
+
+from datafusion_tpu.context import SessionContext
+
+
+@pytest.fixture
+def ctx():
+    c = SessionContext()
+    c.register_table("t", {
+        "k": [1, 2, 3],
+        "s": ["a", "b", None],
+        "v": [1.5, 2.5, 3.5],
+    })
+    return c
+
+
+def test_parquet_roundtrip(ctx, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    ctx.sql(f"COPY t TO '{p}'")
+    ctx.sql(f"CREATE EXTERNAL TABLE t2 STORED AS PARQUET LOCATION '{p}'")
+    out = ctx.sql("SELECT * FROM t2 ORDER BY k").to_pydict()
+    assert out["k"] == [1, 2, 3]
+    assert out["s"] == ["a", "b", None]
+    assert out["v"] == [1.5, 2.5, 3.5]
+
+
+def test_csv_roundtrip(ctx, tmp_path):
+    p = str(tmp_path / "t.csv")
+    ctx.sql(f"COPY (SELECT k, v FROM t) TO '{p}' STORED AS CSV")
+    ctx.register_csv("t3", p)
+    out = ctx.sql("SELECT * FROM t3 ORDER BY k").to_pydict()
+    assert out["k"] == [1, 2, 3]
+
+
+def test_insert_values_and_select(ctx):
+    ctx.sql("INSERT INTO t VALUES (4, 'd', 4.5), (5, 'e', 5.5)")
+    assert ctx.sql("SELECT count(*) AS n FROM t").to_pydict()["n"] == [5]
+    ctx.sql("CREATE TABLE t4 AS SELECT * FROM t WHERE k <= 2")
+    ctx.sql("INSERT INTO t4 SELECT * FROM t WHERE k >= 4")
+    out = ctx.sql("SELECT k FROM t4 ORDER BY k").to_pydict()
+    assert out["k"] == [1, 2, 4, 5]
+
+
+def test_information_schema(ctx):
+    out = ctx.sql("SELECT table_name FROM information_schema.tables ORDER BY table_name").to_pydict()
+    assert "t" in out["table_name"]
+    cols = ctx.sql(
+        "SELECT column_name FROM information_schema.columns WHERE table_name = 't' ORDER BY ordinal_position"
+    ).to_pydict()
+    assert cols["column_name"] == ["k", "s", "v"]
+
+
+def test_explain_analyze(ctx):
+    out = ctx.sql("EXPLAIN ANALYZE SELECT k, sum(v) FROM t GROUP BY k").to_pydict()
+    text = "\n".join(out["plan"])
+    assert "EXPLAIN ANALYZE" in text and "ms" in text
+
+
+def test_memory_limit_errors(ctx):
+    from datafusion_tpu.common.errors import ResourceExhausted
+
+    ctx.config["memory_limit_bytes"] = 64
+    with pytest.raises(ResourceExhausted) as e:
+        ctx.sql("SELECT * FROM t").collect()
+    assert "top consumers" in str(e.value)
+
+
+def test_spill_roundtrip(ctx):
+    from datafusion_tpu.data.device import to_device, to_host
+    from datafusion_tpu.runtime.spill import SpillManager
+
+    rel = to_device(ctx.catalog.get("t").host_table())
+    sm = SpillManager()
+    s = sm.spill(rel)
+    path = s.to_disk()
+    back = s.restore()
+    t = to_host(back)
+    assert t.to_pydict()["k"] == [1, 2, 3]
+    s.release()
+    assert not os.path.exists(path)
