@@ -81,7 +81,9 @@ def main():
     for qid in qids:
         sql = query(qid, args.sf)
         df = ctx.sql(sql)
-        phys = df.physical_plan()
+        from datafusion_tpu.physical.fused import FusedQuery
+
+        phys = FusedQuery(df.physical_plan())
         ectx = ctx.exec_context()
         # warmup: trace+compile (+ capacity discovery syncs)
         t0 = time.time()

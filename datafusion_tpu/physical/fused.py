@@ -1,0 +1,179 @@
+"""Whole-query fusion: one XLA program per query.
+
+The TPU-native answer to the reference's streaming operator pipeline (tokio
+pull loops, physical-plan/src/execution_plan.rs execute() streams): instead of
+many small dispatches (each paying host->device latency), the entire physical
+plan is traced into a single jitted function once the data-dependent
+capacities are known.
+
+Two-phase adaptive execution:
+  1. discovery: the plan runs operator-by-operator (physical/plan.py);
+     Join/Aggregate record the power-of-two output capacities they chose via
+     host syncs.
+  2. steady state: the full plan is re-traced with those capacities baked in
+     and compiled as ONE function (scan relations in, result + overflow flags
+     out). Each subsequent execution is a single dispatch; XLA fuses across
+     operator boundaries (filter masks into aggregations, projections into
+     gathers).
+
+Overflow safety: the fused program also emits, per capacity decision, the
+actual required size; if data grows past a baked capacity the host sees the
+flag and transparently re-runs discovery (capacities only ever grow).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..common.errors import ExecutionError
+from ..data.device import DeviceRelation, bucket_capacity
+from ..logical.plan import JoinType
+from ..runtime.context import ExecContext
+from . import plan as P
+from .planner import AliasExec
+
+
+class _TraceCtx:
+    def __init__(self):
+        self.flags: List[jax.Array] = []  # each: scalar bool, True = overflow
+
+
+class FusedQuery:
+    """Wraps a PhysicalPlan with discovery + fused steady-state execution."""
+
+    def __init__(self, plan: P.PhysicalPlan):
+        self.plan = plan
+        self.leaves: List[P.PhysicalPlan] = []
+        self._collect_leaves(plan, self.leaves)
+        self._fused = None
+
+    def _collect_leaves(self, p: P.PhysicalPlan, out: List[P.PhysicalPlan]):
+        if isinstance(p, (P.ScanExec, P.ValuesExec, P.EmptyExec)):
+            if p not in out:
+                out.append(p)
+            return
+        for c in p.children():
+            self._collect_leaves(c, out)
+
+    # ------------------------------------------------------------------
+    def execute(self, ctx: ExecContext) -> DeviceRelation:
+        if self._fused is None:
+            out = self.plan.execute(ctx)  # discovery pass records capacities
+            try:
+                self._fused = self._build_fused()
+            except ExecutionError:
+                self._fused = False  # plan not fusible; keep per-op execution
+            return out
+        if self._fused is False:
+            return self.plan.execute(ctx)
+        inputs = tuple(leaf.execute(ctx) for leaf in self.leaves)
+        rel, flags = self._fused(inputs)
+        if flags.shape[0] and bool(jnp.any(flags)):
+            # capacity overflow: re-discover (capacities grow) and rebuild
+            self._fused = None
+            return self.execute(ctx)
+        return rel
+
+    # ------------------------------------------------------------------
+    def _build_fused(self):
+        leaf_index = {id(leaf): i for i, leaf in enumerate(self.leaves)}
+
+        def fused(inputs: Tuple[DeviceRelation, ...]):
+            tctx = _TraceCtx()
+            rel = _trace(self.plan, inputs, leaf_index, tctx)
+            flags = (jnp.stack(tctx.flags) if tctx.flags
+                     else jnp.zeros((0,), dtype=jnp.bool_))
+            return rel, flags
+
+        return jax.jit(fused)
+
+
+def _trace(p: P.PhysicalPlan, inputs, leaf_index, tctx) -> DeviceRelation:
+    if isinstance(p, (P.ScanExec, P.ValuesExec, P.EmptyExec)):
+        rel = inputs[leaf_index[id(p)]]
+        if isinstance(p, P.ScanExec):
+            cols = []
+            src = {f.name: c for f, c in zip(rel.schema.fields, rel.columns)}
+            for f in p.schema.fields:
+                cols.append(src[f.name])
+            return DeviceRelation(p.schema, tuple(cols), rel.sel)
+        return rel
+    if isinstance(p, (P.FilterExec, P.ProjectionExec, P.LimitExec, P.SortExec,
+                      P.DistinctExec)):
+        return p._transform(_trace(p.input, inputs, leaf_index, tctx))
+    if isinstance(p, AliasExec):
+        rel = _trace(p.input, inputs, leaf_index, tctx)
+        return DeviceRelation(p.schema, rel.columns, rel.sel)
+    if isinstance(p, P.UnionExec):
+        rels = [_trace(c, inputs, leaf_index, tctx) for c in p.inputs]
+        return P.concat_relations(rels, p.schema)
+    if isinstance(p, P.AggregateExec):
+        return _trace_aggregate(p, inputs, leaf_index, tctx)
+    if isinstance(p, P.JoinExec):
+        return _trace_join(p, inputs, leaf_index, tctx)
+    from .window import WindowExec
+
+    if isinstance(p, WindowExec):
+        return p._transform(_trace(p.input, inputs, leaf_index, tctx))
+    raise ExecutionError(f"cannot fuse operator {type(p).__name__}")
+
+
+def _trace_aggregate(p: P.AggregateExec, inputs, leaf_index, tctx) -> DeviceRelation:
+    from ..ops import groupby as G
+
+    rel = _trace(p.input, inputs, leaf_index, tctx)
+    if not p.group_exprs:
+        return p._global(rel)
+    dense = p._dense_sizes(rel)
+    if dense is not None:
+        sizes, ngroups = dense
+        return p._dense_transform(rel, sizes, ngroups)
+    cap = getattr(p, "_last_cap", None)
+    if cap is None:
+        raise ExecutionError("aggregate capacity not discovered")
+    state = p._phase_sort(rel)
+    num_groups = state[-1]
+    tctx.flags.append(num_groups > cap)
+    sg, sa, sf, ssel, seg, is_start, distinct_start, _ = state
+    _, _, _, specs, _ = p._prepare(rel)
+    out_keys, out_aggs, out_sel = G.phase_reduce(
+        sg, sa, sf, ssel, seg, is_start, distinct_start, specs, cap
+    )
+    cols = [p._coerce_out(c, f)
+            for c, f in zip(list(out_keys) + list(out_aggs), p.schema.fields)]
+    return DeviceRelation(p.schema, tuple(cols), out_sel)
+
+
+def _trace_join(p: P.JoinExec, inputs, leaf_index, tctx) -> DeviceRelation:
+    from ..ops import joinimpl as J
+    from .expr_compiler import eval_expr, unify_string_columns
+
+    jt = p.join_type
+    swapped = jt in (JoinType.RIGHT, JoinType.RIGHT_SEMI, JoinType.RIGHT_ANTI)
+    lplan, rplan = (p.right, p.left) if swapped else (p.left, p.right)
+    lrel = _trace(lplan, inputs, leaf_index, tctx)
+    rrel = _trace(rplan, inputs, leaf_index, tctx)
+    if swapped:
+        jt = {JoinType.RIGHT: JoinType.LEFT, JoinType.RIGHT_SEMI: JoinType.LEFT_SEMI,
+              JoinType.RIGHT_ANTI: JoinType.LEFT_ANTI}[jt]
+    on = tuple((r, l) for l, r in p.on) if swapped else p.on
+
+    lkeys = [eval_expr(l, lrel) for l, _ in on]
+    rkeys = [eval_expr(r, rrel) for _, r in on]
+    for i in range(len(lkeys)):
+        if lkeys[i].dtype.is_string or rkeys[i].dtype.is_string:
+            lkeys[i], rkeys[i] = unify_string_columns(lkeys[i], rkeys[i])
+    perm, lo, cnt, total = J.join_phase1(lkeys, rkeys, lrel.sel, rrel.sel)
+
+    if jt in (JoinType.LEFT_SEMI, JoinType.LEFT_ANTI) and p.filter is None:
+        keep = (cnt > 0) if jt is JoinType.LEFT_SEMI else (cnt == 0)
+        return DeviceRelation(p.schema, lrel.columns, lrel.sel & keep)
+
+    co = p._last_co.get(("co", swapped, jt)) if hasattr(p, "_last_co") else None
+    if co is None:
+        raise ExecutionError("join capacity not discovered")
+    tctx.flags.append(total > co)
+    p._exec_on = on
+    return p._expand_impl(lrel, rrel, perm, lo, cnt, jt, swapped, co)

@@ -374,6 +374,8 @@ class AggregateExec(PhysicalPlan):
         sorted_state = self._sort_fn(rel)
         num_groups = int(sorted_state[-1])
         cap = bucket_capacity(max(num_groups, 1))
+        cap = max(cap, getattr(self, "_last_cap", 0))
+        self._last_cap = cap
         if cap not in self._reduce_fns:
             specs_fn = self  # closure
 
@@ -414,6 +416,7 @@ class JoinExec(PhysicalPlan):
         self._phase1 = jax.jit(self._p1)
         self._phase2: Dict[int, Callable] = {}
         self._semi_fn = jax.jit(self._semi_simple)
+        self._last_co: Dict = {}
 
     def children(self):
         return (self.left, self.right)
@@ -496,6 +499,8 @@ class JoinExec(PhysicalPlan):
             p1 = self._phase2[p1key] = jax.jit(f1)
         perm, lo, cnt, total = p1(lrel, rrel)
         co = bucket_capacity(max(int(total), 1))
+        co = max(co, self._last_co.get(("co", swapped, jt), 0))
+        self._last_co[("co", swapped, jt)] = co
         key = ("p2", swapped, jt, co)
         fn = self._phase2.get(key)
         if fn is None:
