@@ -171,12 +171,12 @@ def _reduce_one(spec, sa, sf, ssel, seg, is_start, distinct_start, G, group_coun
 
     if f == "sum":
         acc = data
-        if spec.out_dtype.is_float and not arg.dtype.is_float:
-            acc = data.astype(jnp.float64)
-        elif spec.out_dtype.is_float:
+        if spec.out_dtype.is_float:
             acc = data.astype(jnp.float64)
         elif arg.dtype.is_decimal:
             acc = data  # int64 scaled
+        elif jnp.issubdtype(data.dtype, jnp.integer):
+            acc = data.astype(jnp.int64)  # widen before accumulation
         s = K.segment_sum(acc, seg, mask, G)
         cnt = K.segment_count(seg, mask, G)
         if spec.out_dtype.is_decimal:
