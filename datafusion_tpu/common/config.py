@@ -1,0 +1,128 @@
+"""Typed configuration system.
+
+Capability analog of the reference's config_namespace! machinery
+(datafusion/common/src/config.rs:122, ConfigOptions at :1822): namespaced,
+typed, documented options settable via the builder API, `SET key = value` in
+SQL, or environment variables (DATAFUSION_TPU__<NAMESPACE>__<KEY>); docs are
+generated from the registry (render_docs())."""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Callable, Dict, Optional
+
+_BOOL_TRUE = {"1", "true", "on", "yes"}
+
+
+@dataclasses.dataclass
+class ConfigEntry:
+    key: str  # namespaced: execution.batch_min_capacity
+    default: Any
+    doc: str
+    parse: Callable[[str], Any]
+
+
+def _parse_bool(s: str) -> bool:
+    return s.strip().lower() in _BOOL_TRUE
+
+
+REGISTRY: Dict[str, ConfigEntry] = {}
+
+
+def _opt(key: str, default, doc: str):
+    parse: Callable[[str], Any]
+    if isinstance(default, bool):
+        parse = _parse_bool
+    elif isinstance(default, int):
+        parse = int
+    elif isinstance(default, float):
+        parse = float
+    else:
+        parse = str
+    REGISTRY[key] = ConfigEntry(key, default, doc, parse)
+
+
+# ---- execution ------------------------------------------------------------
+_opt("execution.batch_min_capacity", 128,
+     "Minimum device-relation capacity; capacities are padded to powers of two.")
+_opt("execution.dense_group_limit", 16384,
+     "Max group-domain size for the arithmetic (sort-free) dense aggregation path.")
+_opt("execution.target_partitions", 0,
+     "Number of mesh shards for distributed execution (0 = all local devices).")
+_opt("execution.memory_limit_bytes", 0,
+     "HBM accounting limit; 0 = unbounded. Exceeding raises ResourceExhausted "
+     "naming the top consumers.")
+_opt("execution.spill_dir", "",
+     "Directory for host->disk spill files (empty = host RAM only).")
+_opt("execution.use_fused_queries", True,
+     "Compile whole plans into a single XLA program after capacity discovery.")
+_opt("execution.collect_metrics", True,
+     "Record per-operator elapsed/memory metrics (EXPLAIN ANALYZE).")
+
+# ---- optimizer ------------------------------------------------------------
+_opt("optimizer.filter_pushdown", True,
+     "Push filter conjuncts below joins and extract equi-join keys from "
+     "cross joins.")
+_opt("optimizer.projection_pruning", True,
+     "Prune unreferenced columns at table scans (avoids dictionary-encoding "
+     "and device residency for unused columns).")
+_opt("optimizer.decorrelate_subqueries", True,
+     "Rewrite EXISTS/IN/scalar subqueries into joins.")
+_opt("optimizer.max_passes", 3,
+     "Fixpoint iteration bound for rule application.")
+
+# ---- sql ------------------------------------------------------------------
+_opt("sql_parser.dialect", "generic", "Accepted SQL dialect (informational).")
+_opt("sql_parser.parse_float_as_decimal", True,
+     "Numeric literals with a decimal point parse as exact decimals "
+     "(matches the reference's decimal literal behavior).")
+
+# ---- explain --------------------------------------------------------------
+_opt("explain.show_sizes", True, "Include capacities in EXPLAIN output.")
+
+
+class ConfigOptions:
+    """Resolved option values with dotted-key get/set."""
+
+    def __init__(self, overrides: Optional[Dict[str, Any]] = None):
+        self._values: Dict[str, Any] = {k: e.default for k, e in REGISTRY.items()}
+        self._extensions: Dict[str, str] = {}
+        self._load_env()
+        for k, v in (overrides or {}).items():
+            self.set(k, v)
+
+    def _load_env(self):
+        for k, e in REGISTRY.items():
+            env = "DATAFUSION_TPU__" + k.upper().replace(".", "__")
+            if env in os.environ:
+                self._values[k] = e.parse(os.environ[env])
+
+    def get(self, key: str, default=None):
+        if key in self._values:
+            return self._values[key]
+        return self._extensions.get(key, default)
+
+    def set(self, key: str, value) -> None:
+        e = REGISTRY.get(key)
+        if e is None:
+            # extension namespace (reference: ConfigExtension)
+            self._extensions[key] = value
+            return
+        if isinstance(value, str):
+            value = e.parse(value)
+        self._values[key] = value
+
+    def to_dict(self) -> Dict[str, Any]:
+        out = dict(self._values)
+        out.update(self._extensions)
+        return out
+
+
+def render_docs() -> str:
+    """Markdown table of all options (reference: docs auto-generated into
+    docs/source/user-guide/configs.md)."""
+    lines = ["| key | default | description |", "|---|---|---|"]
+    for k in sorted(REGISTRY):
+        e = REGISTRY[k]
+        lines.append(f"| `{k}` | `{e.default}` | {e.doc} |")
+    return "\n".join(lines)

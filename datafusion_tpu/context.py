@@ -22,8 +22,11 @@ from .runtime.context import ExecContext
 
 class SessionContext:
     def __init__(self, config: Optional[Dict] = None, device=None):
+        from .common.config import ConfigOptions
+
         self.catalog = Catalog()
         self.config = dict(config or {})
+        self.options = ConfigOptions(self.config)
         self.device = device
 
     # ---- registration ---------------------------------------------------
@@ -120,6 +123,7 @@ class SessionContext:
             ))
         if isinstance(stmt, A.SetVariable):
             self.config[stmt.key] = stmt.value
+            self.options.set(stmt.key, stmt.value)
             return None
         if isinstance(stmt, A.InsertInto):
             return self._insert_into(stmt, SqlPlanner)
@@ -162,7 +166,9 @@ class SessionContext:
             Schema([Field("count", T.INT64, False)]), [[E.lit(new.num_rows)]]))
 
     def exec_context(self) -> ExecContext:
-        return ExecContext(self.config, self.device)
+        merged = self.options.to_dict()
+        merged.update(self.config)
+        return ExecContext(merged, self.device)
 
 
 def _align_to(new: Table, target: Table) -> Table:

@@ -32,11 +32,13 @@ class ExecContext:
         self.config = dict(config or {})
         self.device = device
         self.metrics: Dict[str, ExecMetrics] = {}
-        limit = self.config.get("memory_limit_bytes")
+        limit = (self.config.get("memory_limit_bytes")
+                 or self.config.get("execution.memory_limit_bytes"))
         self.memory_pool = GreedyMemoryPool(int(limit)) if limit else MemoryPool()
         from .spill import SpillManager
 
-        self.spill_manager = SpillManager(self.config.get("spill_dir"))
+        self.spill_manager = SpillManager(self.config.get("spill_dir")
+                                          or self.config.get("execution.spill_dir") or None)
 
     def metric(self, name: str) -> ExecMetrics:
         if name not in self.metrics:
