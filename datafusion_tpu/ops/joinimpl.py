@@ -36,14 +36,25 @@ def join_phase1(
     left_sel: jax.Array,
     right_sel: jax.Array,
 ):
-    """probe = left, build = right."""
-    lids, rids = K.canonical_ids_two_sided(
-        [(c.data, c.validity) for c in left_keys],
-        [(c.data, c.validity) for c in right_keys],
-        left_sel,
-        right_sel,
-    )
-    perm, lo, cnt, total = K.join_match_counts(rids, right_sel, lids, left_sel)
+    """probe = left, build = right.
+
+    Fast path: integer keys (incl. dictionary codes and <=2 packed 32-bit
+    keys) join on raw values -- one build-side sort total.  Fallback:
+    exact dense-id canonicalization for arbitrary composite keys."""
+    lpairs = [(c.data, c.validity) for c in left_keys]
+    rpairs = [(c.data, c.validity) for c in right_keys]
+    lpacked = K.pack_join_keys(lpairs, left_sel)
+    rpacked = K.pack_join_keys(rpairs, right_sel)
+    if lpacked is not None and rpacked is not None:
+        lids, l_live = lpacked
+        rids, r_live = rpacked
+    else:
+        lids, rids = K.canonical_ids_two_sided(lpairs, rpairs, left_sel, right_sel)
+        l_live = left_sel & (lids >= 0)
+        r_live = right_sel & (rids >= 0)
+        lids = lids.astype(jnp.int64)
+        rids = rids.astype(jnp.int64)
+    perm, lo, cnt, total = K.join_match_counts(rids, r_live, lids, l_live)
     return perm, lo, cnt, total
 
 

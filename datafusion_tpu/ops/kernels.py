@@ -275,14 +275,45 @@ def canonical_ids_two_sided(
 # ---------------------------------------------------------------------------
 
 
+def pack_join_keys(
+    keys: Sequence[Tuple[jax.Array, Optional[jax.Array]]],
+    sel: jax.Array,
+) -> Optional[Tuple[jax.Array, jax.Array]]:
+    """Try to express composite integer keys as a single int64 id without any
+    sorting (the fast path; reference analog: JoinHashMapU32 vs U64 key-width
+    specialization, joins/join_hash_map.rs:144,224).
+
+    Supported: one integer key of any width, or two 32-bit-safe integer keys
+    packed as (a + 2^31) * 2^32 + (b + 2^31).  Returns (ids, live) or None.
+    """
+    live = sel
+    for data, validity in keys:
+        if data.dtype == jnp.bool_ or not jnp.issubdtype(data.dtype, jnp.integer):
+            return None
+        if validity is not None:
+            live = live & validity
+    if len(keys) == 1:
+        return keys[0][0].astype(jnp.int64), live
+    if len(keys) == 2 and all(k[0].dtype.itemsize <= 4 for k in keys):
+        a = keys[0][0].astype(jnp.int64) + (1 << 31)
+        b = keys[1][0].astype(jnp.int64) + (1 << 31)
+        return a * (1 << 32) + b, live
+    return None
+
+
+_B_SENTINEL = np.int64(np.iinfo(np.int64).max)
+_P_SENTINEL = np.int64(np.iinfo(np.int64).max - 1)
+
+
 def join_match_counts(
     build_ids: jax.Array,
-    build_sel: jax.Array,
+    build_live: jax.Array,
     probe_ids: jax.Array,
-    probe_sel: jax.Array,
+    probe_live: jax.Array,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Phase 1 of the equi-join: sort build side by id, binary-search probes.
 
+    ids are int64; dead/null rows are excluded via the live masks.
     Returns (sorted_build_perm, lo, cnt, total):
       sorted_build_perm: row index into build relation, sorted by id (dead last)
       lo[i]:   first position in sorted build matching probe row i
@@ -290,12 +321,11 @@ def join_match_counts(
       total:   sum(cnt) (traced scalar)
     """
     nb = build_ids.shape[0]
-    live_b = build_sel & (build_ids >= 0)
-    bkey = jnp.where(live_b, build_ids, jnp.iinfo(jnp.int32).max)
+    bkey = jnp.where(build_live, build_ids.astype(jnp.int64), _B_SENTINEL)
     iota = jnp.arange(nb, dtype=jnp.int32)
     sbkey, perm = jax.lax.sort([bkey, iota], dimension=0, is_stable=True, num_keys=1)
-    live_p = probe_sel & (probe_ids >= 0)
-    pid = jnp.where(live_p, probe_ids, jnp.iinfo(jnp.int32).max - 1)
+    live_p = probe_live & (probe_ids != _B_SENTINEL)
+    pid = jnp.where(live_p, probe_ids.astype(jnp.int64), _P_SENTINEL)
     lo = jnp.searchsorted(sbkey, pid, side="left").astype(jnp.int32)
     hi = jnp.searchsorted(sbkey, pid, side="right").astype(jnp.int32)
     cnt = jnp.where(live_p, hi - lo, 0).astype(jnp.int32)

@@ -63,7 +63,8 @@ def test_canonical_ids_and_join_core():
     assert rid[3] == -1 or rsel[3] == False  # dead row id is -1
     # build = left, probe = right
     perm, lo, cnt, total = K.join_match_counts(
-        jnp.asarray(lid), lsel, jnp.asarray(rid), rsel
+        jnp.asarray(lid).astype(jnp.int64), lsel & (jnp.asarray(lid) >= 0),
+        jnp.asarray(rid).astype(jnp.int64), rsel & (jnp.asarray(rid) >= 0),
     )
     cnt = np.asarray(cnt)
     assert list(cnt) == [1, 2, 0, 0]
