@@ -107,6 +107,33 @@ def _to_float(col: DeviceColumn) -> jnp.ndarray:
     return col.data.astype(jnp.float64)
 
 
+def _bounds_binop(op, b1, b2):
+    """Interval propagation for +,-,* (reference analog: interval_arithmetic,
+    datafusion/expr-common/src/interval_arithmetic.rs)."""
+    if b1 is None or b2 is None:
+        return None
+    lo1, hi1 = b1
+    lo2, hi2 = b2
+    if op is E.Op.ADD:
+        return (lo1 + lo2, hi1 + hi2)
+    if op is E.Op.SUB:
+        return (lo1 - hi2, hi1 - lo2)
+    if op is E.Op.MUL:
+        corners = (lo1 * lo2, lo1 * hi2, hi1 * lo2, hi1 * hi2)
+        return (min(corners), max(corners))
+    return None
+
+
+def _scale_bounds(b, from_scale: int, to_scale: int):
+    if b is None:
+        return None
+    if to_scale >= from_scale:
+        f = 10 ** (to_scale - from_scale)
+        return (b[0] * f, b[1] * f)
+    f = 10 ** (from_scale - to_scale)
+    return (b[0] // f - 1, b[1] // f + 1)
+
+
 def _rescale_decimal(data: jnp.ndarray, from_scale: int, to_scale: int) -> jnp.ndarray:
     if to_scale == from_scale:
         return data
@@ -142,7 +169,8 @@ def cast_column(col: DeviceColumn, dtype: T.DataType, capacity: int) -> DeviceCo
         return DeviceColumn(data, v, dtype)
     if dtype.is_decimal:
         if col.dtype.is_decimal:
-            return DeviceColumn(_rescale_decimal(col.data, col.dtype.scale, dtype.scale), v, dtype)
+            return DeviceColumn(_rescale_decimal(col.data, col.dtype.scale, dtype.scale), v, dtype,
+                                bounds=_scale_bounds(col.bounds, col.dtype.scale, dtype.scale))
         if col.dtype.is_float:
             return DeviceColumn(jnp.rint(col.data * 10 ** dtype.scale).astype(jnp.int64), v, dtype)
         return DeviceColumn(col.data.astype(jnp.int64) * (10 ** dtype.scale), v, dtype)
@@ -174,14 +202,16 @@ def _literal_column(e: E.Literal, capacity: int) -> DeviceColumn:
         return DeviceColumn(jnp.zeros(capacity, dtype=jnp.int32), None, T.STRING, d)
     if t.is_decimal:
         raw = int(round(float(e.value) * 10 ** t.scale))
-        return DeviceColumn(jnp.full(capacity, raw, jnp.int64), None, t)
+        return DeviceColumn(jnp.full(capacity, raw, jnp.int64), None, t,
+                            bounds=(raw, raw))
     if t.kind is T.TypeKind.DATE32:
         v = e.value if isinstance(e.value, (int, np.integer)) else DU.date_str_to_days(str(e.value))
         return DeviceColumn(jnp.full(capacity, v, jnp.int32), None, t)
     if t.kind is T.TypeKind.TIMESTAMP:
         v = e.value if isinstance(e.value, (int, np.integer)) else int(np.datetime64(str(e.value), "us").astype(np.int64))
         return DeviceColumn(jnp.full(capacity, v, jnp.int64), None, t)
-    return DeviceColumn(jnp.full(capacity, e.value, t.np_dtype()), None, t)
+    b = (int(e.value), int(e.value)) if t.is_integer else None
+    return DeviceColumn(jnp.full(capacity, e.value, t.np_dtype()), None, t, bounds=b)
 
 
 _CMP = {
@@ -273,14 +303,19 @@ def eval_binary(e: E.BinaryOp, l: DeviceColumn, r: DeviceColumn, schema: Schema)
     if out_t.is_decimal and op is E.Op.MUL:
         ld = l.data if lt.is_decimal else l.data.astype(jnp.int64)
         rd = r.data if rt.is_decimal else r.data.astype(jnp.int64)
-        return DeviceColumn(ld.astype(jnp.int64) * rd.astype(jnp.int64), valid, out_t)
+        nb = _bounds_binop(op, l.bounds, r.bounds)
+        return DeviceColumn(ld.astype(jnp.int64) * rd.astype(jnp.int64), valid, out_t,
+                            bounds=nb)
 
     if out_t.is_decimal:
         s = out_t.scale
-        ld = _rescale_decimal(l.data.astype(jnp.int64), lt.scale if lt.is_decimal else 0, s)
-        rd = _rescale_decimal(r.data.astype(jnp.int64), rt.scale if rt.is_decimal else 0, s)
+        ls = lt.scale if lt.is_decimal else 0
+        rs = rt.scale if rt.is_decimal else 0
+        ld = _rescale_decimal(l.data.astype(jnp.int64), ls, s)
+        rd = _rescale_decimal(r.data.astype(jnp.int64), rs, s)
         data = ld + rd if op is E.Op.ADD else ld - rd
-        return DeviceColumn(data, valid, out_t)
+        nb = _bounds_binop(op, _scale_bounds(l.bounds, ls, s), _scale_bounds(r.bounds, rs, s))
+        return DeviceColumn(data, valid, out_t, bounds=nb)
 
     if out_t.is_float:
         lf, rf = _to_float(l), _to_float(r)
@@ -290,7 +325,7 @@ def eval_binary(e: E.BinaryOp, l: DeviceColumn, r: DeviceColumn, schema: Schema)
     ld = l.data.astype(out_t.np_dtype())
     rd = r.data.astype(out_t.np_dtype())
     data = {E.Op.ADD: ld + rd, E.Op.SUB: ld - rd, E.Op.MUL: ld * rd}[op]
-    return DeviceColumn(data, valid, out_t)
+    return DeviceColumn(data, valid, out_t, bounds=_bounds_binop(op, l.bounds, r.bounds))
 
 
 def _align_numeric(l: DeviceColumn, r: DeviceColumn) -> Tuple[jnp.ndarray, jnp.ndarray]:

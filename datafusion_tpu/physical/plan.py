@@ -325,6 +325,47 @@ class AggregateExec(PhysicalPlan):
             return None
         return sizes, total
 
+    def _pallas_mode(self, rel: DeviceRelation):
+        """'tpu' (compiled), 'interpret' (testing), or None."""
+        import os
+
+        if rel.capacity % 2048 != 0:
+            return None
+        force = os.environ.get("DATAFUSION_TPU_FORCE_PALLAS")
+        if force:
+            return force  # 'interpret' or 'tpu'
+        try:
+            if jax.devices()[0].platform == "tpu":
+                return "tpu"
+        except Exception:
+            pass
+        return None
+
+    def _i32_factors(self, e_arg, rel):
+        """Express an aggregate argument as a product of <=2 columns whose
+        static bounds fit int32 (enables the Pallas exact-64-bit kernel).
+        Returns (a, b_or_None) DeviceColumns or None."""
+        c = eval_expr(e_arg, rel)
+        if not (c.dtype.is_decimal or c.dtype.is_integer) or c.validity is not None:
+            return None
+        if c.fits_i32():
+            return (c, None)
+        ea = e_arg.expr if isinstance(e_arg, E.Alias) else e_arg
+        if isinstance(ea, E.BinaryOp) and ea.op is E.Op.MUL:
+            l = eval_expr(ea.left, rel)
+            r = eval_expr(ea.right, rel)
+            if (l.dtype.is_decimal or l.dtype.is_integer) and \
+                    (r.dtype.is_decimal or r.dtype.is_integer):
+                if l.fits_i32() and r.fits_i32():
+                    return (l, r)
+                lf = self._i32_factors(ea.left, rel)
+                if lf is not None and lf[1] is None and r.fits_i32():
+                    return (lf[0], r)
+                rf = self._i32_factors(ea.right, rel)
+                if rf is not None and rf[1] is None and l.fits_i32():
+                    return (l, rf[0])
+        return None
+
     def _dense_transform(self, rel: DeviceRelation, sizes, ngroups):
         group_cols = [eval_expr(g, rel) for g in self.group_exprs]
         _, arg_cols, filter_cols, specs, _ = self._prepare(rel)
@@ -338,7 +379,41 @@ class AggregateExec(PhysicalPlan):
         strides = list(reversed(strides))
         seg = jnp.where(rel.sel, seg, ngroups)  # dead rows dropped
         iota_g = jnp.arange(ngroups, dtype=jnp.int32)
-        group_count = K.segment_count(seg, rel.sel, ngroups)
+
+        # ---- Pallas fused exact product-sum path (ops/pallas_agg.py) -----
+        agg_exprs = self._agg_fns()
+        pallas_mode = self._pallas_mode(rel)
+        pallas_pairs = []
+        pallas_slot = {}  # spec index -> pair slot ('sum'/'avg') 
+        pallas_count_ok = False
+        if pallas_mode is not None:
+            for i, (spec, afn) in enumerate(zip(specs, agg_exprs)):
+                if spec.filter is not None or spec.distinct:
+                    continue
+                if spec.fname in ("count", "count_star"):
+                    if spec.arg is None or arg_cols[spec.arg].validity is None:
+                        pallas_slot[i] = ("count", None)
+                        pallas_count_ok = True
+                    continue
+                if spec.fname in ("sum", "avg") and afn.args:
+                    fac = self._i32_factors(afn.args[0], rel)
+                    if fac is not None:
+                        pallas_slot[i] = (spec.fname, len(pallas_pairs))
+                        pallas_pairs.append((fac[0].data, None if fac[1] is None else fac[1].data))
+
+        psums = pcounts = None
+        if pallas_pairs or pallas_count_ok:
+            from ..ops import pallas_agg as PA
+
+            psums, pcounts = PA.dense_groupby_sums(
+                seg, rel.sel, pallas_pairs, ngroups,
+                interpret=pallas_mode == "interpret",
+            )
+
+        if pcounts is not None:
+            group_count = pcounts
+        else:
+            group_count = K.segment_count(seg, rel.sel, ngroups)
         out_sel = group_count > 0
         out_keys = []
         for c, size, st in zip(group_cols, sizes, strides):
@@ -347,11 +422,27 @@ class AggregateExec(PhysicalPlan):
                 else (code > 0)
             out_keys.append(DeviceColumn(data, None, c.dtype, c.dictionary))
         is_start = jnp.zeros(rel.capacity, dtype=bool)
-        out_aggs = [
-            G._reduce_one(spec, arg_cols, filter_cols, rel.sel, seg, is_start,
-                          None, ngroups, group_count, out_sel)
-            for spec in specs
-        ]
+        out_aggs = []
+        for i, spec in enumerate(specs):
+            slot = pallas_slot.get(i)
+            if slot is not None:
+                kind, j = slot
+                if kind == "count":
+                    out_aggs.append(DeviceColumn(pcounts.astype(jnp.int64), None, T.INT64))
+                    continue
+                ssum = psums[:, j]
+                if kind == "sum":
+                    out_aggs.append(DeviceColumn(ssum, (pcounts > 0) & out_sel, spec.out_dtype))
+                    continue
+                # avg: exact int64 sum / count in f64
+                arg = arg_cols[spec.arg]
+                scale = 10.0 ** arg.dtype.scale if arg.dtype.is_decimal else 1.0
+                a = (ssum.astype(jnp.float64) / scale) / jnp.maximum(pcounts, 1).astype(jnp.float64)
+                out_aggs.append(DeviceColumn(a, (pcounts > 0) & out_sel, T.FLOAT64))
+                continue
+            out_aggs.append(
+                G._reduce_one(spec, arg_cols, filter_cols, rel.sel, seg, is_start,
+                              None, ngroups, group_count, out_sel))
         cols = [self._coerce_out(c, f)
                 for c, f in zip(out_keys + out_aggs, self.schema.fields)]
         return DeviceRelation(self.schema, tuple(cols), out_sel)
