@@ -35,6 +35,27 @@ class AggSpec:
     out_dtype: T.DataType
     arg_dtype: Optional[T.DataType] = None
     filter: Optional[int] = None  # index into filter mask list
+    extra: Optional[float] = None  # percentile q etc.
+
+
+_ORDER_SENSITIVE = frozenset({"median", "approx_median", "percentile_cont",
+                              "approx_percentile_cont", "approx_distinct"})
+
+
+def order_arg_of(specs: Sequence["AggSpec"]) -> Optional[int]:
+    """The single argument rows must be value-sorted by (distinct aggs and
+    order-statistic aggs share the same mechanism)."""
+    arg = None
+    for s in specs:
+        if s.distinct or s.fname in _ORDER_SENSITIVE:
+            if s.arg is not None:
+                if arg is not None and arg != s.arg:
+                    from ..common.errors import PlanError
+
+                    raise PlanError(
+                        "only one DISTINCT / order-statistic argument supported")
+                arg = s.arg
+    return arg
 
 
 def phase_sort(
@@ -239,6 +260,61 @@ def _reduce_one(spec, sa, sf, ssel, seg, is_start, distinct_start, G, group_coun
         cnt = K.segment_count(seg, mask, G)
         return DeviceColumn(r.astype(jnp.bool_), (cnt > 0) & out_sel, T.BOOL)
 
+    if f in ("median", "approx_median", "percentile_cont", "approx_percentile_cont"):
+        # rows are sorted by (group keys, value) -- see order_arg_of/phase_sort
+        n = ssel.shape[0]
+        iota = jnp.arange(n, dtype=jnp.int32)
+        first = K.segment_min(iota, seg, mask, G)
+        cnt = K.segment_count(seg, mask, G)
+        q = 0.5 if spec.extra is None else float(spec.extra)
+        pos = q * jnp.maximum(cnt - 1, 0).astype(jnp.float64)
+        lo_i = jnp.clip(first + jnp.floor(pos).astype(jnp.int64).astype(jnp.int32), 0, n - 1)
+        hi_i = jnp.clip(first + jnp.ceil(pos).astype(jnp.int64).astype(jnp.int32), 0, n - 1)
+        frac = pos - jnp.floor(pos)
+        x = data.astype(jnp.float64)
+        if arg.dtype.is_decimal:
+            x = x / (10.0 ** arg.dtype.scale)
+        v = x[lo_i] * (1.0 - frac) + x[hi_i] * frac
+        return DeviceColumn(v, (cnt > 0) & out_sel, T.FLOAT64)
+
+    if f in ("corr", "covar", "covar_pop", "covar_samp"):
+        # second argument travels in the filter slot's sibling: specs carry
+        # arg as index of x; y is the NEXT arg column by convention (see
+        # AggregateExec._prepare which appends y right after x)
+        y = sa[spec.arg + 1]
+        ymask = mask if y.validity is None else (mask & y.validity)
+        xv = data.astype(jnp.float64)
+        yv = y.data.astype(jnp.float64)
+        if arg.dtype.is_decimal:
+            xv = xv / (10.0 ** arg.dtype.scale)
+        if y.dtype.is_decimal:
+            yv = yv / (10.0 ** y.dtype.scale)
+        m = ymask
+        sx = K.segment_sum(xv, seg, m, G)
+        sy = K.segment_sum(yv, seg, m, G)
+        sxy = K.segment_sum(xv * yv, seg, m, G)
+        sxx = K.segment_sum(xv * xv, seg, m, G)
+        syy = K.segment_sum(yv * yv, seg, m, G)
+        cnt = K.segment_count(seg, m, G).astype(jnp.float64)
+        cn = jnp.maximum(cnt, 1.0)
+        cov = (sxy - sx * sy / cn)
+        if f == "corr":
+            vx = sxx - sx * sx / cn
+            vy = syy - sy * sy / cn
+            denom = jnp.sqrt(jnp.maximum(vx * vy, 0.0))
+            out = jnp.where(denom > 0, cov / denom, jnp.nan)
+            return DeviceColumn(out, (cnt >= 2) & out_sel, T.FLOAT64)
+        denom = cn if f == "covar_pop" else jnp.maximum(cnt - 1.0, 1.0)
+        min_n = 1.0 if f == "covar_pop" else 2.0
+        return DeviceColumn(cov / denom, (cnt >= min_n) & out_sel, T.FLOAT64)
+
+    if f == "approx_distinct":
+        # exact distinct count (sorted-run method); named for API parity with
+        # the reference's HyperLogLog accumulator
+        m = mask & distinct_start if distinct_start is not None else mask
+        cnt = K.segment_count(seg, m, G)
+        return DeviceColumn(cnt.astype(jnp.int64), None, T.INT64)
+
     raise PlanError(f"aggregate function {f!r} not implemented")
 
 
@@ -252,7 +328,7 @@ def global_aggregate(
     """No GROUP BY: reduce whole relation to one row (padded to out_capacity).
     Implemented as a single-segment reduction so it shares _reduce_one."""
     n = sel.shape[0]
-    distinct_arg = next((s.arg for s in specs if s.distinct), None)
+    distinct_arg = order_arg_of(specs)
     if distinct_arg is not None:
         _, sa, sf, ssel, seg, is_start, distinct_start, _ = phase_sort(
             [], agg_args, filters, sel, distinct_arg

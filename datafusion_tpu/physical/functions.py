@@ -81,8 +81,10 @@ def scalar_function_type(e: E.ScalarFunction, schema: Schema) -> Tuple[T.DataTyp
         return T.BOOL, False
     if f == "nvl" or f == "ifnull":
         return argt[0][0], nullable
-    if f == "md5":
+    if f in ("md5", "sha224", "sha256", "sha384", "sha512", "regexp_replace"):
         return T.STRING, nullable
+    if f in ("regexp_like", "regexp_match"):
+        return T.BOOL, nullable
     if f == "to_date":
         return T.DATE32, nullable
     if f == "now" or f == "current_timestamp":
@@ -375,6 +377,73 @@ def eval_scalar_function(
         eqmask = (a.data == _coerce_to(b, a.dtype)) & a.valid() & b.valid()
         valid = a.valid() & ~eqmask
         return DeviceColumn(a.data, valid, a.dtype)
+
+    if f in ("md5", "sha224", "sha256", "sha384", "sha512"):
+        import hashlib
+
+        def fn(vals):
+            h = getattr(hashlib, f)
+            return np.array([h(v.encode()).hexdigest() for v in vals], "U")
+
+        return transform_dictionary(args[0], fn)
+
+    if f in ("regexp_like", "regexp_match"):
+        pat = str(_literal_value(arg_exprs[1]))
+        rx = re.compile(pat)
+
+        def pred(vals):
+            return np.fromiter((rx.search(v) is not None for v in vals),
+                               dtype=bool, count=len(vals))
+
+        return DeviceColumn(dict_predicate(args[0], pred), validity, T.BOOL)
+
+    if f == "regexp_replace":
+        pat = str(_literal_value(arg_exprs[1]))
+        repl = str(_literal_value(arg_exprs[2]))
+        rx = re.compile(pat)
+        return transform_dictionary(
+            args[0], lambda vals: np.array([rx.sub(repl, v) for v in vals], "U"))
+
+    if f == "to_date":
+        a = args[0]
+        d = a.dictionary
+        vals = np.asarray(d.values, "U") if d and len(d.values) else np.array([], "U1")
+        lut = (vals.astype("datetime64[D]").astype(np.int32)
+               if len(vals) else np.zeros(1, np.int32))
+        out = jnp.asarray(lut)[jnp.clip(a.data, 0, len(lut) - 1)]
+        return DeviceColumn(out, validity, T.DATE32)
+
+    if f in ("lpad", "rpad"):
+        a = args[0]
+        width = int(_literal_value(arg_exprs[1]))
+        fill = str(_literal_value(arg_exprs[2])) if len(arg_exprs) > 2 else " "
+
+        def fn(vals):
+            if f == "lpad":
+                return np.array([(fill * width + v)[-width:] if len(v) < width else v[:width]
+                                 for v in vals], "U")
+            return np.array([(v + fill * width)[:width] for v in vals], "U")
+
+        return transform_dictionary(a, fn)
+
+    if f == "repeat":
+        n = int(_literal_value(arg_exprs[1]))
+        return transform_dictionary(args[0], lambda vals: np.array([v * n for v in vals], "U"))
+
+    if f == "translate":
+        src = str(_literal_value(arg_exprs[1]))
+        tgt = str(_literal_value(arg_exprs[2]))
+        table = str.maketrans(src, tgt[: len(src)].ljust(len(src)))
+        return transform_dictionary(
+            args[0], lambda vals: np.array([v.translate(table) for v in vals], "U"))
+
+    if f == "ascii":
+        a = args[0]
+        d = a.dictionary
+        vals = np.asarray(d.values, "U") if d and len(d.values) else np.array([""], "U1")
+        lut = np.array([ord(v[0]) if v else 0 for v in vals], np.int64)
+        return DeviceColumn(jnp.asarray(lut)[jnp.clip(a.data, 0, len(lut) - 1)],
+                            validity, T.INT64)
 
     raise PlanError(f"scalar function {f!r} not implemented")
 

@@ -251,27 +251,41 @@ class AggregateExec(PhysicalPlan):
         filter_cols: List[jnp.ndarray] = []
         specs: List[G.AggSpec] = []
         distinct_arg: Optional[int] = None
+        arg_index: Dict = {}
         for a in aggs:
             fname = a.fname
             out_dtype, _ = infer(a, rel.schema)
+            extra = None
             if fname == "count" and (len(a.args) == 0 or isinstance(a.args[0], E.Literal)) and not a.distinct:
                 arg_i = None
                 fname = "count_star"
                 arg_dt = None
             else:
-                arg = eval_expr(a.args[0], rel)
-                arg_i = len(arg_cols)
-                arg_cols.append(arg)
+                key = a.args[0]
+                arg_i = arg_index.get(key)
+                if arg_i is None or fname in ("corr", "covar", "covar_pop", "covar_samp"):
+                    arg = eval_expr(a.args[0], rel)
+                    arg_i = len(arg_cols)
+                    arg_cols.append(arg)
+                    if fname not in ("corr", "covar", "covar_pop", "covar_samp"):
+                        arg_index[key] = arg_i
+                else:
+                    arg = arg_cols[arg_i]
                 arg_dt = arg.dtype
+                if fname in ("corr", "covar", "covar_pop", "covar_samp") and len(a.args) > 1:
+                    arg_cols.append(eval_expr(a.args[1], rel))  # y at arg_i + 1
+                if fname in ("percentile_cont", "approx_percentile_cont") and len(a.args) > 1:
+                    if isinstance(a.args[1], E.Literal):
+                        extra = float(a.args[1].value)
             filt_i = None
             if a.filter is not None:
                 filt_i = len(filter_cols)
                 filter_cols.append(eval_predicate(a.filter, rel))
-            if a.distinct:
+            if a.distinct or fname in G._ORDER_SENSITIVE:
                 if distinct_arg is not None and distinct_arg != arg_i:
-                    raise PlanError("only one DISTINCT aggregate argument supported")
+                    raise PlanError("only one DISTINCT / order-statistic argument supported")
                 distinct_arg = arg_i
-            specs.append(G.AggSpec(fname, arg_i, a.distinct, out_dtype, arg_dt, filt_i))
+            specs.append(G.AggSpec(fname, arg_i, a.distinct, out_dtype, arg_dt, filt_i, extra))
         return group_cols, arg_cols, filter_cols, specs, distinct_arg
 
     def _phase_sort(self, rel: DeviceRelation):
@@ -300,7 +314,7 @@ class AggregateExec(PhysicalPlan):
     DENSE_LIMIT = 16384
 
     def _dense_sizes(self, rel: DeviceRelation):
-        if any(a.distinct for a in self._agg_fns()):
+        if any(a.distinct or a.fname in G._ORDER_SENSITIVE for a in self._agg_fns()):
             return None
         try:
             cols = jax.eval_shape(
