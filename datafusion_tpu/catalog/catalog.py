@@ -36,10 +36,19 @@ class TableProvider:
             return {}
 
 
+def _device_key(ctx) -> str:
+    d = getattr(ctx, "device", None)
+    if d is not None:
+        return str(d)
+    import jax
+
+    return str(jax.devices()[0])
+
+
 class MemTable(TableProvider):
     def __init__(self, table: Table):
         self._table = table
-        self._device: Optional[DeviceRelation] = None
+        self._device: Dict[str, DeviceRelation] = {}
 
     def schema(self) -> Schema:
         return self._table.schema
@@ -48,9 +57,11 @@ class MemTable(TableProvider):
         return self._table
 
     def scan_device(self, ctx) -> DeviceRelation:
-        if self._device is None:
-            self._device = to_device(self._table, device=ctx.device if ctx else None)
-        return self._device
+        key = _device_key(ctx)
+        if key not in self._device:
+            self._device[key] = to_device(self._table,
+                                          device=ctx.device if ctx else None)
+        return self._device[key]
 
 
 class FileTable(TableProvider):
@@ -59,7 +70,7 @@ class FileTable(TableProvider):
     def __init__(self, path: str):
         self.path = path
         self._table: Optional[Table] = None
-        self._device: Optional[DeviceRelation] = None
+        self._device: Dict[str, DeviceRelation] = {}
 
     def _read(self) -> Table:
         raise NotImplementedError
@@ -73,9 +84,11 @@ class FileTable(TableProvider):
         return self._table
 
     def scan_device(self, ctx) -> DeviceRelation:
-        if self._device is None:
-            self._device = to_device(self.host_table(), device=ctx.device if ctx else None)
-        return self._device
+        key = _device_key(ctx)
+        if key not in self._device:
+            self._device[key] = to_device(self.host_table(),
+                                          device=ctx.device if ctx else None)
+        return self._device[key]
 
 
 class ParquetTable(FileTable):

@@ -60,12 +60,19 @@ class FusedQuery:
     # ------------------------------------------------------------------
     def execute(self, ctx: ExecContext) -> DeviceRelation:
         if self._fused is None:
-            out = self.plan.execute(ctx)  # discovery pass records capacities
+            # discovery on the CPU backend: capacities depend only on data,
+            # and CPU per-operator compiles are ~100x cheaper than TPU ones.
+            # The TPU pays for exactly ONE compile per query: the fused plan.
+            disc_ctx = self._discovery_ctx(ctx)
+            out = self.plan.execute(disc_ctx)
             try:
                 self._fused = self._build_fused()
             except ExecutionError:
                 self._fused = False  # plan not fusible; keep per-op execution
-            return out
+            if self._fused is False and disc_ctx is not ctx:
+                return self.plan.execute(ctx)  # per-op on the real backend
+            if disc_ctx is ctx:
+                return out  # discovery already ran on the target backend
         if self._fused is False:
             return self.plan.execute(ctx)
         inputs = tuple(leaf.execute(ctx) for leaf in self.leaves)
@@ -77,6 +84,17 @@ class FusedQuery:
         return rel
 
     # ------------------------------------------------------------------
+    def _discovery_ctx(self, ctx: ExecContext) -> ExecContext:
+        import jax as _jax
+
+        try:
+            if _jax.devices()[0].platform != "tpu":
+                return ctx
+            cpu = _jax.devices("cpu")[0]
+        except Exception:
+            return ctx
+        return ExecContext(ctx.config, device=cpu)
+
     def _build_fused(self):
         leaf_index = {id(leaf): i for i, leaf in enumerate(self.leaves)}
 
@@ -123,13 +141,18 @@ def _trace(p: P.PhysicalPlan, inputs, leaf_index, tctx) -> DeviceRelation:
 def _trace_aggregate(p: P.AggregateExec, inputs, leaf_index, tctx) -> DeviceRelation:
     from ..ops import groupby as G
 
+    import os
+
     rel = _trace(p.input, inputs, leaf_index, tctx)
     if not p.group_exprs:
         return p._global(rel)
     dense = p._dense_sizes(rel)
     if dense is not None:
         sizes, ngroups = dense
-        return p._dense_transform(rel, sizes, ngroups)
+        mode = os.environ.get("DATAFUSION_TPU_FORCE_PALLAS")
+        if mode is None and jax.devices()[0].platform == "tpu":
+            mode = "tpu"
+        return p._dense_transform(rel, sizes, ngroups, mode)
     cap = getattr(p, "_last_cap", None)
     if cap is None:
         raise ExecutionError("aggregate capacity not discovered")

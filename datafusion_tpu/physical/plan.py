@@ -340,7 +340,9 @@ class AggregateExec(PhysicalPlan):
         return sizes, total
 
     def _pallas_mode(self, rel: DeviceRelation):
-        """'tpu' (compiled), 'interpret' (testing), or None."""
+        """'tpu' (compiled), 'interpret' (testing), or None.
+        Must be called on a CONCRETE relation (outside jit): the choice is
+        baked statically into the compiled function."""
         import os
 
         if rel.capacity % 2048 != 0:
@@ -349,11 +351,15 @@ class AggregateExec(PhysicalPlan):
         if force:
             return force  # 'interpret' or 'tpu'
         try:
-            if jax.devices()[0].platform == "tpu":
-                return "tpu"
+            import jax.core
+
+            if not isinstance(rel.sel, jax.core.Tracer):
+                plat = list(rel.sel.devices())[0].platform
+            else:
+                plat = jax.devices()[0].platform
         except Exception:
-            pass
-        return None
+            plat = None
+        return "tpu" if plat == "tpu" else None
 
     def _i32_factors(self, e_arg, rel):
         """Express an aggregate argument as a product of <=2 columns whose
@@ -380,7 +386,8 @@ class AggregateExec(PhysicalPlan):
                     return (l, rf[0])
         return None
 
-    def _dense_transform(self, rel: DeviceRelation, sizes, ngroups):
+    def _dense_transform(self, rel: DeviceRelation, sizes, ngroups,
+                         pallas_mode=None):
         group_cols = [eval_expr(g, rel) for g in self.group_exprs]
         _, arg_cols, filter_cols, specs, _ = self._prepare(rel)
         seg = jnp.zeros(rel.capacity, dtype=jnp.int32)
@@ -396,7 +403,8 @@ class AggregateExec(PhysicalPlan):
 
         # ---- Pallas fused exact product-sum path (ops/pallas_agg.py) -----
         agg_exprs = self._agg_fns()
-        pallas_mode = self._pallas_mode(rel)
+        if pallas_mode is not None and rel.capacity % 2048 != 0:
+            pallas_mode = None
         pallas_pairs = []
         pallas_slot = {}  # spec index -> pair slot ('sum'/'avg') 
         pallas_count_ok = False
@@ -468,11 +476,12 @@ class AggregateExec(PhysicalPlan):
         dense = self._dense_sizes(rel)
         if dense is not None:
             sizes, ngroups = dense
-            key = ("dense", tuple(sizes))
+            mode = self._pallas_mode(rel)
+            key = ("dense", tuple(sizes), mode)
             fn = self._reduce_fns.get(key)
             if fn is None:
                 fn = self._reduce_fns[key] = jax.jit(
-                    lambda r: self._dense_transform(r, sizes, ngroups)
+                    lambda r: self._dense_transform(r, sizes, ngroups, mode)
                 )
             return self._timed(ctx, fn, rel)
         t0 = time.perf_counter()
