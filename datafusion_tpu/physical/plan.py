@@ -53,8 +53,11 @@ class PhysicalPlan:
         raise NotImplementedError
 
     def _timed(self, ctx: ExecContext, fn, *args):
+        from ..runtime.tracing import TRACER
+
         t0 = time.perf_counter()
-        out = fn(*args)
+        with TRACER.span(self._line()):
+            out = fn(*args)
         name = type(self).__name__
         ctx.metric(name).record(0, time.perf_counter() - t0)
         if isinstance(out, DeviceRelation):
