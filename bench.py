@@ -78,7 +78,9 @@ def main():
         pdt = {name: t.to_pandas() for name, t in tables.items()}
 
     per_query_ms = {}
+    failed = {}
     for qid in qids:
+      try:
         sql = query(qid, args.sf)
         df = ctx.sql(sql)
         from datafusion_tpu.physical.fused import FusedQuery
@@ -111,17 +113,23 @@ def main():
             if args.verbose or not ok:
                 print(f"# q{qid} check: rows {len(ours)} vs {len(ref)} {'OK' if ok else 'MISMATCH'}",
                       file=sys.stderr)
+      except Exception as exc:  # noqa: BLE001 -- survive per-query failures
+        failed[qid] = f"{type(exc).__name__}: {exc}"
+        print(f"# q{qid} FAILED: {failed[qid][:200]}", file=sys.stderr)
 
-    gm = geomean(list(per_query_ms.values()))
-    base = geomean([BASELINE_SF1_MS[q] for q in qids])
+    done = list(per_query_ms)
+    gm = geomean(list(per_query_ms.values())) if per_query_ms else float("nan")
+    base = geomean([BASELINE_SF1_MS[q] for q in done]) if done else float("nan")
     out = {
         "metric": f"tpch_sf{args.sf:g}_geomean_ms",
         "value": round(gm, 2),
         "unit": "ms",
-        "vs_baseline": round(base / gm, 3),
+        "vs_baseline": round(base / gm, 3) if per_query_ms else 0.0,
         "queries": {str(k): round(v, 2) for k, v in per_query_ms.items()},
         "backend": jax.devices()[0].platform,
     }
+    if failed:
+        out["failed"] = failed
     print(json.dumps(out))
 
 

@@ -39,11 +39,45 @@ def push_filters_rule(plan: L.LogicalPlan, max_passes: int = 5) -> L.LogicalPlan
     return plan
 
 
+def _split_disjuncts(e: E.Expr) -> List[E.Expr]:
+    if isinstance(e, E.BinaryOp) and e.op is E.Op.OR:
+        return _split_disjuncts(e.left) + _split_disjuncts(e.right)
+    return [e]
+
+
+def _factor_or(conjunct: E.Expr) -> List[E.Expr]:
+    """(a AND x1) OR (a AND x2) -> a AND (x1 OR x2): hoist conjuncts common
+    to every OR branch (reference: EliminateCrossJoin's join-key recovery
+    from ORs, optimizer/src/eliminate_cross_join.rs). Critical for TPC-H Q19
+    where the equi-join key hides inside each OR branch."""
+    branches = _split_disjuncts(conjunct)
+    if len(branches) < 2:
+        return [conjunct]
+    branch_sets = [split_conjuncts(b) for b in branches]
+    common = [c for c in branch_sets[0]
+              if all(any(c == d for d in bs) for bs in branch_sets[1:])]
+    if not common:
+        return [conjunct]
+    residuals = []
+    for bs in branch_sets:
+        rest = [c for c in bs if not any(c == k for k in common)]
+        residuals.append(conjoin(rest) or E.lit(True))
+    out = list(common)
+    disj = None
+    for r in residuals:
+        disj = r if disj is None else E.BinaryOp(E.Op.OR, disj, r)
+    if disj is not None and not (isinstance(disj, E.Literal) and disj.value is True):
+        out.append(disj)
+    return out
+
+
 def _push_filter_node(plan: L.LogicalPlan) -> L.LogicalPlan:
     if not isinstance(plan, L.Filter):
         return plan
     child = plan.input
-    conjuncts = split_conjuncts(plan.predicate)
+    conjuncts = []
+    for c in split_conjuncts(plan.predicate):
+        conjuncts.extend(_factor_or(c))
 
     if isinstance(child, L.Filter):
         return L.Filter(child.input, conjoin(conjuncts + split_conjuncts(child.predicate)))

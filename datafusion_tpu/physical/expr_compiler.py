@@ -34,19 +34,23 @@ _MERGE_CACHE: Dict[Tuple[int, int], Tuple[Dictionary, np.ndarray, np.ndarray]] =
 
 
 def merge_dictionaries(a: Dictionary, b: Dictionary):
-    """Merged sorted dictionary + code translation arrays for both inputs."""
+    """Merged sorted dictionary + code translation arrays for both inputs.
+
+    The cache entry PINS the input dictionaries: the key is id()-based, so
+    letting inputs be garbage-collected would allow address reuse to serve a
+    stale (wrong) mapping for a different dictionary."""
     key = (id(a), id(b))
     hit = _MERGE_CACHE.get(key)
     if hit is not None:
-        return hit
+        return hit[2:]
     av = np.asarray(a.values, dtype="U") if len(a.values) else np.array([], "U1")
     bv = np.asarray(b.values, dtype="U") if len(b.values) else np.array([], "U1")
     merged = np.union1d(av, bv)
     amap = np.searchsorted(merged, av).astype(np.int32)
     bmap = np.searchsorted(merged, bv).astype(np.int32)
-    out = (Dictionary(merged.astype(object)), amap, bmap)
-    _MERGE_CACHE[key] = out
-    return out
+    entry = (a, b, Dictionary(merged.astype(object)), amap, bmap)
+    _MERGE_CACHE[key] = entry
+    return entry[2:]
 
 
 def _translate_codes(col: DeviceColumn, mapping: np.ndarray, merged: Dictionary) -> DeviceColumn:

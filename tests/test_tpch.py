@@ -10,7 +10,9 @@ from datafusion_tpu.models.tpch.datagen import generate_tpch
 from datafusion_tpu.models.tpch.queries import ALL_QUERY_IDS, query
 from datafusion_tpu.models.tpch.queries_ref import ref_query
 
-SF = 0.01
+import os
+
+SF = float(os.environ.get("TPCH_TEST_SF", "0.01"))
 
 
 @pytest.fixture(scope="module")
