@@ -259,9 +259,9 @@ def generate_tpch(sf: float = 0.01, seed: int = 42) -> Dict[str, Table]:
     }
 
 
-def _decimal_table(data: Dict, money=(), dates=()) -> Table:
-    """Build a Table where `money` columns are decimal(15,2) given as cents
-    and `dates` columns are date32 given as epoch days."""
+def _decimal_table(data: Dict, money=(), dates=(), timestamps=()) -> Table:
+    """Build a Table where `money` columns are decimal(15,2) given as cents,
+    `dates` are date32 epoch days, `timestamps` are int64 epoch micros."""
     from ...common import types as T
     from ...common.schema import Field, Schema
     from ...data.column import HostColumn, column_from_values
@@ -272,6 +272,8 @@ def _decimal_table(data: Dict, money=(), dates=()) -> Table:
             col = HostColumn(T.decimal(15, 2), np.asarray(values, dtype=np.int64))
         elif name in dates:
             col = HostColumn(T.DATE32, np.asarray(values, dtype=np.int32))
+        elif name in timestamps:
+            col = HostColumn(T.TIMESTAMP, np.asarray(values, dtype=np.int64))
         elif isinstance(values, np.ndarray) and values.dtype != object:
             if np.issubdtype(values.dtype, np.integer):
                 # narrow keys that fit to int32: TPU sorts/joins on 32-bit

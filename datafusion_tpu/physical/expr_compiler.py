@@ -257,6 +257,13 @@ def eval_binary(e: E.BinaryOp, l: DeviceColumn, r: DeviceColumn, schema: Schema)
         return DeviceColumn(data, valid, T.BOOL)
 
     if op.is_comparison:
+        # string literal vs temporal column: parse the string side as a date
+        if l.dtype.is_string != r.dtype.is_string and (
+                l.dtype.is_temporal or r.dtype.is_temporal):
+            if l.dtype.is_string:
+                l = cast_column(l, r.dtype, l.data.shape[0])
+            else:
+                r = cast_column(r, l.dtype, r.data.shape[0])
         if l.dtype.is_string or r.dtype.is_string:
             l2, r2 = unify_string_columns(l, r)
             data = _CMP[op](l2.data, r2.data)

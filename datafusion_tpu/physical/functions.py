@@ -195,7 +195,13 @@ def eval_scalar_function(
             part, datecol = f, args[0]
         days = datecol.data
         if datecol.dtype.kind is T.TypeKind.TIMESTAMP:
-            days = (days // np.int64(86_400_000_000)).astype(jnp.int32)
+            us = days
+            if part in ("hour", "minute", "second"):
+                secs = us // np.int64(1_000_000)
+                val = {"hour": (secs // 3600) % 24, "minute": (secs // 60) % 60,
+                       "second": secs % 60}[part]
+                return DeviceColumn(val.astype(jnp.int64), validity, T.INT64)
+            days = (us // np.int64(86_400_000_000)).astype(jnp.int32)
         y, m, d = DU.civil_from_days(days)
         val = {"year": y, "month": m, "day": d}.get(part)
         if val is None:
@@ -212,6 +218,19 @@ def eval_scalar_function(
     if f == "date_trunc":
         unit = str(_literal_value(arg_exprs[0])).lower()
         datecol = args[1]
+        if datecol.dtype.kind is T.TypeKind.TIMESTAMP:
+            us = datecol.data
+            divs = {"second": 1_000_000, "minute": 60_000_000,
+                    "hour": 3_600_000_000, "day": 86_400_000_000}
+            if unit in divs:
+                d = np.int64(divs[unit])
+                return DeviceColumn((us // d) * d, validity, T.TIMESTAMP)
+            days32 = (us // np.int64(86_400_000_000)).astype(jnp.int32)
+            trunc_days = eval_scalar_function(
+                "date_trunc", [args[0], DeviceColumn(days32, validity, T.DATE32)],
+                arg_exprs, T.DATE32, capacity)
+            return DeviceColumn(trunc_days.data.astype(jnp.int64) * np.int64(86_400_000_000),
+                                validity, T.TIMESTAMP)
         days = datecol.data
         y, m, d = DU.civil_from_days(days)
         one = jnp.ones_like(m)
