@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--check", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--settle", type=float, default=0.5,
+                    help="seconds to pause after compile before timing "
+                         "(the remote compile helper contends with execution)")
     args = ap.parse_args()
 
     import jax
@@ -92,6 +95,8 @@ def main():
         rel = phys.execute(ectx)
         jax.block_until_ready(rel.sel)
         compile_s = time.time() - t0
+        if args.settle and compile_s > 2:
+            time.sleep(min(args.settle * compile_s, 30.0))
         times = []
         for _ in range(args.repeat):
             t0 = time.perf_counter()
