@@ -288,7 +288,19 @@ class Union(LogicalPlan):
         for p in self.inputs[1:]:
             if len(p.schema) != len(first):
                 raise PlanError("UNION inputs have different column counts")
-        self.schema = Schema([dataclasses.replace(f, qualifier=None) for f in first.fields])
+        # field types: first input whose field is typed (NULL-literal branches
+        # from grouping-set expansion defer typing to their siblings)
+        fields = []
+        for i, f in enumerate(first.fields):
+            dtype = f.dtype
+            nullable = f.nullable
+            for p in self.inputs:
+                pf = p.schema.fields[i]
+                nullable = nullable or pf.nullable or pf.dtype.kind is T.TypeKind.NULL
+                if dtype.kind is T.TypeKind.NULL and pf.dtype.kind is not T.TypeKind.NULL:
+                    dtype = pf.dtype
+            fields.append(Field(f.name, dtype, nullable, None))
+        self.schema = Schema(fields)
 
     def children(self):
         return tuple(self.inputs)

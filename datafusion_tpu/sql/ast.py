@@ -74,6 +74,7 @@ class SelectCore:
     group_by: Optional[List[E.Expr]] = None
     having: Optional[E.Expr] = None
     distinct: bool = False
+    grouping_sets: Optional[List[List[E.Expr]]] = None
 
 
 @dataclasses.dataclass

@@ -275,13 +275,55 @@ class Parser:
                 from_.append(self.table_ref())
         where = self.expr() if self.eat_kw("where") else None
         group_by = None
+        grouping_sets = None
         if self.eat_kw("group"):
             self.expect_kw("by")
-            group_by = [self.expr()]
-            while self.eat_op(","):
-                group_by.append(self.expr())
+            if self.peek().kind == "ident" and self.peek().value.lower() in ("rollup", "cube") \
+                    and self.peek(1).kind == "op" and self.peek(1).value == "(":
+                kind = self.ident().lower()
+                self.expect_op("(")
+                cols = [self.expr()]
+                while self.eat_op(","):
+                    cols.append(self.expr())
+                self.expect_op(")")
+                if kind == "rollup":
+                    grouping_sets = [cols[:i] for i in range(len(cols), -1, -1)]
+                else:  # cube
+                    import itertools as _it
+
+                    grouping_sets = [list(sub) for r in range(len(cols), -1, -1)
+                                     for sub in _it.combinations(cols, r)]
+                group_by = cols
+            elif self.peek().kind == "ident" and self.peek().value.lower() == "grouping" \
+                    and self.peek(1).kind in ("ident", "kw") and self.peek(1).value.lower() == "sets":
+                self.ident()  # GROUPING
+                self.ident()  # SETS
+                self.expect_op("(")
+                grouping_sets = []
+                all_cols = []
+                while True:
+                    self.expect_op("(")
+                    s = []
+                    if not self.at("op", ")"):
+                        s.append(self.expr())
+                        while self.eat_op(","):
+                            s.append(self.expr())
+                    self.expect_op(")")
+                    grouping_sets.append(s)
+                    for e in s:
+                        if e not in all_cols:
+                            all_cols.append(e)
+                    if not self.eat_op(","):
+                        break
+                self.expect_op(")")
+                group_by = all_cols
+            else:
+                group_by = [self.expr()]
+                while self.eat_op(","):
+                    group_by.append(self.expr())
         having = self.expr() if self.eat_kw("having") else None
-        return A.SelectCore(items, from_, where, group_by, having, distinct)
+        return A.SelectCore(items, from_, where, group_by, having, distinct,
+                            grouping_sets)
 
     def table_ref(self):
         left = self.table_primary()

@@ -107,6 +107,30 @@ class SqlPlanner:
     # ------------------------------------------------------------------
     def plan_select_core(self, core: A.SelectCore, q: A.SelectStmt,
                          strip_projection: bool) -> L.LogicalPlan:
+        # GROUPING SETS / ROLLUP / CUBE: expand into a UNION ALL of per-set
+        # aggregations with NULL-filled absent group columns (reference:
+        # ResolveGroupingFunction + grouping-set planning,
+        # optimizer/src/analyzer/resolve_grouping_function.rs)
+        if core.grouping_sets is not None:
+            import dataclasses as _dc
+
+            branches = []
+            for gset in core.grouping_sets:
+                new_items = []
+                for it in core.items:
+                    in_group = any(it.expr == g for g in (core.group_by or []))
+                    in_set = any(it.expr == g for g in gset)
+                    if in_group and not in_set:
+                        alias = it.alias or it.expr.name()
+                        new_items.append(A.SelectItem(E.Literal(None, T.NULL), alias))
+                    else:
+                        new_items.append(it)
+                sub = _dc.replace(core, items=new_items, group_by=list(gset),
+                                  grouping_sets=None)
+                branches.append(self.plan_select_core(sub, A.SelectStmt(sub), False))
+            u = L.Union(branches, all=True)
+            return self._order_limit(u, q, None)
+
         # 1. FROM
         if core.from_:
             plan = self.plan_table_ref(core.from_[0])

@@ -161,3 +161,17 @@ def test_count_distinct_sql(ctx):
     out = q(ctx, "SELECT count(DISTINCT dept) AS d, count(*) AS n FROM emp")
     assert out["d"] == [3]
     assert out["n"] == [5]
+
+
+def test_rollup_and_grouping_sets(ctx):
+    out = q(ctx, """
+        SELECT dept, count(*) AS n FROM emp GROUP BY ROLLUP (dept) ORDER BY dept
+    """)
+    assert out["dept"] == [10, 20, 30, None]
+    assert out["n"] == [2, 2, 1, 5]
+    out = q(ctx, """
+        SELECT dept, name, sum(salary) AS s FROM emp
+        GROUP BY GROUPING SETS ((dept), (name))
+        ORDER BY dept, name
+    """)
+    assert len(out["s"]) == 8  # 3 depts + 5 names
