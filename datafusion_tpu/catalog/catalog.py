@@ -118,6 +118,20 @@ class ParquetTable(FileTable):
         return [path]
 
 
+class JsonTable(FileTable):
+    """Newline-delimited JSON via the Arrow C++ reader (reference:
+    datasource-json)."""
+
+    def _read(self) -> Table:
+        import pyarrow as pa
+        import pyarrow.json as pjson
+
+        paths = ParquetTable._expand(self.path, (".json", ".ndjson", ".jsonl"))
+        tables = [pjson.read_json(p) for p in paths]
+        at = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+        return Table.from_arrow(at)
+
+
 class CsvTable(FileTable):
     def __init__(self, path: str, has_header: bool = True, delimiter: str = ","):
         super().__init__(path)

@@ -8,7 +8,8 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Sequence, Union as TyUnion
 
-from .catalog.catalog import Catalog, CsvTable, MemTable, ParquetTable, TableProvider
+from .catalog.catalog import (Catalog, CsvTable, JsonTable, MemTable,
+                              ParquetTable, TableProvider)
 from .common.errors import PlanError
 from .common import types as T
 from .common.schema import Field, Schema
@@ -60,6 +61,9 @@ class SessionContext:
                      delimiter: str = ",") -> None:
         self.catalog.register(name, CsvTable(path, has_header, delimiter))
 
+    def register_json(self, name: str, path: str) -> None:
+        self.catalog.register(name, JsonTable(path))
+
     def deregister_table(self, name: str) -> None:
         self.catalog.deregister(name)
 
@@ -100,6 +104,8 @@ class SessionContext:
                 self.register_parquet(stmt.name, stmt.location)
             elif stmt.format == "csv":
                 self.register_csv(stmt.name, stmt.location, stmt.has_header, stmt.delimiter)
+            elif stmt.format == "json":
+                self.register_json(stmt.name, stmt.location)
             else:
                 raise PlanError(f"unsupported format {stmt.format!r}")
             return None

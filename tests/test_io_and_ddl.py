@@ -81,3 +81,13 @@ def test_spill_roundtrip(ctx):
     assert t.to_pydict()["k"] == [1, 2, 3]
     s.release()
     assert not os.path.exists(path)
+
+
+def test_json_source(ctx, tmp_path):
+    p = tmp_path / "d.ndjson"
+    p.write_text('{"a": 1, "s": "x"}\n{"a": 2, "s": "y"}\n')
+    ctx.register_json("j", str(p))
+    out = ctx.sql("SELECT a, s FROM j ORDER BY a").to_pydict()
+    assert out["a"] == [1, 2] and out["s"] == ["x", "y"]
+    ctx.sql(f"CREATE EXTERNAL TABLE j2 STORED AS JSON LOCATION '{p}'")
+    assert ctx.sql("SELECT count(*) AS n FROM j2").to_pydict()["n"] == [2]
