@@ -46,12 +46,15 @@ def simplify_rule(plan: L.LogicalPlan) -> L.LogicalPlan:
 
 def optimize(plan: L.LogicalPlan, catalog=None) -> L.LogicalPlan:
     from .decorrelate import decorrelate_rule
-    from .pushdown import limit_into_sort_rule, projection_pruning_rule, push_filters_rule
+    from .pushdown import (limit_into_sort_rule, projection_pruning_rule,
+                           push_filters_rule, reorder_joins_rule)
 
     rules: List[Callable] = [
         simplify_rule,
         decorrelate_rule,
         simplify_rule,
+        push_filters_rule,
+        reorder_joins_rule,
         push_filters_rule,
         projection_pruning_rule,
         limit_into_sort_rule,

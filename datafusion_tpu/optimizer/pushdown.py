@@ -185,6 +185,69 @@ def projection_pruning_rule(plan: L.LogicalPlan) -> L.LogicalPlan:
     return L.transform_up(plan, rewrite)
 
 
+def reorder_joins_rule(plan: L.LogicalPlan) -> L.LogicalPlan:
+    """Reorder chains of INNER/CROSS joins so every step is connected by an
+    equi-predicate when one exists (reference: EliminateCrossJoin,
+    optimizer/src/eliminate_cross_join.rs). The written FROM order of e.g.
+    TPC-H Q8/Q9 ('FROM part, supplier, lineitem, ...') otherwise produces a
+    part x supplier cartesian product."""
+
+    def rewrite(p: L.LogicalPlan) -> L.LogicalPlan:
+        if not isinstance(p, L.Join) or p.join_type not in (L.JoinType.INNER, L.JoinType.CROSS):
+            return p
+        leaves: List[L.LogicalPlan] = []
+        pairs: List[Tuple[E.Expr, E.Expr]] = []  # equi pairs (either direction)
+        filters: List[E.Expr] = []
+
+        def flatten(n: L.LogicalPlan):
+            if isinstance(n, L.Join) and n.join_type in (L.JoinType.INNER, L.JoinType.CROSS):
+                flatten(n.left)
+                flatten(n.right)
+                pairs.extend(n.on)
+                if n.filter is not None:
+                    filters.extend(split_conjuncts(n.filter))
+            else:
+                leaves.append(n)
+
+        flatten(p)
+        if len(leaves) <= 2:
+            return p
+
+        current = leaves[0]
+        remaining = leaves[1:]
+        unused_pairs = list(pairs)
+        while remaining:
+            chosen = None
+            chosen_on: List[Tuple[E.Expr, E.Expr]] = []
+            for leaf in remaining:
+                on_here = []
+                for (a, b) in unused_pairs:
+                    if _resolvable(a, current.schema) and _resolvable(b, leaf.schema):
+                        on_here.append((a, b))
+                    elif _resolvable(b, current.schema) and _resolvable(a, leaf.schema):
+                        on_here.append((b, a))
+                if on_here:
+                    chosen = leaf
+                    chosen_on = on_here
+                    break
+            if chosen is None:  # genuinely unconnected: cross join
+                chosen = remaining[0]
+            remaining.remove(chosen)
+            jt = L.JoinType.INNER if chosen_on else L.JoinType.CROSS
+            current = L.Join(current, chosen, chosen_on, jt, None)
+            for pr in chosen_on:
+                for orig in list(unused_pairs):
+                    if orig == pr or (orig[1], orig[0]) == pr:
+                        unused_pairs.remove(orig)
+                        break
+        # anything left (pairs across >2 relations resolved late, residuals)
+        extra = [E.BinaryOp(E.Op.EQ, a, b) for a, b in unused_pairs] + filters
+        pred = conjoin(extra)
+        return L.Filter(current, pred) if pred is not None else current
+
+    return L.transform_up(plan, rewrite)
+
+
 def limit_into_sort_rule(plan: L.LogicalPlan) -> L.LogicalPlan:
     def rewrite(p: L.LogicalPlan) -> L.LogicalPlan:
         if isinstance(p, L.Limit) and p.fetch is not None and isinstance(p.input, L.Sort):
