@@ -67,7 +67,8 @@ def gather_columns(
     """Gather columns at idx; rows where null_extend is True become NULL."""
     out = []
     n = cols[0].capacity if cols else 0
-    safe = jnp.clip(idx, 0, max(n - 1, 0))
+    # keep the gathers out of enclosing fusions (see kernels.join_expand)
+    safe = jax.lax.optimization_barrier(jnp.clip(idx, 0, max(n - 1, 0)))
     for c in cols:
         data = c.data[safe]
         validity = c.validity[safe] if c.validity is not None else None

@@ -305,6 +305,31 @@ _B_SENTINEL = np.int64(np.iinfo(np.int64).max)
 _P_SENTINEL = np.int64(np.iinfo(np.int64).max - 1)
 
 
+def ranks_in_sorted(sorted_a: jax.Array, queries: jax.Array, side: str) -> jax.Array:
+    """searchsorted(sorted_a, queries, side) computed via ONE merge sort pass.
+
+    jnp.searchsorted lowers to a vmapped while-loop binary search whose
+    per-iteration gathers are pathological on TPU at millions of queries
+    (measured ~12 s where this formulation runs in ~10 ms): instead, tag and
+    co-sort both arrays, take a prefix count of a-elements, and scatter the
+    counts back to query order."""
+    na = sorted_a.shape[0]
+    nq = queries.shape[0]
+    keys = jnp.concatenate([sorted_a, queries.astype(sorted_a.dtype)])
+    tq = 0 if side == "left" else 1
+    tags = jnp.concatenate([
+        jnp.full(na, 1 - tq, jnp.int32), jnp.full(nq, tq, jnp.int32)
+    ])
+    iota = jnp.arange(na + nq, dtype=jnp.int32)
+    _, _, perm = jax.lax.sort([keys, tags, iota], dimension=0, is_stable=True,
+                              num_keys=2)
+    is_a = (perm < na).astype(jnp.int32)
+    cum_a = jnp.cumsum(is_a) - is_a  # a-elements strictly before this slot
+    # scatter back to query order; a-rows go out of range and are dropped
+    qidx = jnp.where(perm >= na, perm - na, na + nq)
+    return jnp.zeros(nq, jnp.int32).at[qidx].set(cum_a.astype(jnp.int32), mode="drop")
+
+
 def join_match_counts(
     build_ids: jax.Array,
     build_live: jax.Array,
@@ -326,8 +351,8 @@ def join_match_counts(
     sbkey, perm = jax.lax.sort([bkey, iota], dimension=0, is_stable=True, num_keys=1)
     live_p = probe_live & (probe_ids != _B_SENTINEL)
     pid = jnp.where(live_p, probe_ids.astype(jnp.int64), _P_SENTINEL)
-    lo = jnp.searchsorted(sbkey, pid, side="left").astype(jnp.int32)
-    hi = jnp.searchsorted(sbkey, pid, side="right").astype(jnp.int32)
+    lo = ranks_in_sorted(sbkey, pid, "left")
+    hi = ranks_in_sorted(sbkey, pid, "right")
     cnt = jnp.where(live_p, hi - lo, 0).astype(jnp.int32)
     total = jnp.sum(cnt.astype(jnp.int64))
     return perm, lo, cnt, total
@@ -343,14 +368,19 @@ def join_expand(
 
     Output slot j belongs to probe row p where offsets[p] <= j < offsets[p]+cnt[p];
     found via searchsorted over the exclusive prefix sum of counts.
+
+    optimization_barrier calls keep the big-operand gathers out of enclosing
+    fusions: XLA TPU otherwise lowers a fused gather over a multi-MB operand
+    by re-streaming the whole operand per output tile (measured 138 GB of
+    traffic for one TPC-H Q14-sized join; standalone gathers are fast).
     """
     offsets = jnp.cumsum(cnt.astype(jnp.int64)) - cnt.astype(jnp.int64)
     total = offsets[-1] + cnt[-1].astype(jnp.int64) if cnt.shape[0] else jnp.int64(0)
     j = jnp.arange(out_capacity, dtype=jnp.int64)
-    probe_row = (jnp.searchsorted(offsets, j, side="right") - 1).astype(jnp.int32)
+    probe_row = ranks_in_sorted(offsets, j, "right") - 1
     probe_row = jnp.clip(probe_row, 0, cnt.shape[0] - 1)
     match_idx = (j - offsets[probe_row]).astype(jnp.int32)
     out_valid = j < total
     pos = jnp.clip(lo[probe_row] + match_idx, 0, perm.shape[0] - 1)
-    build_row = perm[pos]
+    build_row = perm[jax.lax.optimization_barrier(pos)]
     return probe_row, build_row, out_valid
