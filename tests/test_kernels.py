@@ -85,3 +85,15 @@ def test_join_null_keys_never_match():
     lid, rid = K.canonical_ids_two_sided([(lk, lv)], [(rk, rv)], sel2, sel2)
     assert int(lid[1]) == -1 and int(rid[1]) == -1
     assert int(lid[0]) == int(rid[0]) >= 0
+
+
+def test_ranks_in_sorted_matches_searchsorted():
+    rng = np.random.default_rng(3)
+    for trial in range(5):
+        a = np.sort(rng.integers(0, 50, rng.integers(5, 200)))
+        q = rng.integers(-5, 55, rng.integers(3, 300))
+        for side in ("left", "right"):
+            got = np.asarray(K.ranks_in_sorted(
+                jnp.asarray(a.astype(np.int64)), jnp.asarray(q.astype(np.int64)), side))
+            want = np.searchsorted(a, q, side=side)
+            assert (got == want).all(), (side, a[:10], q[:10])
