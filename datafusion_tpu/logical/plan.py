@@ -335,22 +335,38 @@ class Window(LogicalPlan):
         return f"Window: {', '.join(e.name() for e in self.window_exprs)}"
 
 
-def transform_up(plan: LogicalPlan, fn) -> LogicalPlan:
+def transform_up(plan: LogicalPlan, fn, _memo=None) -> LogicalPlan:
     """Bottom-up plan rewrite (reference: TreeNode::transform_up,
-    datafusion/common/src/tree_node.rs)."""
+    datafusion/common/src/tree_node.rs). Shared sub-plans (CTEs referenced
+    multiple times) rewrite to ONE shared result so downstream planning can
+    compute them once."""
+    if _memo is None:
+        _memo = {}
+    hit = _memo.get(id(plan))
+    if hit is not None:
+        return hit
+    out = plan
     children = plan.children()
     if children:
-        new_children = [transform_up(c, fn) for c in children]
+        new_children = [transform_up(c, fn, _memo) for c in children]
         if any(n is not o for n, o in zip(new_children, children)):
-            plan = plan.with_children(new_children)
-    return fn(plan)
+            out = plan.with_children(new_children)
+    out = fn(out)
+    _memo[id(plan)] = out
+    return out
 
 
-def transform_down(plan: LogicalPlan, fn) -> LogicalPlan:
-    plan = fn(plan)
-    children = plan.children()
+def transform_down(plan: LogicalPlan, fn, _memo=None) -> LogicalPlan:
+    if _memo is None:
+        _memo = {}
+    hit = _memo.get(id(plan))
+    if hit is not None:
+        return hit
+    out = fn(plan)
+    children = out.children()
     if children:
-        new_children = [transform_down(c, fn) for c in children]
+        new_children = [transform_down(c, fn, _memo) for c in children]
         if any(n is not o for n, o in zip(new_children, children)):
-            plan = plan.with_children(new_children)
-    return plan
+            out = out.with_children(new_children)
+    _memo[id(plan)] = out
+    return out

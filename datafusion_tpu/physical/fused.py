@@ -38,6 +38,8 @@ from .planner import AliasExec
 class _TraceCtx:
     def __init__(self):
         self.flags: List[jax.Array] = []  # each: scalar bool, True = overflow
+        # shared sub-plans (CTEs referenced multiple times) trace once
+        self.memo: Dict[int, DeviceRelation] = {}
 
 
 class FusedQuery:
@@ -109,6 +111,15 @@ class FusedQuery:
 
 
 def _trace(p: P.PhysicalPlan, inputs, leaf_index, tctx) -> DeviceRelation:
+    hit = tctx.memo.get(id(p))
+    if hit is not None:
+        return hit
+    out = _trace_inner(p, inputs, leaf_index, tctx)
+    tctx.memo[id(p)] = out
+    return out
+
+
+def _trace_inner(p: P.PhysicalPlan, inputs, leaf_index, tctx) -> DeviceRelation:
     if isinstance(p, (P.ScanExec, P.ValuesExec, P.EmptyExec)):
         rel = inputs[leaf_index[id(p)]]
         if isinstance(p, P.ScanExec):

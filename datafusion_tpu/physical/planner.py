@@ -33,7 +33,26 @@ class AliasExec(P.PhysicalPlan):
         return DeviceRelation(self.schema, rel.columns, rel.sel)
 
 
-def create_physical_plan(plan: L.LogicalPlan) -> P.PhysicalPlan:
+def create_physical_plan(plan: L.LogicalPlan, _memo=None) -> P.PhysicalPlan:
+    """LogicalPlan -> PhysicalPlan. Shared logical sub-plans (CTEs referenced
+    more than once) map to ONE physical operator instance, so fused tracing
+    and per-op execution compute them once."""
+    if _memo is None:
+        _memo = {}
+    hit = _memo.get(id(plan))
+    if hit is not None:
+        return hit
+    out = _create(plan, _memo)
+    _memo[id(plan)] = out
+    return out
+
+
+def _create(plan: L.LogicalPlan, _memo) -> P.PhysicalPlan:
+    def create_physical_plan(p):  # shadow: route children through the memo
+        import datafusion_tpu.physical.planner as _self
+
+        return _self.create_physical_plan(p, _memo)
+
     if isinstance(plan, L.TableScan):
         node: P.PhysicalPlan = P.ScanExec(plan.source, plan.schema, plan.projection, plan.alias)
         for f in plan.filters:
