@@ -161,7 +161,9 @@ def _trace_aggregate(p: P.AggregateExec, inputs, leaf_index, tctx) -> DeviceRela
     if dense is not None:
         sizes, ngroups = dense
         mode = os.environ.get("DATAFUSION_TPU_FORCE_PALLAS")
-        if mode is None and jax.devices()[0].platform == "tpu":
+        if mode in ("off", "none"):
+            mode = None
+        elif mode is None and jax.devices()[0].platform == "tpu":
             mode = "tpu"
         return p._dense_transform(rel, sizes, ngroups, mode)
     cap = getattr(p, "_last_cap", None)

@@ -352,7 +352,7 @@ class AggregateExec(PhysicalPlan):
             return None
         force = os.environ.get("DATAFUSION_TPU_FORCE_PALLAS")
         if force:
-            return force  # 'interpret' or 'tpu'
+            return None if force in ("off", "none") else force
         try:
             import jax.core
 
