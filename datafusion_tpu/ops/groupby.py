@@ -125,6 +125,72 @@ def phase_sort(
     return sg, sa, sf, ssel, seg, is_start, distinct_start, num_groups
 
 
+class SortedSegments:
+    """Scatter-free reduction machinery for rows sorted by group key.
+
+    TPU scatter is catastrophically slow at millions of rows (the
+    jax.ops.segment_* lowering); for the sorted path every reduction can
+    instead be a segmented prefix scan read at run boundaries:
+      starts[g] / ends[g] = first/last row of group g, computed by ONE
+      compaction sort shared by all aggregates."""
+
+    def __init__(self, seg: jax.Array, ssel: jax.Array, is_start: jax.Array, G: int):
+        n = seg.shape[0]
+        self.n = n
+        self.G = G
+        self.seg = seg
+        self.ssel = ssel
+        self.is_start = is_start
+        nxt = jnp.concatenate([seg[1:], jnp.full((1,), -1, seg.dtype)])
+        self.is_end = ssel & ((seg != nxt) | ~jnp.concatenate([ssel[1:], jnp.zeros(1, bool)]))
+        iota = jnp.arange(n, dtype=jnp.int32)
+        _, sp = jax.lax.sort([~is_start, iota], dimension=0, is_stable=True, num_keys=1)
+        _, ep = jax.lax.sort([~self.is_end, iota], dimension=0, is_stable=True, num_keys=1)
+        self.starts = jnp.clip(sp[:G], 0, n - 1)   # row index of group g's first row
+        self.ends = jnp.clip(ep[:G], 0, n - 1)     # row index of group g's last row
+        self.count_all = self._sum(ssel.astype(jnp.int64), ssel)
+
+    def _sum(self, values: jax.Array, mask: jax.Array) -> jax.Array:
+        z = jnp.where(mask, values, jnp.zeros_like(values))
+        cs = jnp.cumsum(z)
+        lo = cs[self.starts] - z[self.starts]
+        return cs[self.ends] - lo
+
+    def sum(self, values, mask):
+        return self._sum(values, mask)
+
+    def count(self, mask):
+        return self._sum(mask.astype(jnp.int64), mask)
+
+    def _scan_extreme(self, values, mask, is_max: bool):
+        ident = _ident_for(values.dtype, is_max)
+        z = jnp.where(mask, values, ident)
+
+        def comb(a, b):
+            af, av = a
+            bf, bv = b
+            m = jnp.maximum(av, bv) if is_max else jnp.minimum(av, bv)
+            return af | bf, jnp.where(bf, bv, m)
+
+        _, out = jax.lax.associative_scan(comb, (self.is_start, z))
+        return out[self.ends]
+
+    def min(self, values, mask):
+        return self._scan_extreme(values, mask, False)
+
+    def max(self, values, mask):
+        return self._scan_extreme(values, mask, True)
+
+
+def _ident_for(dtype, is_max: bool):
+    if dtype == jnp.bool_:
+        return jnp.array(not is_max)
+    if jnp.issubdtype(dtype, jnp.integer):
+        info = jnp.iinfo(dtype)
+        return jnp.array(info.min if is_max else info.max, dtype)
+    return jnp.array(-jnp.inf if is_max else jnp.inf, dtype)
+
+
 def phase_reduce(
     sg: Sequence[DeviceColumn],
     sa: Sequence[DeviceColumn],
@@ -140,12 +206,10 @@ def phase_reduce(
     out_sel) with capacity == num_segments."""
     G = num_segments
     n = ssel.shape[0]
-    iota = jnp.arange(n, dtype=jnp.int32)
 
-    # representative row per group (first row)
-    first_idx = K.segment_min(iota, seg, is_start, G)
-    first_idx = jnp.clip(first_idx, 0, n - 1)
-    group_count = K.segment_count(seg, ssel, G)
+    ss = SortedSegments(seg, ssel, is_start, G)
+    first_idx = ss.starts
+    group_count = ss.count_all
     out_sel = group_count > 0
 
     out_keys = []
@@ -157,19 +221,33 @@ def phase_reduce(
     out_aggs = []
     for spec in specs:
         out_aggs.append(
-            _reduce_one(spec, sa, sf, ssel, seg, is_start, distinct_start, G, group_count, out_sel)
+            _reduce_one(spec, sa, sf, ssel, seg, is_start, distinct_start, G,
+                        group_count, out_sel, ss)
         )
     return out_keys, out_aggs, out_sel
 
 
-def _reduce_one(spec, sa, sf, ssel, seg, is_start, distinct_start, G, group_count, out_sel):
+def _reduce_one(spec, sa, sf, ssel, seg, is_start, distinct_start, G, group_count,
+                out_sel, ss=None):
     f = spec.fname
     mask = ssel
     if spec.filter is not None:
         mask = mask & sf[spec.filter]
 
+    def SSUM(x, m):
+        return ss.sum(x, m) if ss is not None else K.segment_sum(x, seg, m, G)
+
+    def SCNT(m):
+        return ss.count(m) if ss is not None else K.segment_count(seg, m, G)
+
+    def SMIN(x, m):
+        return ss.min(x, m) if ss is not None else K.segment_min(x, seg, m, G)
+
+    def SMAX(x, m):
+        return ss.max(x, m) if ss is not None else K.segment_max(x, seg, m, G)
+
     if f == "count_star":
-        cnt = K.segment_count(seg, mask, G)
+        cnt = SCNT(mask)
         return DeviceColumn(cnt.astype(jnp.int64), None, T.INT64)
 
     arg = sa[spec.arg] if spec.arg is not None else None
@@ -178,10 +256,9 @@ def _reduce_one(spec, sa, sf, ssel, seg, is_start, distinct_start, G, group_coun
 
     if f == "count":
         if spec.distinct:
-            m = mask & distinct_start
-            cnt = K.segment_count(seg, m, G)
+            cnt = SCNT(mask & distinct_start)
         else:
-            cnt = K.segment_count(seg, mask, G)
+            cnt = SCNT(mask)
         return DeviceColumn(cnt.astype(jnp.int64), None, T.INT64)
 
     if arg is None:
@@ -198,8 +275,8 @@ def _reduce_one(spec, sa, sf, ssel, seg, is_start, distinct_start, G, group_coun
             acc = data  # int64 scaled
         elif jnp.issubdtype(data.dtype, jnp.integer):
             acc = data.astype(jnp.int64)  # widen before accumulation
-        s = K.segment_sum(acc, seg, mask, G)
-        cnt = K.segment_count(seg, mask, G)
+        s = SSUM(acc, mask)
+        cnt = SCNT(mask)
         if spec.out_dtype.is_decimal:
             s = s.astype(jnp.int64)
         elif spec.out_dtype.kind is T.TypeKind.INT64:
@@ -213,15 +290,14 @@ def _reduce_one(spec, sa, sf, ssel, seg, is_start, distinct_start, G, group_coun
             x = data.astype(jnp.float64) / (10.0 ** arg.dtype.scale)
         else:
             x = data.astype(jnp.float64)
-        s = K.segment_sum(x, seg, mask, G)
-        cnt = K.segment_count(seg, mask, G)
+        s = SSUM(x, mask)
+        cnt = SCNT(mask)
         avg = s / jnp.maximum(cnt, 1).astype(jnp.float64)
         return DeviceColumn(avg, (cnt > 0) & out_sel, T.FLOAT64)
 
     if f in ("min", "max"):
-        red = K.segment_min if f == "min" else K.segment_max
-        r = red(data, seg, mask, G)
-        cnt = K.segment_count(seg, mask, G)
+        r = SMIN(data, mask) if f == "min" else SMAX(data, mask)
+        cnt = SCNT(mask)
         r = jnp.clip(r, 0, None) if arg.dictionary is not None else r
         return DeviceColumn(r, (cnt > 0) & out_sel, spec.out_dtype, arg.dictionary)
 
@@ -229,9 +305,9 @@ def _reduce_one(spec, sa, sf, ssel, seg, is_start, distinct_start, G, group_coun
         x = data.astype(jnp.float64)
         if arg.dtype.is_decimal:
             x = x / (10.0 ** arg.dtype.scale)
-        s = K.segment_sum(x, seg, mask, G)
-        s2 = K.segment_sum(x * x, seg, mask, G)
-        cnt = K.segment_count(seg, mask, G).astype(jnp.float64)
+        s = SSUM(x, mask)
+        s2 = SSUM(x * x, mask)
+        cnt = SCNT(mask).astype(jnp.float64)
         pop = f.endswith("_pop")
         denom = jnp.maximum(cnt if pop else cnt - 1.0, 1.0)
         var = (s2 - s * s / jnp.maximum(cnt, 1.0)) / denom
@@ -264,8 +340,8 @@ def _reduce_one(spec, sa, sf, ssel, seg, is_start, distinct_start, G, group_coun
         # rows are sorted by (group keys, value) -- see order_arg_of/phase_sort
         n = ssel.shape[0]
         iota = jnp.arange(n, dtype=jnp.int32)
-        first = K.segment_min(iota, seg, mask, G)
-        cnt = K.segment_count(seg, mask, G)
+        first = ss.starts if ss is not None else K.segment_min(iota, seg, mask, G)
+        cnt = SCNT(mask)
         q = 0.5 if spec.extra is None else float(spec.extra)
         pos = q * jnp.maximum(cnt - 1, 0).astype(jnp.float64)
         lo_i = jnp.clip(first + jnp.floor(pos).astype(jnp.int64).astype(jnp.int32), 0, n - 1)
