@@ -227,12 +227,43 @@ def phase_reduce(
     return out_keys, out_aggs, out_sel
 
 
+def _distinct_marker(mask, distinct_start):
+    """First FILTER-passing row of each (group, value) run.
+
+    distinct_start marks the first row of each run irrespective of any FILTER
+    clause; when a filter is present the run's first row may fail it while a
+    later row of the same value passes, so the plain `mask & distinct_start`
+    misses that value. Recompute via a segmented count of passing rows that
+    resets at run starts: a row is the marker iff it passes and the inclusive
+    within-run passing count is exactly 1."""
+    n = mask.shape[0]
+    m = mask.astype(jnp.int32)
+    cs = jnp.cumsum(m)
+    excl = cs - m
+    iota = jnp.arange(n)
+    last_start = jax.lax.cummax(jnp.where(distinct_start, iota, 0))
+    within = cs - excl[jnp.clip(last_start, 0, n - 1)]
+    return mask & (within == 1)
+
+
 def _reduce_one(spec, sa, sf, ssel, seg, is_start, distinct_start, G, group_count,
                 out_sel, ss=None):
     f = spec.fname
     mask = ssel
-    if spec.filter is not None:
+    filtered = spec.filter is not None
+    if filtered:
         mask = mask & sf[spec.filter]
+        if f in ("median", "approx_median", "percentile_cont",
+                 "approx_percentile_cont"):
+            # position-based indexing from the group start assumes passing
+            # rows are contiguous, which a FILTER breaks
+            raise PlanError(f"{f} with FILTER is not supported")
+
+    def dmark():
+        if distinct_start is None:
+            return mask
+        return _distinct_marker(mask, distinct_start) if filtered \
+            else (mask & distinct_start)
 
     def SSUM(x, m):
         return ss.sum(x, m) if ss is not None else K.segment_sum(x, seg, m, G)
@@ -256,7 +287,7 @@ def _reduce_one(spec, sa, sf, ssel, seg, is_start, distinct_start, G, group_coun
 
     if f == "count":
         if spec.distinct:
-            cnt = SCNT(mask & distinct_start)
+            cnt = SCNT(dmark())
         else:
             cnt = SCNT(mask)
         return DeviceColumn(cnt.astype(jnp.int64), None, T.INT64)
@@ -265,7 +296,7 @@ def _reduce_one(spec, sa, sf, ssel, seg, is_start, distinct_start, G, group_coun
         raise PlanError(f"aggregate {f} requires an argument")
     data = arg.data
     if spec.distinct and f in ("sum", "avg"):
-        mask = mask & distinct_start
+        mask = dmark()
 
     if f == "sum":
         acc = data
@@ -387,8 +418,7 @@ def _reduce_one(spec, sa, sf, ssel, seg, is_start, distinct_start, G, group_coun
     if f == "approx_distinct":
         # exact distinct count (sorted-run method); named for API parity with
         # the reference's HyperLogLog accumulator
-        m = mask & distinct_start if distinct_start is not None else mask
-        cnt = K.segment_count(seg, m, G)
+        cnt = K.segment_count(seg, dmark(), G)
         return DeviceColumn(cnt.astype(jnp.int64), None, T.INT64)
 
     raise PlanError(f"aggregate function {f!r} not implemented")

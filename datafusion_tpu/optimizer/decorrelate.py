@@ -165,7 +165,54 @@ def _rewrite_in(e: E.InSubquery, input_plan: L.LogicalPlan) -> L.LogicalPlan:
     inner_col = E.Column(first.name, first.qualifier)
     on = [(e.expr, inner_col)] + list(pairs)
     jt = L.JoinType.LEFT_ANTI if e.negated else L.JoinType.LEFT_SEMI
-    return L.Join(input_plan, sub, on, jt, conjoin(residual))
+    joined = L.Join(input_plan, sub, on, jt, conjoin(residual))
+    if not e.negated or residual:
+        # (residual correlated predicates keep the plain anti join; NOT IN
+        # with residual non-equality correlation is not null-aware)
+        return joined
+    return _null_aware_not_in(e, joined, sub, pairs, inner_col)
+
+
+def _null_aware_not_in(e: E.InSubquery, joined: L.LogicalPlan,
+                       sub: L.LogicalPlan, pairs, inner_col: E.Column):
+    """SQL NOT IN is not a plain anti join: if the subquery (for this row's
+    correlation group) produces any NULL, NOT IN is never TRUE; and a NULL
+    probe value only passes when the group is empty. Mirrors the reference's
+    null-aware anti join semantics (DecorrelatePredicateSubquery) by LEFT-
+    joining per-group COUNT(*) / COUNT(value) onto the anti-join survivors:
+
+      pass iff group-empty OR (probe IS NOT NULL AND count(value) = count(*))
+    """
+    nid = next(_COUNTER)
+    alias = f"__nin_{nid}"
+    tot_name, nn_name = f"__nin_tot_{nid}", f"__nin_nn_{nid}"
+    gexprs = []
+    key_names = []
+    for i, (_, inner) in enumerate(pairs):
+        if isinstance(inner, E.Column):
+            gexprs.append(inner)
+            key_names.append(inner.cname)
+        else:
+            kname = f"__nin_k{i}_{nid}"
+            gexprs.append(E.Alias(inner, kname))
+            key_names.append(kname)
+    aggs = [E.Alias(E.AggregateFunction("count", ()), tot_name),
+            E.Alias(E.AggregateFunction("count", (inner_col,)), nn_name)]
+    agg = L.SubqueryAlias(L.Aggregate(sub, gexprs, aggs), alias)
+    if pairs:
+        on2 = [(outer, E.Column(k, alias))
+               for (outer, _), k in zip(pairs, key_names)]
+        joined2 = L.Join(joined, agg, on2, L.JoinType.LEFT, None)
+    else:
+        # uncorrelated: the group-less aggregate is exactly one row
+        joined2 = L.Join(joined, agg, [], L.JoinType.INNER, None)
+    tot = E.Column(tot_name, alias)
+    nn = E.Column(nn_name, alias)
+    group_empty = E.BinaryOp(E.Op.OR, E.IsNull(tot),
+                             E.BinaryOp(E.Op.EQ, tot, E.lit(0)))
+    clean = E.BinaryOp(E.Op.AND, E.Not(E.IsNull(e.expr)),
+                       E.BinaryOp(E.Op.EQ, nn, tot))
+    return L.Filter(joined2, E.BinaryOp(E.Op.OR, group_empty, clean))
 
 
 def _find_scalar_subquery(e: E.Expr) -> Optional[E.ScalarSubquery]:
@@ -223,6 +270,38 @@ def _rewrite_scalar_cmp(conj: E.Expr, input_plan: L.LogicalPlan) -> L.LogicalPla
     for (outer, inner) in pairs:
         iname = inner.name() if not isinstance(inner, E.Column) else inner.cname
         on.append((outer, E.Column(iname, alias)))
-    joined = L.Join(input_plan, sub_aliased, on, L.JoinType.INNER, None)
-    new_pred = _replace_expr(conj, sq, scalar_col)
+    # LEFT join (not INNER): outer rows whose correlation group is empty must
+    # survive with a NULL scalar -- the classic COUNT bug (reference:
+    # optimizer/src/scalar_subquery_to_join.rs uses LEFT + coalesce)
+    joined = L.Join(input_plan, sub_aliased, on, L.JoinType.LEFT, None)
+    scalar_ref: E.Expr = scalar_col
+    if _count_like(sq.plan):
+        scalar_ref = E.ScalarFunction("coalesce", (scalar_col, E.lit(0)))
+    new_pred = _replace_expr(conj, sq, scalar_ref)
     return L.Filter(joined, new_pred)
+
+
+def _count_like(plan: L.LogicalPlan) -> bool:
+    """True when the subquery's first output column is a count-family
+    aggregate (zero, not NULL, on empty input)."""
+    p = plan
+    while True:
+        if isinstance(p, L.SubqueryAlias):
+            p = p.input
+            continue
+        if isinstance(p, L.Projection):
+            e = p.proj_exprs[0]
+            e = e.expr if isinstance(e, E.Alias) else e
+            if isinstance(e, E.Column):
+                p = p.input
+                continue
+            return (isinstance(e, E.AggregateFunction)
+                    and e.fname in ("count", "approx_distinct"))
+        if isinstance(p, L.Aggregate):
+            if p.group_exprs or not p.aggr_exprs:
+                return False  # field 0 would be a group key
+            e = p.aggr_exprs[0]
+            e = e.expr if isinstance(e, E.Alias) else e
+            return (isinstance(e, E.AggregateFunction)
+                    and e.fname in ("count", "approx_distinct"))
+        return False

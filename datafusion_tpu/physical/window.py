@@ -147,10 +147,14 @@ class WindowExec(PhysicalPlan):
         rank_sorted = (last_peer_start - my_first + 1).astype(jnp.int64)
         dense_sorted = _seg_cumsum(peer_start.astype(jnp.int64), seg_start)
 
-        # peer-run end position (for RANGE ... CURRENT ROW frames)
-        nxt = jnp.concatenate([peer_start[1:], jnp.ones(1, dtype=bool)])
-        is_peer_end = nxt
-        end_pos_rev = jnp.where(is_peer_end, iota, cap + 1)
+        # peer-run end position (for RANGE ... CURRENT ROW frames). A live row
+        # is a peer end when the NEXT row starts a new peer run OR the next
+        # row is dead (padded capacity): dead rows never carry peer_start, so
+        # without the liveness term the final live peer run would resolve its
+        # end to the dead slot cap-1 (wrong last_value / cume_dist).
+        nxt_start = jnp.concatenate([peer_start[1:], jnp.ones(1, dtype=bool)])
+        nxt_live = jnp.concatenate([ssel[1:], jnp.zeros(1, dtype=bool)])
+        is_peer_end = ssel & (nxt_start | ~nxt_live)
         # next peer end at or after each row = reverse cummin
         peer_end = -jax.lax.cummax(jnp.where(is_peer_end, -iota, -(cap + 1))[::-1])[::-1]
 
