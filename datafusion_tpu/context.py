@@ -292,10 +292,21 @@ class DataFrame:
 
     # ---- execution -------------------------------------------------------
     def collect(self) -> Table:
+        """Execute and return a host Table. Runs through FusedQuery (one XLA
+        program per query once capacities are discovered) — the same path the
+        benchmarks use; per-operator dispatch remains as the discovery pass
+        and the fallback for non-fusible plans (reference analog:
+        physical_plan::collect, physical-plan/src/common.rs:43)."""
         ctx = self._ctx.exec_context()
-        phys = self.physical_plan()
-        rel = phys.execute(ctx)
+        rel = self._fused_query().execute(ctx)
         return to_host(rel)
+
+    def _fused_query(self):
+        if getattr(self, "_fq", None) is None:
+            from .physical.fused import FusedQuery
+
+            self._fq = FusedQuery(self.physical_plan())
+        return self._fq
 
     def to_pandas(self):
         return self.collect().to_pandas()

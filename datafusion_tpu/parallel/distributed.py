@@ -73,17 +73,21 @@ def shard_rows(arrays: Dict[str, np.ndarray], key: np.ndarray, mesh: Mesh,
 
 
 def exchange_by_key(arrays: Sequence[jax.Array], key_hash: jax.Array,
-                    sel: jax.Array, axis: str = "dp"):
+                    sel: jax.Array, axis: str = "dp",
+                    slot_cap: int | None = None):
     """Inside shard_map: route each live row to shard hash%n via all_to_all.
 
-    Rows are bucketed into n equal slots (slot capacity = local capacity //
-    n_shards * 2 would be tighter; we use full local capacity // n and rely
-    on the caller to size capacity with headroom -- overflow rows are
-    dropped-and-counted so callers can detect and re-run, the skew story the
-    reference lacks entirely, SURVEY.md §6 'Skewed keys')."""
+    Rows are bucketed into n equal slots of slot_cap rows each; the received
+    relation has capacity n*slot_cap. slot_cap defaults to local capacity//n
+    (even-split assumption); slot_cap = local capacity is the overflow-proof
+    worst case (one destination receives every row of every source). Overflow
+    rows beyond slot_cap are dropped-and-COUNTED so callers can detect skew
+    and re-run at a larger slot_cap, the skew story the reference lacks
+    entirely (SURVEY.md §6 'Skewed keys')."""
     n = jax.lax.axis_size(axis)
     cap = sel.shape[0]
-    slot_cap = cap // n
+    if slot_cap is None:
+        slot_cap = cap // n
     target = (key_hash % np.uint64(n)).astype(jnp.int32)
     target = jnp.where(sel, target, n)  # dead rows out of range
     # stable sort by target so each partition's rows are contiguous
@@ -129,7 +133,7 @@ def distributed_query_step(mesh: Mesh, axis: str = "dp"):
       5. final aggregate                     (AggregateMode::FinalPartitioned)
       6. psum of global row count            (tree reduction)
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     G = 8  # group-key domain (dict-coded)
 

@@ -149,29 +149,37 @@ def _trace_inner(p: P.PhysicalPlan, inputs, leaf_index, tctx) -> DeviceRelation:
     raise ExecutionError(f"cannot fuse operator {type(p).__name__}")
 
 
-def _trace_aggregate(p: P.AggregateExec, inputs, leaf_index, tctx) -> DeviceRelation:
-    from ..ops import groupby as G
-
+def _pallas_mode_static() -> Optional[str]:
     import os
 
-    rel = _trace(p.input, inputs, leaf_index, tctx)
+    mode = os.environ.get("DATAFUSION_TPU_FORCE_PALLAS")
+    if mode in ("off", "none"):
+        return None
+    if mode is None and jax.devices()[0].platform == "tpu":
+        return "tpu"
+    return mode
+
+
+def apply_aggregate(p: P.AggregateExec, rel: DeviceRelation,
+                    tctx: Optional[_TraceCtx] = None) -> DeviceRelation:
+    """Trace p's aggregation over an already-traced input relation, using the
+    capacities recorded during discovery (shared by FusedQuery and the
+    distributed engine)."""
+    from ..ops import groupby as G
+
     if not p.group_exprs:
         return p._global(rel)
     dense = p._dense_sizes(rel)
     if dense is not None:
         sizes, ngroups = dense
-        mode = os.environ.get("DATAFUSION_TPU_FORCE_PALLAS")
-        if mode in ("off", "none"):
-            mode = None
-        elif mode is None and jax.devices()[0].platform == "tpu":
-            mode = "tpu"
-        return p._dense_transform(rel, sizes, ngroups, mode)
+        return p._dense_transform(rel, sizes, ngroups, _pallas_mode_static())
     cap = getattr(p, "_last_cap", None)
     if cap is None:
         raise ExecutionError("aggregate capacity not discovered")
     state = p._phase_sort(rel)
     num_groups = state[-1]
-    tctx.flags.append(num_groups > cap)
+    if tctx is not None:
+        tctx.flags.append(num_groups > cap)
     sg, sa, sf, ssel, seg, is_start, distinct_start, _ = state
     _, _, _, specs, _ = p._prepare(rel)
     out_keys, out_aggs, out_sel = G.phase_reduce(
@@ -182,20 +190,32 @@ def _trace_aggregate(p: P.AggregateExec, inputs, leaf_index, tctx) -> DeviceRela
     return DeviceRelation(p.schema, tuple(cols), out_sel)
 
 
-def _trace_join(p: P.JoinExec, inputs, leaf_index, tctx) -> DeviceRelation:
-    from ..ops import joinimpl as J
-    from .expr_compiler import eval_expr, unify_string_columns
+def _trace_aggregate(p: P.AggregateExec, inputs, leaf_index, tctx) -> DeviceRelation:
+    rel = _trace(p.input, inputs, leaf_index, tctx)
+    return apply_aggregate(p, rel, tctx)
 
+
+def join_normalize(p: P.JoinExec):
+    """(swapped, normalized join type, normalized on-pairs): RIGHT flavors are
+    re-expressed as LEFT joins with sides swapped."""
     jt = p.join_type
     swapped = jt in (JoinType.RIGHT, JoinType.RIGHT_SEMI, JoinType.RIGHT_ANTI)
-    lplan, rplan = (p.right, p.left) if swapped else (p.left, p.right)
-    lrel = _trace(lplan, inputs, leaf_index, tctx)
-    rrel = _trace(rplan, inputs, leaf_index, tctx)
     if swapped:
         jt = {JoinType.RIGHT: JoinType.LEFT, JoinType.RIGHT_SEMI: JoinType.LEFT_SEMI,
               JoinType.RIGHT_ANTI: JoinType.LEFT_ANTI}[jt]
     on = tuple((r, l) for l, r in p.on) if swapped else p.on
+    return swapped, jt, on
 
+
+def apply_join(p: P.JoinExec, lrel: DeviceRelation, rrel: DeviceRelation,
+               tctx: Optional[_TraceCtx] = None) -> DeviceRelation:
+    """Trace p's join over already-traced (normalized probe, build) relations
+    using the discovered output capacity. lrel/rrel must already be in
+    normalized order (probe=lrel; see join_normalize)."""
+    from ..ops import joinimpl as J
+    from .expr_compiler import eval_expr, unify_string_columns
+
+    swapped, jt, on = join_normalize(p)
     lkeys = [eval_expr(l, lrel) for l, _ in on]
     rkeys = [eval_expr(r, rrel) for _, r in on]
     for i in range(len(lkeys)):
@@ -210,6 +230,15 @@ def _trace_join(p: P.JoinExec, inputs, leaf_index, tctx) -> DeviceRelation:
     co = p._last_co.get(("co", swapped, jt)) if hasattr(p, "_last_co") else None
     if co is None:
         raise ExecutionError("join capacity not discovered")
-    tctx.flags.append(total > co)
+    if tctx is not None:
+        tctx.flags.append(total > co)
     p._exec_on = on
     return p._expand_impl(lrel, rrel, perm, lo, cnt, jt, swapped, co)
+
+
+def _trace_join(p: P.JoinExec, inputs, leaf_index, tctx) -> DeviceRelation:
+    swapped, _, _ = join_normalize(p)
+    lplan, rplan = (p.right, p.left) if swapped else (p.left, p.right)
+    lrel = _trace(lplan, inputs, leaf_index, tctx)
+    rrel = _trace(rplan, inputs, leaf_index, tctx)
+    return apply_join(p, lrel, rrel, tctx)

@@ -11,7 +11,7 @@ from datafusion_tpu.parallel.distributed import (distributed_query_step,
 
 
 def test_exchange_by_key_routes_correctly():
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     mesh = make_mesh(4)
