@@ -1,0 +1,309 @@
+"""Partial/Final aggregation split for distributed execution.
+
+The TPU-native analog of the reference's AggregateMode::{Partial,Final,
+FinalPartitioned,PartialReduce} (physical-plan/src/aggregates/mod.rs:282-357)
+and the GroupsAccumulator state contract (update_batch / state / merge_batch
+/ evaluate, expr-common/src/groups_accumulator.rs:126-245): each decomposable
+aggregate is rewritten into per-group STATE columns computed locally on every
+shard (Partial), merged across shards (Final), then finalized into the output
+column.
+
+Two merge transports, chosen by the group-key shape:
+  * dense small-domain keys -> states live at fixed group positions on every
+    shard, so the merge is a bare psum/pmin/pmax over the mesh axis (the
+    PartialReduce tree-reduction, no exchange at all); output replicated.
+  * arbitrary keys -> per-shard partial states are hash-exchanged by group
+    key (all_to_all) and re-reduced locally (Partial -> RepartitionExec::Hash
+    -> Final); output partitioned, each group on exactly one shard.
+
+Non-decomposable aggregates (DISTINCT, median/percentiles) fall back to
+row-exchange + single-phase local aggregation in parallel/engine.py, which
+is exact for everything.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..common import types as T
+from ..data.device import DeviceColumn, DeviceRelation
+from ..ops import groupby as G
+from ..ops import kernels as K
+from .distributed import exchange_by_key
+
+_DECOMPOSABLE = frozenset({
+    "count", "count_star", "sum", "avg", "min", "max",
+    "var", "var_samp", "var_pop", "stddev", "stddev_samp", "stddev_pop",
+    "bool_and", "bool_or", "corr", "covar", "covar_pop", "covar_samp",
+})
+
+
+def decomposable(specs: Sequence[G.AggSpec]) -> bool:
+    return all((not s.distinct) and s.fname in _DECOMPOSABLE for s in specs)
+
+
+@dataclasses.dataclass
+class _Final:
+    kind: str            # count/sum/avg/minmax/var/corr/bool
+    slots: List[int]     # indices into the merged state column list
+    spec: G.AggSpec
+    scale: float = 1.0   # decimal scale divisor for avg
+    bool_out: bool = False
+
+
+@dataclasses.dataclass
+class StatePlan:
+    state_args: List[DeviceColumn]   # partial-phase aggregate arguments
+    state_specs: List[G.AggSpec]     # partial-phase aggregates (one per state)
+    merge_specs: List[G.AggSpec]     # final-phase merge over the state cols
+    merge_kinds: List[str]           # 'sum' | 'min' | 'max' (for psum path)
+    finals: List[_Final]
+
+
+def _f64_scaled(col: DeviceColumn, validity=None) -> DeviceColumn:
+    x = col.data.astype(jnp.float64)
+    if col.dtype.is_decimal:
+        x = x / (10.0 ** col.dtype.scale)
+    return DeviceColumn(x, validity if validity is not None else col.validity,
+                        T.FLOAT64)
+
+
+def build_state_plan(specs: Sequence[G.AggSpec],
+                     arg_cols: Sequence[DeviceColumn]) -> StatePlan:
+    sp = StatePlan([], [], [], [], [])
+
+    def add_state(fname: str, col: Optional[DeviceColumn], out_dtype, filt,
+                  merge: str, arg_dtype=None) -> int:
+        arg_i = None
+        if col is not None:
+            arg_i = len(sp.state_args)
+            sp.state_args.append(col)
+            arg_dtype = arg_dtype or col.dtype
+        sp.state_specs.append(G.AggSpec(fname, arg_i, False, out_dtype,
+                                        arg_dtype, filt))
+        state_i = len(sp.merge_specs)
+        merge_f = {"sum": "sum", "min": "min", "max": "max",
+                   "bool_and": "bool_and", "bool_or": "bool_or"}[merge]
+        sp.merge_specs.append(G.AggSpec(merge_f, state_i, False, out_dtype,
+                                        out_dtype, None))
+        sp.merge_kinds.append("min" if merge in ("min", "bool_and")
+                              else "max" if merge in ("max", "bool_or")
+                              else "sum")
+        return state_i
+
+    for s in specs:
+        f = s.fname
+        arg = arg_cols[s.arg] if s.arg is not None else None
+        if f == "count_star":
+            i = add_state("count_star", None, T.INT64, s.filter, "sum")
+            sp.finals.append(_Final("count", [i], s))
+        elif f == "count":
+            i = add_state("count", arg, T.INT64, s.filter, "sum")
+            sp.finals.append(_Final("count", [i], s))
+        elif f == "sum":
+            if s.out_dtype.is_decimal or (arg.dtype.is_integer
+                                          and not s.out_dtype.is_float):
+                sdt = s.out_dtype if s.out_dtype.is_decimal else T.INT64
+            else:
+                sdt = T.FLOAT64
+            i = add_state("sum", arg, sdt, s.filter, "sum")
+            c = add_state("count", arg, T.INT64, s.filter, "sum")
+            sp.finals.append(_Final("sum", [i, c], s))
+        elif f == "avg":
+            if arg.dtype.is_decimal:
+                # exact int64 scaled partial sums; divide once at the end
+                i = add_state("sum", arg, arg.dtype, s.filter, "sum")
+                scale = 10.0 ** arg.dtype.scale
+            else:
+                i = add_state("sum", _f64_scaled(arg), T.FLOAT64, s.filter, "sum")
+                scale = 1.0
+            c = add_state("count", arg, T.INT64, s.filter, "sum")
+            sp.finals.append(_Final("avg", [i, c], s, scale=scale))
+        elif f in ("min", "max"):
+            i = add_state(f, arg, s.out_dtype, s.filter, f)
+            c = add_state("count", arg, T.INT64, s.filter, "sum")
+            sp.finals.append(_Final("minmax", [i, c], s))
+        elif f in ("bool_and", "bool_or"):
+            i = add_state(f, arg, T.BOOL, s.filter, f)
+            c = add_state("count", arg, T.INT64, s.filter, "sum")
+            sp.finals.append(_Final("bool", [i, c], s, bool_out=True))
+        elif f in ("var", "var_samp", "var_pop", "stddev", "stddev_samp",
+                   "stddev_pop"):
+            x = _f64_scaled(arg)
+            x2 = DeviceColumn(x.data * x.data, x.validity, T.FLOAT64)
+            i1 = add_state("sum", x, T.FLOAT64, s.filter, "sum")
+            i2 = add_state("sum", x2, T.FLOAT64, s.filter, "sum")
+            c = add_state("count", arg, T.INT64, s.filter, "sum")
+            sp.finals.append(_Final("var", [i1, i2, c], s))
+        elif f in ("corr", "covar", "covar_pop", "covar_samp"):
+            y = arg_cols[s.arg + 1]
+            both = None
+            if arg.validity is not None or y.validity is not None:
+                both = arg.valid() & y.valid()
+            xf = _f64_scaled(arg, both)
+            yf = _f64_scaled(y, both)
+            prods = [
+                xf, yf,
+                DeviceColumn(xf.data * yf.data, both, T.FLOAT64),
+                DeviceColumn(xf.data * xf.data, both, T.FLOAT64),
+                DeviceColumn(yf.data * yf.data, both, T.FLOAT64),
+            ]
+            slots = [add_state("sum", pc, T.FLOAT64, s.filter, "sum")
+                     for pc in prods]
+            slots.append(add_state("count", xf, T.INT64, s.filter, "sum"))
+            sp.finals.append(_Final("corr", slots, s))
+        else:
+            raise ValueError(f"not decomposable: {f}")
+    return sp
+
+
+def finalize(sp: StatePlan, merged: Sequence[DeviceColumn],
+             out_sel: jax.Array) -> List[DeviceColumn]:
+    out = []
+    for fin in sp.finals:
+        s = fin.spec
+        if fin.kind == "count":
+            out.append(DeviceColumn(merged[fin.slots[0]].data.astype(jnp.int64),
+                                    None, T.INT64))
+            continue
+        cnt = merged[fin.slots[-1]].data
+        nonempty = (cnt > 0) & out_sel
+        if fin.kind in ("sum", "minmax", "bool"):
+            v = merged[fin.slots[0]]
+            data = v.data.astype(jnp.bool_) if fin.bool_out else v.data
+            out.append(DeviceColumn(data, nonempty, s.out_dtype, v.dictionary))
+        elif fin.kind == "avg":
+            ssum = merged[fin.slots[0]].data.astype(jnp.float64) / fin.scale
+            a = ssum / jnp.maximum(cnt, 1).astype(jnp.float64)
+            out.append(DeviceColumn(a, nonempty, T.FLOAT64))
+        elif fin.kind == "var":
+            ssum = merged[fin.slots[0]].data
+            s2 = merged[fin.slots[1]].data
+            cn = cnt.astype(jnp.float64)
+            pop = s.fname.endswith("_pop")
+            denom = jnp.maximum(cn if pop else cn - 1.0, 1.0)
+            var = jnp.maximum((s2 - ssum * ssum / jnp.maximum(cn, 1.0)) / denom, 0.0)
+            val = jnp.sqrt(var) if s.fname.startswith("stddev") else var
+            min_n = 1.0 if pop else 2.0
+            out.append(DeviceColumn(val, (cn >= min_n) & out_sel, T.FLOAT64))
+        elif fin.kind == "corr":
+            sx, sy, sxy, sxx, syy = (merged[i].data for i in fin.slots[:5])
+            cn = jnp.maximum(cnt.astype(jnp.float64), 1.0)
+            cov = sxy - sx * sy / cn
+            if s.fname == "corr":
+                vx = sxx - sx * sx / cn
+                vy = syy - sy * sy / cn
+                denom = jnp.sqrt(jnp.maximum(vx * vy, 0.0))
+                val = jnp.where(denom > 0, cov / denom, jnp.nan)
+                out.append(DeviceColumn(val, (cnt >= 2) & out_sel, T.FLOAT64))
+            else:
+                pop = s.fname == "covar_pop"
+                denom = cn if pop else jnp.maximum(cnt.astype(jnp.float64) - 1.0, 1.0)
+                min_n = 1 if pop else 2
+                out.append(DeviceColumn(cov / denom, (cnt >= min_n) & out_sel,
+                                        T.FLOAT64))
+        else:
+            raise ValueError(fin.kind)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# the two distributed drivers (called inside shard_map tracing)
+# ---------------------------------------------------------------------------
+
+def dense_partial_final(p, rel: DeviceRelation, axis: str, sizes,
+                        ngroups: int) -> Optional[DeviceRelation]:
+    """Small-domain keys: local dense partial states + psum/pmin/pmax merge
+    (PartialReduce). Returns a REPLICATED relation, or None if not
+    decomposable."""
+    from ..physical.expr_compiler import eval_expr
+
+    group_cols = [eval_expr(g, rel) for g in p.group_exprs]
+    _, arg_cols, filter_cols, specs, _ = p._prepare(rel)
+    if not decomposable(specs):
+        return None
+    sp = build_state_plan(specs, arg_cols)
+    seg, strides = p.dense_seg(group_cols, rel.sel, sizes, ngroups)
+    is_start = jnp.zeros(rel.capacity, dtype=bool)
+    ones = jnp.ones(ngroups, dtype=bool)
+    group_count = K.segment_count(seg, rel.sel, ngroups)
+    states = [
+        G._reduce_one(spec, sp.state_args, filter_cols, rel.sel, seg, is_start,
+                      None, ngroups, group_count, ones)
+        for spec in sp.state_specs
+    ]
+    merged = []
+    for col, kind in zip(states, sp.merge_kinds):
+        data = col.data
+        as_bool = data.dtype == jnp.bool_
+        if as_bool:
+            data = data.astype(jnp.int32)
+        if kind == "sum":
+            data = jax.lax.psum(data, axis)
+        elif kind == "min":
+            data = jax.lax.pmin(data, axis)
+        else:
+            data = jax.lax.pmax(data, axis)
+        if as_bool:
+            data = data.astype(jnp.bool_)
+        merged.append(DeviceColumn(data, None, col.dtype, col.dictionary))
+    total_count = jax.lax.psum(group_count, axis)
+    out_sel = total_count > 0
+    out_keys = p.dense_keys(group_cols, sizes, strides, ngroups)
+    out_aggs = finalize(sp, merged, out_sel)
+    # The psum-merged result is replicated on every shard, but the engine's
+    # static distribution analysis (engine.dist_of) cannot see dense-ness, so
+    # emit it PARTITIONED: shard i owns groups with id % n == i (round-robin
+    # ownership masks the replicas; the global concat has each group once).
+    n = jax.lax.axis_size(axis)
+    me = jax.lax.axis_index(axis)
+    gid = jnp.arange(ngroups, dtype=jnp.int32)
+    out_sel = out_sel & ((gid % n) == me)
+    cols = [p._coerce_out(c, f)
+            for c, f in zip(out_keys + out_aggs, p.schema.fields)]
+    return DeviceRelation(p.schema, tuple(cols), out_sel)
+
+
+def sorted_partial_final(p, rel: DeviceRelation, axis: str) -> Optional[DeviceRelation]:
+    """Arbitrary keys: local sorted partial states -> hash exchange of
+    (keys, states) -> local merge reduce. Returns a PARTITIONED relation, or
+    None if not decomposable / capacity undiscovered."""
+    cap = getattr(p, "_last_cap", None)
+    if cap is None:
+        return None
+    group_cols, arg_cols, filter_cols, specs, _ = p._prepare(rel)
+    if not decomposable(specs):
+        return None
+    sp = build_state_plan(specs, arg_cols)
+
+    # Partial: per-shard sorted aggregation into state columns
+    sg, sa, sf, ssel, seg, is_start, _, _ = G.phase_sort(
+        group_cols, sp.state_args, filter_cols, rel.sel, None)
+    out_keys, out_states, out_sel = G.phase_reduce(
+        sg, sa, sf, ssel, seg, is_start, None, sp.state_specs, cap)
+
+    # Exchange partial (keys, states) rows by group-key hash; slot_cap = cap
+    # is overflow-proof (a shard holds at most cap partial groups)
+    hs: List[jax.Array] = []
+    for k in out_keys:
+        hs.append(k.data)
+        if k.validity is not None:
+            hs.append(k.validity)
+    h = K.hash64(hs)
+    leaves, treedef = jax.tree.flatten((tuple(out_keys), tuple(out_states)))
+    outs, new_sel, _dropped = exchange_by_key(leaves, h, out_sel, axis,
+                                              slot_cap=cap)
+    rkeys, rstates = jax.tree.unflatten(treedef, outs)
+
+    # Final: merge received states per group
+    sg2, sa2, sf2, ssel2, seg2, is_start2, _, _ = G.phase_sort(
+        list(rkeys), list(rstates), [], new_sel, None)
+    mkeys, mstates, msel = G.phase_reduce(
+        sg2, sa2, sf2, ssel2, seg2, is_start2, None, sp.merge_specs, cap)
+    out_aggs = finalize(sp, mstates, msel)
+    cols = [p._coerce_out(c, f)
+            for c, f in zip(list(mkeys) + out_aggs, p.schema.fields)]
+    return DeviceRelation(p.schema, tuple(cols), msel)

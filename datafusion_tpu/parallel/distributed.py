@@ -94,8 +94,12 @@ def exchange_by_key(arrays: Sequence[jax.Array], key_hash: jax.Array,
     iota = jnp.arange(cap, dtype=jnp.int32)
     _, order = jax.lax.sort([target, iota], dimension=0, is_stable=True, num_keys=1)
     sorted_target = target[order]
-    # position within its partition
-    pos_in_part = iota - jnp.searchsorted(sorted_target, sorted_target, side="left").astype(jnp.int32)
+    # position within its partition: distance from the partition's first row
+    # (cummax over run starts; searchsorted lowers pathologically on TPU)
+    is_run_start = jnp.concatenate([
+        jnp.ones(1, dtype=bool), sorted_target[1:] != sorted_target[:-1]])
+    run_start_pos = jax.lax.cummax(jnp.where(is_run_start, iota, 0))
+    pos_in_part = iota - run_start_pos
     ok = (sorted_target < n) & (pos_in_part < slot_cap)
     dropped = jnp.sum((sorted_target < n) & (pos_in_part >= slot_cap))
     # overflow / dead rows scatter out of range and are dropped

@@ -389,11 +389,11 @@ class AggregateExec(PhysicalPlan):
                     return (l, rf[0])
         return None
 
-    def _dense_transform(self, rel: DeviceRelation, sizes, ngroups,
-                         pallas_mode=None):
-        group_cols = [eval_expr(g, rel) for g in self.group_exprs]
-        _, arg_cols, filter_cols, specs, _ = self._prepare(rel)
-        seg = jnp.zeros(rel.capacity, dtype=jnp.int32)
+    @staticmethod
+    def dense_seg(group_cols, sel, sizes, ngroups):
+        """Arithmetic dense group ids from small-domain key codes; dead rows
+        map to the out-of-range id `ngroups`. Returns (seg, strides)."""
+        seg = jnp.zeros(sel.shape[0], dtype=jnp.int32)
         strides = []
         stride = 1
         for c, size in zip(reversed(group_cols), reversed(sizes)):
@@ -401,7 +401,25 @@ class AggregateExec(PhysicalPlan):
             seg = seg + c.data.astype(jnp.int32) * stride
             stride *= size
         strides = list(reversed(strides))
-        seg = jnp.where(rel.sel, seg, ngroups)  # dead rows dropped
+        return jnp.where(sel, seg, ngroups), strides
+
+    @staticmethod
+    def dense_keys(group_cols, sizes, strides, ngroups):
+        """Decode group key columns from the dense group-id enumeration."""
+        iota_g = jnp.arange(ngroups, dtype=jnp.int32)
+        out_keys = []
+        for c, size, st in zip(group_cols, sizes, strides):
+            code = (iota_g // st) % size
+            data = code.astype(c.data.dtype) if c.dtype.kind is not T.TypeKind.BOOL \
+                else (code > 0)
+            out_keys.append(DeviceColumn(data, None, c.dtype, c.dictionary))
+        return out_keys
+
+    def _dense_transform(self, rel: DeviceRelation, sizes, ngroups,
+                         pallas_mode=None):
+        group_cols = [eval_expr(g, rel) for g in self.group_exprs]
+        _, arg_cols, filter_cols, specs, _ = self._prepare(rel)
+        seg, strides = self.dense_seg(group_cols, rel.sel, sizes, ngroups)
         iota_g = jnp.arange(ngroups, dtype=jnp.int32)
 
         # ---- Pallas fused exact product-sum path (ops/pallas_agg.py) -----
@@ -440,12 +458,7 @@ class AggregateExec(PhysicalPlan):
         else:
             group_count = K.segment_count(seg, rel.sel, ngroups)
         out_sel = group_count > 0
-        out_keys = []
-        for c, size, st in zip(group_cols, sizes, strides):
-            code = (iota_g // st) % size
-            data = code.astype(c.data.dtype) if c.dtype.kind is not T.TypeKind.BOOL \
-                else (code > 0)
-            out_keys.append(DeviceColumn(data, None, c.dtype, c.dictionary))
+        out_keys = self.dense_keys(group_cols, sizes, strides, ngroups)
         is_start = jnp.zeros(rel.capacity, dtype=bool)
         out_aggs = []
         for i, spec in enumerate(specs):
