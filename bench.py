@@ -42,7 +42,10 @@ def main():
     ap.add_argument("--sf", type=float, default=1.0)
     ap.add_argument("--queries", type=str, default="")
     ap.add_argument("--repeat", type=int, default=3)
-    ap.add_argument("--check", action="store_true")
+    ap.add_argument("--check", dest="check", action="store_true", default=True,
+                    help="value-check every result vs the cached pandas "
+                         "oracle answers (default on)")
+    ap.add_argument("--no-check", dest="check", action="store_false")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--settle", type=float, default=0.5,
@@ -76,12 +79,17 @@ def main():
               f"(lineitem={tables['lineitem'].num_rows} rows), backend={jax.devices()[0].platform}",
               file=sys.stderr)
 
-    pdt = None
-    if args.check:
-        pdt = {name: t.to_pandas() for name, t in tables.items()}
+    pdt_cache = {}
+
+    def pdt_factory():
+        if not pdt_cache:
+            pdt_cache.update({name: t.to_pandas() for name, t in tables.items()})
+        return pdt_cache
 
     per_query_ms = {}
     failed = {}
+    check_failed = {}
+    checked = 0
     for qid in qids:
       try:
         sql = query(qid, args.sf)
@@ -108,15 +116,20 @@ def main():
         if args.verbose:
             print(f"# q{qid:>2}: {ms:9.2f} ms  (compile+first {compile_s*1000:8.0f} ms)",
                   file=sys.stderr)
-        if args.check and pdt is not None:
+        if args.check:
             from datafusion_tpu.data.device import to_host
-            from datafusion_tpu.models.tpch.queries_ref import ref_query
+            from datafusion_tpu.models.tpch.compare import (
+                LIMIT_QUERIES, frames_diff, load_or_compute_answer)
 
             ours = to_host(rel).to_pandas()
-            ref = ref_query(qid, pdt, args.sf)
-            ok = len(ours) == len(ref)
-            if args.verbose or not ok:
-                print(f"# q{qid} check: rows {len(ours)} vs {len(ref)} {'OK' if ok else 'MISMATCH'}",
+            ref = load_or_compute_answer(qid, args.sf, pdt_factory)
+            diff = frames_diff(ours, ref, ordered=qid in LIMIT_QUERIES)
+            if diff is None:
+                checked += 1
+            else:
+                check_failed[qid] = diff
+            if args.verbose or diff is not None:
+                print(f"# q{qid} check: {'OK' if diff is None else 'MISMATCH ' + diff}",
                       file=sys.stderr)
       except Exception as exc:  # noqa: BLE001 -- survive per-query failures
         failed[qid] = f"{type(exc).__name__}: {exc}"
@@ -132,7 +145,13 @@ def main():
         "vs_baseline": round(base / gm, 3) if per_query_ms else 0.0,
         "queries": {str(k): round(v, 2) for k, v in per_query_ms.items()},
         "backend": jax.devices()[0].platform,
+        # full value comparison vs the pandas oracle (decimals exact, floats
+        # to tolerance) -- true only when every executed query matched
+        "checked": bool(args.check and not check_failed
+                        and checked == len(per_query_ms) and per_query_ms),
     }
+    if check_failed:
+        out["check_failed"] = {str(k): v for k, v in check_failed.items()}
     if failed:
         out["failed"] = failed
     print(json.dumps(out))
