@@ -231,12 +231,30 @@ class AggregateFunction(Expr):
     filter: Optional[Expr] = None
 
 
+@dataclasses.dataclass(frozen=True)
+class WindowFrame:
+    """Window frame clause (reference: datafusion/expr/src/window_frame.rs —
+    WindowFrame { units, start_bound, end_bound }).
+
+    units: 'rows' | 'range' | 'groups'.
+    Bound kinds: 'unbounded_preceding' | 'preceding' | 'current_row' |
+    'following' | 'unbounded_following'; offset is the literal bound value
+    (int for ROWS/GROUPS, number for RANGE) or None."""
+
+    units: str
+    start_kind: str
+    start_offset: Optional[object] = None
+    end_kind: str = "current_row"
+    end_offset: Optional[object] = None
+
+
 @_d
 class WindowFunction(Expr):
     fname: str
     args: Tuple[Expr, ...]
     partition_by: Tuple[Expr, ...] = ()
     order_by: Tuple["SortSpec", ...] = ()
+    frame: Optional[WindowFrame] = None
 
 
 @_d
@@ -326,7 +344,18 @@ def _display(e: Expr) -> str:
         ob = " ORDER BY " + ", ".join(
             f"{_display(s.expr)} {'ASC' if s.asc else 'DESC'}" for s in e.order_by
         ) if e.order_by else ""
-        return f"{e.fname}({args}) OVER ({pb.strip()}{ob})"
+        fr = ""
+        if e.frame is not None:
+            def _b(kind, off):
+                return {"unbounded_preceding": "UNBOUNDED PRECEDING",
+                        "current_row": "CURRENT ROW",
+                        "unbounded_following": "UNBOUNDED FOLLOWING",
+                        "preceding": f"{off} PRECEDING",
+                        "following": f"{off} FOLLOWING"}[kind]
+            fr = (f" {e.frame.units.upper()} BETWEEN "
+                  f"{_b(e.frame.start_kind, e.frame.start_offset)} AND "
+                  f"{_b(e.frame.end_kind, e.frame.end_offset)}")
+        return f"{e.fname}({args}) OVER ({pb.strip()}{ob}{fr})"
     if isinstance(e, Cast):
         return _display(e.expr)
     if isinstance(e, Not):
@@ -404,6 +433,7 @@ def map_expr(e: Expr, fn) -> Expr:
                 tuple(rec(a) for a in x.args),
                 tuple(rec(p) for p in x.partition_by),
                 tuple(SortSpec(rec(s.expr), s.asc, s.nulls_first) for s in x.order_by),
+                x.frame,
             )
         elif isinstance(x, Alias):
             x = Alias(rec(x.expr), x.aname)

@@ -80,9 +80,13 @@ def expr_to_dict(e: E.Expr) -> Dict:
                 "distinct": e.distinct,
                 "filter": expr_to_dict(e.filter) if e.filter else None}
     if isinstance(e, E.WindowFunction):
-        return {"t": "win", "name": e.fname, "args": [expr_to_dict(a) for a in e.args],
-                "pb": [expr_to_dict(p) for p in e.partition_by],
-                "ob": [sortspec_to_dict(s) for s in e.order_by]}
+        out = {"t": "win", "name": e.fname, "args": [expr_to_dict(a) for a in e.args],
+               "pb": [expr_to_dict(p) for p in e.partition_by],
+               "ob": [sortspec_to_dict(s) for s in e.order_by]}
+        if e.frame is not None:
+            out["frame"] = [e.frame.units, e.frame.start_kind, e.frame.start_offset,
+                            e.frame.end_kind, e.frame.end_offset]
+        return out
     if isinstance(e, E.Alias):
         return {"t": "alias", "e": expr_to_dict(e.expr), "name": e.aname}
     if isinstance(e, E.SortSpec):
@@ -131,10 +135,12 @@ def expr_from_dict(d: Dict) -> E.Expr:
             d["name"], tuple(expr_from_dict(a) for a in d["args"]), d["distinct"],
             expr_from_dict(d["filter"]) if d["filter"] else None)
     if t == "win":
+        fr = d.get("frame")
         return E.WindowFunction(
             d["name"], tuple(expr_from_dict(a) for a in d["args"]),
             tuple(expr_from_dict(p) for p in d["pb"]),
-            tuple(expr_from_dict(s) for s in d["ob"]))
+            tuple(expr_from_dict(s) for s in d["ob"]),
+            E.WindowFrame(*fr) if fr else None)
     if t == "alias":
         return E.Alias(expr_from_dict(d["e"]), d["name"])
     if t == "sort":

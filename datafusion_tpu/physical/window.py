@@ -39,6 +39,59 @@ def _seg_cumsum(x: jax.Array, seg_start: jax.Array) -> jax.Array:
     return cs - base
 
 
+def _range_reduce(x: jax.Array, fs: jax.Array, fe: jax.Array, empty: jax.Array,
+                  is_min: bool, ident) -> jax.Array:
+    """Per-row min/max over arbitrary index ranges [fs, fe].
+
+    Binary decomposition over doubling levels (the sparse-table scheme, built
+    one level at a time so only O(n) memory is live): level_b[i] reduces
+    [i, i+2^b); each row consumes bit b of its range length, walking its
+    cursor forward. O(n log n) work, fully vectorized — the TPU answer to the
+    reference's per-row accumulator loop (window_agg_exec.rs)."""
+    cap = x.shape[0]
+    op = jnp.minimum if is_min else jnp.maximum
+    iota = jnp.arange(cap)
+    level = x
+    acc = jnp.full_like(x, ident)
+    cur = fs
+    length = jnp.where(empty, 0, fe - fs + 1)
+    for b in range(max(1, cap.bit_length())):
+        take = ((length >> b) & 1) == 1
+        val = level[jnp.clip(cur, 0, cap - 1)]
+        acc = jnp.where(take, op(acc, val), acc)
+        cur = jnp.where(take, cur + (1 << b), cur)
+        if (1 << (b + 1)) > cap:
+            break
+        shifted = jnp.where(iota + (1 << b) < cap,
+                            level[jnp.clip(iota + (1 << b), 0, cap - 1)], ident)
+        level = op(level, shifted)
+    return acc
+
+
+def _first_where(k: jax.Array, target: jax.Array, lo0: jax.Array, hi0: jax.Array,
+                 op: str) -> jax.Array:
+    """Vectorized per-row binary search: first index j in [lo0, hi0) where
+    `k[j] <op> target` holds, assuming the predicate is monotone
+    false→true over the range (k sorted). Returns hi0 when never true."""
+    cap = k.shape[0]
+    lo, hi = lo0, hi0
+    for _ in range(cap.bit_length() + 1):
+        active = lo < hi
+        mid = (lo + hi) // 2
+        v = k[jnp.clip(mid, 0, cap - 1)]
+        if op == "ge":
+            cond = v >= target
+        elif op == "gt":
+            cond = v > target
+        elif op == "le":
+            cond = v <= target
+        else:
+            cond = v < target
+        hi = jnp.where(active & cond, mid, hi)
+        lo = jnp.where(active & ~cond, mid + 1, lo)
+    return lo
+
+
 def _seg_cummax(x, seg_start):
     def comb(a, b):
         af, av = a
@@ -86,18 +139,18 @@ class WindowExec(PhysicalPlan):
             if not isinstance(w, E.WindowFunction):
                 raise PlanError(f"not a window function: {e!r}")
             wfns.append(w)
-            key = (w.partition_by, w.order_by)
+            key = (w.partition_by, w.order_by, _norm_frame(w.frame))
             groups.setdefault(key, []).append((i, w))
 
         results: Dict[int, DeviceColumn] = {}
-        for (partition_by, order_by), members in groups.items():
-            outs = self._eval_window_group(rel, partition_by, order_by, members)
+        for (partition_by, order_by, frame), members in groups.items():
+            outs = self._eval_window_group(rel, partition_by, order_by, frame, members)
             results.update(outs)
 
         cols = list(rel.columns) + [results[i] for i in range(len(self.window_exprs))]
         return DeviceRelation(self.schema, tuple(cols), rel.sel)
 
-    def _eval_window_group(self, rel, partition_by, order_by, members):
+    def _eval_window_group(self, rel, partition_by, order_by, frame, members):
         cap = rel.capacity
         keys = []
         pcols = [eval_expr(p, rel) for p in partition_by]
@@ -158,17 +211,123 @@ class WindowExec(PhysicalPlan):
         # next peer end at or after each row = reverse cummin
         peer_end = -jax.lax.cummax(jnp.where(is_peer_end, -iota, -(cap + 1))[::-1])[::-1]
 
+        fs = fe = fempty = None
+        if frame is not None:
+            fs, fe, fempty = self._frame_bounds(
+                frame, so, order_by, ssel, peer_start, last_peer_start, peer_end,
+                iota, my_first, my_count, G, cap)
+
         out: Dict[int, DeviceColumn] = {}
         for idx, w in members:
             col = self._one_fn(w, rel, perm, ssel, seg, seg_start, peer_start, peer_end,
-                               row_in_part, my_count, rank_sorted, dense_sorted, G)
+                               row_in_part, my_count, rank_sorted, dense_sorted, G,
+                               fs, fe, fempty)
             data = col.data[inv]
             validity = None if col.validity is None else col.validity[inv]
             out[idx] = DeviceColumn(data, validity, col.dtype, col.dictionary)
         return out
 
+    def _frame_bounds(self, frame, so, order_by, ssel, peer_start,
+                      last_peer_start, peer_end, iota, my_first, my_count, G, cap):
+        """Per-row frame bounds [fs, fe] as sorted positions, plus an
+        empty-frame mask. ROWS = index arithmetic; GROUPS = peer-run id
+        lookups; RANGE offsets = vectorized binary search on the (sorted)
+        order key. Reference semantics: datafusion/expr/src/window_frame.rs
+        + physical-plan/src/windows/window_agg_exec.rs."""
+        part_first = my_first.astype(jnp.int64)
+        part_last = part_first + my_count.astype(jnp.int64) - 1
+        u = frame.units
+
+        if u == "rows":
+            def bound(kind, off, is_start):
+                if kind == "unbounded_preceding":
+                    return part_first
+                if kind == "unbounded_following":
+                    return part_last
+                if kind == "current_row":
+                    return iota
+                n = int(off)
+                return iota - n if kind == "preceding" else iota + n
+        elif u == "groups":
+            rid = jnp.cumsum(peer_start.astype(jnp.int32)) - 1
+            run_start = K.segment_min(iota.astype(jnp.int32), rid, ssel, G)
+            run_end = K.segment_max(iota.astype(jnp.int32), rid, ssel, G)
+            rid_first = rid[jnp.clip(part_first, 0, cap - 1).astype(jnp.int32)]
+            rid_last = rid[jnp.clip(part_last, 0, cap - 1).astype(jnp.int32)]
+
+            def bound(kind, off, is_start):
+                if kind == "unbounded_preceding":
+                    return part_first
+                if kind == "unbounded_following":
+                    return part_last
+                if kind == "current_row":
+                    return last_peer_start if is_start else peer_end
+                n = int(off)
+                tgt = rid - n if kind == "preceding" else rid + n
+                arr = run_start if is_start else run_end
+                pos = arr[jnp.clip(tgt, 0, G - 1)].astype(jnp.int64)
+                # target run before the partition: clamp (start) / empty (end)
+                pos = jnp.where(tgt < rid_first,
+                                part_first if is_start else part_first - 1, pos)
+                # target run after the partition: empty (start) / clamp (end)
+                pos = jnp.where(tgt > rid_last,
+                                part_last + 1 if is_start else part_last, pos)
+                return pos
+        else:  # range
+            def bound(kind, off, is_start):
+                if kind == "unbounded_preceding":
+                    return part_first
+                if kind == "unbounded_following":
+                    return part_last
+                if kind == "current_row":
+                    return last_peer_start if is_start else peer_end
+                if len(order_by) != 1:
+                    raise PlanError(
+                        "RANGE frame with offset requires exactly one ORDER BY key")
+                c = so[0]
+                spec = order_by[0]
+                if c.dtype.is_decimal:
+                    n = int(round(float(off) * (10.0 ** c.dtype.scale)))
+                else:
+                    n = float(off) if isinstance(off, float) else int(off)
+                k = c.data
+                if isinstance(n, float) and not jnp.issubdtype(k.dtype, jnp.floating):
+                    k = k.astype(jnp.float64)
+                valid = c.validity
+                asc, nf = spec.asc, spec.nulls_first
+                if valid is not None:
+                    # park null keys at the end they sort to, so the key stays
+                    # monotone within each partition
+                    null_low = (asc and nf) or (not asc and not nf)
+                    if jnp.issubdtype(k.dtype, jnp.floating):
+                        sent = -jnp.inf if null_low else jnp.inf
+                    else:
+                        info = jnp.iinfo(k.dtype)
+                        sent = info.min if null_low else info.max
+                    k = jnp.where(valid, k, jnp.asarray(sent, k.dtype))
+                if asc:
+                    tgt = k + (n if kind == "following" else -n)
+                    op = "ge" if is_start else "gt"
+                else:
+                    tgt = k + (n if kind == "preceding" else -n)
+                    op = "le" if is_start else "lt"
+                pos = _first_where(k, tgt, part_first, part_last + 1, op)
+                if not is_start:
+                    pos = pos - 1
+                if valid is not None:
+                    # a NULL current row's RANGE frame is its peer (null) run
+                    pos = jnp.where(valid, pos,
+                                    last_peer_start if is_start else peer_end)
+                return pos
+
+        fs = jnp.maximum(bound(frame.start_kind, frame.start_offset, True), part_first)
+        fe = jnp.minimum(bound(frame.end_kind, frame.end_offset, False), part_last)
+        fempty = (fs > fe) | ~ssel
+        return fs, fe, fempty
+
     def _one_fn(self, w, rel, perm, ssel, seg, seg_start, peer_start, peer_end,
-                row_in_part, my_count, rank_sorted, dense_sorted, G):
+                row_in_part, my_count, rank_sorted, dense_sorted, G,
+                fs=None, fe=None, fempty=None):
         cap = rel.capacity
         f = w.fname
         out_t, _ = infer(w, rel.schema)
@@ -223,6 +382,14 @@ class WindowExec(PhysicalPlan):
             raise PlanError(f"window function {f} needs an argument")
         avalid = (argc.valid()[perm] & ssel) if argc is not None else ssel
 
+        if f == "nth_value" and fs is None:
+            # default frame: partition start .. last peer of current row
+            fs = (iota - row_in_part).astype(jnp.int64)
+            fe = peer_end
+            fempty = ~ssel
+        if fs is not None:
+            return self._frame_agg(f, w, argc, x, avalid, ssel, fs, fe, fempty, out_t)
+
         if f == "first_value":
             first_idx = K.segment_min(jnp.where(avalid, iota.astype(jnp.int32), jnp.int32(2**31 - 1)),
                                       seg, avalid, G)
@@ -271,6 +438,77 @@ class WindowExec(PhysicalPlan):
             return DeviceColumn(s.astype(sdt.np_dtype()), (c > 0) & ssel, sdt)
 
         raise PlanError(f"window function {f!r} not implemented")
+
+    def _frame_agg(self, f, w, argc, x, avalid, ssel, fs, fe, fempty, out_t):
+        """Aggregate over explicit per-row frames [fs, fe] (sorted positions).
+
+        sum/count/avg: inclusive prefix-sum differences (frames never cross
+        partitions, so one global cumsum suffices). min/max: doubling
+        sparse-table reduction (_range_reduce). first/last/nth_value: direct
+        indexing. TPU analog of the reference's per-frame accumulator loop
+        (physical-plan/src/windows/window_agg_exec.rs)."""
+        cap = x.shape[0]
+        live = ~fempty
+        fsc = jnp.clip(fs, 0, cap - 1).astype(jnp.int32)
+        fec = jnp.clip(fe, 0, cap - 1).astype(jnp.int32)
+        iota = jnp.arange(cap, dtype=jnp.int64)
+
+        cnt_cs = jnp.cumsum(avalid.astype(jnp.int64))
+        c = jnp.where(live, cnt_cs[fec] - cnt_cs[fsc] + avalid[fsc].astype(jnp.int64), 0)
+
+        if f in ("sum", "avg", "count"):
+            acc = jnp.where(avalid, x, jnp.zeros_like(x))
+            if acc.dtype == jnp.bool_:
+                acc = acc.astype(jnp.int64)
+            cs = jnp.cumsum(acc)
+            s = jnp.where(live, cs[fec] - cs[fsc] + acc[fsc], jnp.zeros_like(acc))
+            if f == "count":
+                return DeviceColumn(c.astype(jnp.int64), None, T.INT64)
+            if f == "avg":
+                arg_scale = 10.0 ** argc.dtype.scale if argc.dtype.is_decimal else 1.0
+                a = (s.astype(jnp.float64) / arg_scale) / jnp.maximum(c, 1).astype(jnp.float64)
+                return DeviceColumn(a, (c > 0) & ssel, T.FLOAT64)
+            return DeviceColumn(s.astype(out_t.np_dtype()), (c > 0) & ssel, out_t)
+
+        if f in ("min", "max"):
+            ident = K._max_ident(x.dtype) if f == "min" else K._min_ident(x.dtype)
+            xm = jnp.where(avalid, x, ident)
+            vals = _range_reduce(xm, fs, fe, fempty, f == "min", ident)
+            return DeviceColumn(vals, (c > 0) & ssel, argc.dtype, argc.dictionary)
+
+        if f in ("first_value", "last_value"):
+            # first/last *valid* value inside the frame (consistent with the
+            # default-frame path: NaN/NULL arguments are skipped)
+            if f == "first_value":
+                nxt = -jax.lax.cummax(
+                    jnp.where(avalid, -iota, -(cap + 1))[::-1])[::-1]
+                idx = nxt[fsc]
+                ok = live & (idx <= fe)
+            else:
+                prv = jax.lax.cummax(jnp.where(avalid, iota, -jnp.ones_like(iota)))
+                idx = prv[fec]
+                ok = live & (idx >= fs)
+            idxc = jnp.clip(idx, 0, cap - 1).astype(jnp.int32)
+            return DeviceColumn(x[idxc], ok & ssel, argc.dtype, argc.dictionary)
+
+        if f == "nth_value":
+            n = int(_lit(w.args[1]))
+            idx = fs + (n - 1)
+            ok = live & (idx <= fe)
+            idxc = jnp.clip(idx, 0, cap - 1).astype(jnp.int32)
+            return DeviceColumn(x[idxc], ok & avalid[idxc] & ssel,
+                                argc.dtype, argc.dictionary)
+
+        raise PlanError(f"window function {f!r} not supported with an explicit frame")
+
+
+def _norm_frame(frame):
+    """Fold a frame equal to the SQL default (RANGE UNBOUNDED PRECEDING ..
+    CURRENT ROW) to None so it shares the default compiled path."""
+    if frame is not None and (frame.units, frame.start_kind, frame.end_kind) == (
+            "range", "unbounded_preceding", "current_row"):
+        return None
+    return frame
 
 
 def _lit(e: E.Expr):

@@ -19,7 +19,7 @@ KEYWORDS = {
     "explain", "analyze", "describe", "show", "set", "copy", "to", "stored",
     "location", "options", "header", "delimiter", "partitioned", "if",
     "replace", "any", "some", "escape", "filter", "over", "partition", "rows",
-    "range", "unbounded", "preceding", "following", "current", "row",
+    "range", "groups", "unbounded", "preceding", "following", "current", "row",
 }
 
 

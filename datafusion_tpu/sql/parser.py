@@ -713,19 +713,52 @@ class Parser:
                 for it in self.order_items():
                     order_by.append(E.SortSpec(it.expr, it.asc,
                                                it.nulls_first if it.nulls_first is not None else not it.asc))
-            # frame clause: parsed and ignored (default frames supported)
-            while not self.at("op", ")"):
-                self.next()
+            frame = self._window_frame()
             self.expect_op(")")
-            over = (tuple(partition_by), tuple(order_by))
+            over = (tuple(partition_by), tuple(order_by), frame)
 
         if over is not None:
-            return E.WindowFunction(fname, tuple(args), over[0], over[1])
+            return E.WindowFunction(fname, tuple(args), over[0], over[1], over[2])
+
         if fname in self._AGG_FNS:
             if star or (fname == "count" and not args):
                 return E.AggregateFunction("count", (), distinct)
             return E.AggregateFunction(fname, tuple(args), distinct)
         return E.ScalarFunction(fname, tuple(args))
+
+    def _window_frame(self):
+        """Frame clause: [ROWS|RANGE|GROUPS] (BETWEEN b AND b | b)
+        (reference: sqlparser window frame grammar; semantics
+        datafusion/expr/src/window_frame.rs)."""
+        units = self.eat_kw("rows", "range", "groups")
+        if units is None:
+            return None
+
+        def bound():
+            if self.eat_kw("unbounded"):
+                if self.eat_kw("preceding"):
+                    return ("unbounded_preceding", None)
+                self.expect_kw("following")
+                return ("unbounded_following", None)
+            if self.eat_kw("current"):
+                self.expect_kw("row")
+                return ("current_row", None)
+            off = self.expr()
+            if not isinstance(off, E.Literal):
+                raise ParseError("window frame offset must be a literal")
+            if self.eat_kw("preceding"):
+                return ("preceding", off.value)
+            self.expect_kw("following")
+            return ("following", off.value)
+
+        if self.eat_kw("between"):
+            s = bound()
+            self.expect_kw("and")
+            e = bound()
+        else:
+            s = bound()
+            e = ("current_row", None)
+        return E.WindowFrame(units, s[0], s[1], e[0], e[1])
 
     def _case(self) -> E.Expr:
         self.expect_kw("case")

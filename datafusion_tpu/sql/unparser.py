@@ -73,6 +73,16 @@ def expr_to_sql(e: E.Expr) -> str:
             over.append("PARTITION BY " + ", ".join(expr_to_sql(p) for p in e.partition_by))
         if e.order_by:
             over.append("ORDER BY " + ", ".join(_sort_sql(s) for s in e.order_by))
+        if e.frame is not None:
+            def _b(kind, off):
+                return {"unbounded_preceding": "UNBOUNDED PRECEDING",
+                        "current_row": "CURRENT ROW",
+                        "unbounded_following": "UNBOUNDED FOLLOWING",
+                        "preceding": f"{off} PRECEDING",
+                        "following": f"{off} FOLLOWING"}[kind]
+            over.append(f"{e.frame.units.upper()} BETWEEN "
+                        f"{_b(e.frame.start_kind, e.frame.start_offset)} AND "
+                        f"{_b(e.frame.end_kind, e.frame.end_offset)}")
         return f"{e.fname}({args}) OVER ({' '.join(over)})"
     if isinstance(e, E.SortSpec):
         return _sort_sql(e)
