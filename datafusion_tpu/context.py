@@ -16,6 +16,8 @@ from .common.schema import Field, Schema
 from .data.device import to_host
 from .data.table import Table
 from .expr import nodes as E
+from .expr.udf import (AggregateUDF, FunctionRegistry, ScalarUDF, WindowUDF,
+                       with_registry)
 from .logical import plan as L
 from .physical.planner import create_physical_plan
 from .runtime.context import ExecContext
@@ -29,6 +31,7 @@ class SessionContext:
         self.config = dict(config or {})
         self.options = ConfigOptions(self.config)
         self.device = device
+        self.functions = FunctionRegistry()
 
     # ---- registration ---------------------------------------------------
     def register_table(self, name: str, data) -> None:
@@ -67,11 +70,43 @@ class SessionContext:
     def deregister_table(self, name: str) -> None:
         self.catalog.deregister(name)
 
+    # ---- user-defined functions (reference: expr/src/udf.rs:537,
+    # SessionContext::register_udf, core/src/execution/context/mod.rs) ------
+    def register_udf(self, name: str, fn, return_type: T.DataType,
+                     nullable: bool = True) -> None:
+        """Register a scalar UDF callable from SQL and the DataFrame API.
+
+        `fn` receives one jax array per argument (vectorized over the whole
+        column; decimals arrive descaled as float64) and returns an array, or
+        an (array, validity) pair for custom NULL semantics."""
+        self.functions.register_scalar(ScalarUDF(name, fn, return_type, nullable))
+
+    def register_udaf(self, name: str, state, combine, identity, finalize,
+                      return_type: T.DataType, nullable: bool = True) -> None:
+        """Register an aggregate UDF as a commutative monoid:
+        state(x)->pytree of per-row arrays, combine(a,b)->pytree (associative),
+        identity pytree of scalars, finalize(state)->values. One segmented
+        associative scan evaluates it per group; the same combine serves as
+        the distributed Partial/Final merge (reference: udaf.rs +
+        accumulator.rs:51 state/merge_batch contract)."""
+        self.functions.register_aggregate(
+            AggregateUDF(name, state, combine, identity, finalize,
+                         return_type, nullable))
+
+    def register_udwf(self, name: str, state, combine, identity, finalize,
+                      return_type: T.DataType, nullable: bool = True) -> None:
+        """Register a window UDF (same monoid spec, evaluated as a running
+        partition-resetting scan over the default frame; reference: udwf.rs)."""
+        self.functions.register_window(
+            WindowUDF(name, state, combine, identity, finalize,
+                      return_type, nullable))
+
     # ---- plan entry points ----------------------------------------------
     def table(self, name: str) -> "DataFrame":
         provider = self.catalog.get(name)
         return DataFrame(self, L.TableScan(name, provider))
 
+    @with_registry
     def sql(self, query: str) -> "DataFrame":
         """Run one or more SQL statements; DDL executes eagerly, the last
         query statement is returned lazily as a DataFrame (reference:
@@ -197,6 +232,7 @@ class DataFrame:
         self._plan = plan
 
     # ---- builders (reference: DataFrame API + LogicalPlanBuilder) -------
+    @with_registry
     def select(self, *exprs: TyUnion[str, E.Expr]) -> "DataFrame":
         es = [E.col(e) if isinstance(e, str) else e for e in exprs]
         return DataFrame(self._ctx, L.Projection(self._plan, es))
@@ -204,6 +240,7 @@ class DataFrame:
     def filter(self, predicate: E.Expr) -> "DataFrame":
         return DataFrame(self._ctx, L.Filter(self._plan, predicate))
 
+    @with_registry
     def aggregate(self, group_by: Sequence[E.Expr], aggs: Sequence[E.Expr]) -> "DataFrame":
         return DataFrame(self._ctx, L.Aggregate(self._plan, list(group_by), list(aggs)))
 
@@ -242,6 +279,7 @@ class DataFrame:
     def alias(self, name: str) -> "DataFrame":
         return DataFrame(self._ctx, L.SubqueryAlias(self._plan, name))
 
+    @with_registry
     def window(self, window_exprs: Sequence[E.Expr]) -> "DataFrame":
         return DataFrame(self._ctx, L.Window(self._plan, list(window_exprs)))
 
@@ -253,19 +291,23 @@ class DataFrame:
     def logical_plan(self) -> L.LogicalPlan:
         return self._plan
 
+    @with_registry
     def optimized_plan(self) -> L.LogicalPlan:
         from .optimizer.optimizer import optimize
 
         return optimize(self._plan, self._ctx.catalog)
 
+    @with_registry
     def physical_plan(self):
         return create_physical_plan(self.optimized_plan())
 
+    @with_registry
     def explain(self) -> str:
         lp = self.optimized_plan()
         pp = create_physical_plan(lp)
         return f"== Logical Plan ==\n{lp.display()}\n== Physical Plan ==\n{pp.display()}"
 
+    @with_registry
     def explain_analyze(self) -> str:
         """Execute and report per-operator metrics (reference: AnalyzeExec,
         physical-plan/src/analyze.rs:46 + EXPLAIN ANALYZE rendering)."""
@@ -291,6 +333,7 @@ class DataFrame:
         return "\n".join(lines)
 
     # ---- execution -------------------------------------------------------
+    @with_registry
     def collect(self) -> Table:
         """Execute and return a host Table. Runs through FusedQuery (one XLA
         program per query once capacities are discovered) — the same path the

@@ -94,6 +94,11 @@ def arith_result(op: E.Op, lt: T.DataType, rt: T.DataType) -> T.DataType:
 
 def aggregate_result(e: E.AggregateFunction, schema: Schema) -> Tuple[T.DataType, bool]:
     f = e.fname
+    from .udf import active_registry
+
+    udaf = active_registry().aggregate(f)
+    if udaf is not None:
+        return udaf.return_type, udaf.nullable
     if f in ("count", "approx_distinct"):
         return T.INT64, False
     if not e.args:
@@ -122,6 +127,12 @@ def aggregate_result(e: E.AggregateFunction, schema: Schema) -> Tuple[T.DataType
 
 def window_result(e: E.WindowFunction, schema: Schema) -> Tuple[T.DataType, bool]:
     f = e.fname
+    from .udf import active_registry
+
+    reg = active_registry()
+    udwf = reg.window(f) or reg.aggregate(f)
+    if udwf is not None:
+        return udwf.return_type, udwf.nullable
     if f in ("row_number", "rank", "dense_rank", "ntile", "count"):
         return T.INT64, False
     if f in ("percent_rank", "cume_dist"):
@@ -144,6 +155,11 @@ _FN_TYPES = {}
 
 
 def scalar_fn_result(e: E.ScalarFunction, schema: Schema) -> Tuple[T.DataType, bool]:
+    from .udf import active_registry
+
+    udf = active_registry().scalar(e.fname)
+    if udf is not None:
+        return udf.return_type, udf.nullable
     from ..physical.functions import scalar_function_type  # late import
 
     return scalar_function_type(e, schema)

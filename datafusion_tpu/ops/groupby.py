@@ -42,20 +42,38 @@ _ORDER_SENSITIVE = frozenset({"median", "approx_median", "percentile_cont",
                               "approx_percentile_cont", "approx_distinct"})
 
 
-def order_arg_of(specs: Sequence["AggSpec"]) -> Optional[int]:
-    """The single argument rows must be value-sorted by (distinct aggs and
-    order-statistic aggs share the same mechanism)."""
-    arg = None
-    for s in specs:
-        if s.distinct or s.fname in _ORDER_SENSITIVE:
-            if s.arg is not None:
-                if arg is not None and arg != s.arg:
-                    from ..common.errors import PlanError
+def order_arg_of(spec: "AggSpec") -> Optional[int]:
+    """The argument this spec needs rows value-sorted by (DISTINCT aggs and
+    order-statistic aggs share the mechanism), or None."""
+    if (spec.distinct or spec.fname in _ORDER_SENSITIVE) and spec.arg is not None:
+        return spec.arg
+    return None
 
-                    raise PlanError(
-                        "only one DISTINCT / order-statistic argument supported")
-                arg = s.arg
-    return arg
+
+def order_arg_buckets(specs: Sequence["AggSpec"]) -> List[Optional[int]]:
+    """Ordered unique order-arg requirements across specs. Multiple DISTINCT
+    arguments each get their own sort pass; the group segmentation is
+    identical across passes (determined by the group keys alone), so per-
+    bucket reductions align index-for-index — the TPU answer to the
+    reference's per-distinct-argument accumulator state
+    (optimizer/src/single_distinct_to_groupby.rs generalized to N)."""
+    buckets: List[Optional[int]] = []
+    for s in specs:
+        b = order_arg_of(s)
+        if b is not None and b not in buckets:
+            buckets.append(b)
+    return buckets or [None]
+
+
+def bucket_assignment(specs: Sequence["AggSpec"]) -> List[int]:
+    """Per-spec index into order_arg_buckets(specs); plain aggregates ride
+    bucket 0."""
+    buckets = order_arg_buckets(specs)
+    out = []
+    for s in specs:
+        b = order_arg_of(s)
+        out.append(buckets.index(b) if b is not None else 0)
+    return out
 
 
 def phase_sort(
@@ -123,6 +141,34 @@ def phase_sort(
         distinct_start = dstart
 
     return sg, sa, sf, ssel, seg, is_start, distinct_start, num_groups
+
+
+def phase_sort_multi(group_cols, agg_args, filters, sel, specs):
+    """One phase_sort per order-arg bucket (see order_arg_buckets)."""
+    return tuple(phase_sort(group_cols, agg_args, filters, sel, b)
+                 for b in order_arg_buckets(specs))
+
+
+def phase_reduce_multi(states, specs, num_segments):
+    """Reduce each spec against its bucket's sorted state; group key columns
+    and out_sel come from bucket 0 (group order is identical across buckets
+    since it is determined by the group keys alone)."""
+    assign = bucket_assignment(specs)
+    out_aggs: List[Optional[DeviceColumn]] = [None] * len(specs)
+    out_keys = out_sel = None
+    for bi in range(len(states)):
+        idxs = [i for i, a in enumerate(assign) if a == bi]
+        if not idxs and bi > 0:
+            continue
+        sg, sa, sf, ssel, seg, is_start, distinct_start, _ = states[bi]
+        k, a, osel = phase_reduce(sg, sa, sf, ssel, seg, is_start,
+                                  distinct_start, [specs[i] for i in idxs],
+                                  num_segments)
+        if bi == 0:
+            out_keys, out_sel = k, osel
+        for j, i in enumerate(idxs):
+            out_aggs[i] = a[j]
+    return out_keys, out_aggs, out_sel
 
 
 class SortedSegments:
@@ -421,6 +467,31 @@ def _reduce_one(spec, sa, sf, ssel, seg, is_start, distinct_start, G, group_coun
         cnt = K.segment_count(seg, dmark(), G)
         return DeviceColumn(cnt.astype(jnp.int64), None, T.INT64)
 
+    from ..expr.udf import active_registry, segmented_monoid_reduce, udf_input_array
+
+    udaf = active_registry().aggregate(f)
+    if udaf is not None:
+        if spec.distinct:
+            mask = dmark()
+        x = udf_input_array(arg)
+        if ss is not None:
+            ends = ss.ends
+        elif G == 1:
+            # global aggregate: one segment, masked rows carry the identity,
+            # so the scan value at the last slot is the full reduction
+            ends = jnp.array([x.shape[0] - 1], dtype=jnp.int32)
+        else:
+            raise PlanError(f"UDAF {f!r} requires the sorted aggregation path")
+        vals = segmented_monoid_reduce(udaf, x, mask, is_start, ends)
+        cnt = SCNT(mask)
+        validity = ((cnt > 0) & out_sel) if udaf.nullable else None
+        if udaf.return_type.is_decimal:
+            vals = jnp.round(
+                vals * (10.0 ** udaf.return_type.scale)).astype(jnp.int64)
+        else:
+            vals = vals.astype(udaf.return_type.np_dtype())
+        return DeviceColumn(vals, validity, udaf.return_type)
+
     raise PlanError(f"aggregate function {f!r} not implemented")
 
 
@@ -432,29 +503,35 @@ def global_aggregate(
     out_capacity: int,
 ) -> Tuple[List[DeviceColumn], jax.Array]:
     """No GROUP BY: reduce whole relation to one row (padded to out_capacity).
-    Implemented as a single-segment reduction so it shares _reduce_one."""
+    Implemented as a single-segment reduction so it shares _reduce_one; each
+    order-arg bucket (DISTINCT / order-statistic argument) gets its own value
+    sort, like the grouped multi-bucket path."""
     n = sel.shape[0]
-    distinct_arg = order_arg_of(specs)
-    if distinct_arg is not None:
-        _, sa, sf, ssel, seg, is_start, distinct_start, _ = phase_sort(
-            [], agg_args, filters, sel, distinct_arg
-        )
-        agg_args, filters, sel = sa, sf, ssel
-    else:
-        seg = jnp.zeros(n, dtype=jnp.int32)
-        is_start = jnp.zeros(n, dtype=bool).at[0].set(True)
-        distinct_start = None
-
     one = jnp.ones(1, dtype=bool)
-    group_count = K.segment_count(seg, sel, 1)
-    outs = []
-    for spec in specs:
-        c = _reduce_one(spec, agg_args, filters, sel, seg, is_start, distinct_start, 1, group_count, one)
-        # pad to out_capacity
-        data = jnp.zeros(out_capacity, c.data.dtype).at[0].set(c.data[0])
-        validity = None
-        if c.validity is not None:
-            validity = jnp.zeros(out_capacity, jnp.bool_).at[0].set(c.validity[0])
-        outs.append(DeviceColumn(data, validity, c.dtype, c.dictionary))
+    assign = bucket_assignment(specs)
+    outs: List[Optional[DeviceColumn]] = [None] * len(specs)
+    for bi, b in enumerate(order_arg_buckets(specs)):
+        idxs = [i for i, a in enumerate(assign) if a == bi]
+        if not idxs:
+            continue
+        if b is not None:
+            _, sa, sf, ssel, seg, is_start, distinct_start, _ = phase_sort(
+                [], agg_args, filters, sel, b
+            )
+        else:
+            sa, sf, ssel = agg_args, filters, sel
+            seg = jnp.zeros(n, dtype=jnp.int32)
+            is_start = jnp.zeros(n, dtype=bool).at[0].set(True)
+            distinct_start = None
+        group_count = K.segment_count(seg, ssel, 1)
+        for i in idxs:
+            c = _reduce_one(specs[i], sa, sf, ssel, seg, is_start,
+                            distinct_start, 1, group_count, one)
+            # pad to out_capacity
+            data = jnp.zeros(out_capacity, c.data.dtype).at[0].set(c.data[0])
+            validity = None
+            if c.validity is not None:
+                validity = jnp.zeros(out_capacity, jnp.bool_).at[0].set(c.validity[0])
+            outs[i] = DeviceColumn(data, validity, c.dtype, c.dictionary)
     out_sel = jnp.zeros(out_capacity, dtype=jnp.bool_).at[0].set(True)
     return outs, out_sel

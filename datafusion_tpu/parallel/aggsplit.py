@@ -222,7 +222,7 @@ def dense_partial_final(p, rel: DeviceRelation, axis: str, sizes,
     from ..physical.expr_compiler import eval_expr
 
     group_cols = [eval_expr(g, rel) for g in p.group_exprs]
-    _, arg_cols, filter_cols, specs, _ = p._prepare(rel)
+    _, arg_cols, filter_cols, specs = p._prepare(rel)
     if not decomposable(specs):
         return None
     sp = build_state_plan(specs, arg_cols)
@@ -274,7 +274,7 @@ def sorted_partial_final(p, rel: DeviceRelation, axis: str) -> Optional[DeviceRe
     cap = getattr(p, "_last_cap", None)
     if cap is None:
         return None
-    group_cols, arg_cols, filter_cols, specs, _ = p._prepare(rel)
+    group_cols, arg_cols, filter_cols, specs = p._prepare(rel)
     if not decomposable(specs):
         return None
     sp = build_state_plan(specs, arg_cols)

@@ -415,6 +415,11 @@ def eval_expr(e: E.Expr, rel: DeviceRelation) -> DeviceColumn:
         return _eval_case(e, rel)
     if isinstance(e, E.ScalarFunction):
         args = [eval_expr(a, rel) for a in e.args]
+        from ..expr.udf import active_registry, eval_scalar_udf
+
+        udf = active_registry().scalar(e.fname)
+        if udf is not None:
+            return eval_scalar_udf(udf, args)
         out_t, _ = infer(e, schema)
         return F.eval_scalar_function(e.fname, args, e.args, out_t, cap)
     raise PlanError(f"cannot evaluate {type(e).__name__} on device: {e!r}")

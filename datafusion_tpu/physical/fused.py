@@ -176,15 +176,12 @@ def apply_aggregate(p: P.AggregateExec, rel: DeviceRelation,
     cap = getattr(p, "_last_cap", None)
     if cap is None:
         raise ExecutionError("aggregate capacity not discovered")
-    state = p._phase_sort(rel)
-    num_groups = state[-1]
+    states = p._phase_sort(rel)
+    num_groups = states[0][-1]
     if tctx is not None:
         tctx.flags.append(num_groups > cap)
-    sg, sa, sf, ssel, seg, is_start, distinct_start, _ = state
-    _, _, _, specs, _ = p._prepare(rel)
-    out_keys, out_aggs, out_sel = G.phase_reduce(
-        sg, sa, sf, ssel, seg, is_start, distinct_start, specs, cap
-    )
+    _, _, _, specs = p._prepare(rel)
+    out_keys, out_aggs, out_sel = G.phase_reduce_multi(states, specs, cap)
     cols = [p._coerce_out(c, f)
             for c, f in zip(list(out_keys) + list(out_aggs), p.schema.fields)]
     return DeviceRelation(p.schema, tuple(cols), out_sel)

@@ -253,7 +253,6 @@ class AggregateExec(PhysicalPlan):
         arg_cols: List[DeviceColumn] = []
         filter_cols: List[jnp.ndarray] = []
         specs: List[G.AggSpec] = []
-        distinct_arg: Optional[int] = None
         arg_index: Dict = {}
         for a in aggs:
             fname = a.fname
@@ -284,19 +283,18 @@ class AggregateExec(PhysicalPlan):
             if a.filter is not None:
                 filt_i = len(filter_cols)
                 filter_cols.append(eval_predicate(a.filter, rel))
-            if a.distinct or fname in G._ORDER_SENSITIVE:
-                if distinct_arg is not None and distinct_arg != arg_i:
-                    raise PlanError("only one DISTINCT / order-statistic argument supported")
-                distinct_arg = arg_i
             specs.append(G.AggSpec(fname, arg_i, a.distinct, out_dtype, arg_dt, filt_i, extra))
-        return group_cols, arg_cols, filter_cols, specs, distinct_arg
+        return group_cols, arg_cols, filter_cols, specs
 
     def _phase_sort(self, rel: DeviceRelation):
-        group_cols, arg_cols, filter_cols, specs, distinct_arg = self._prepare(rel)
-        return G.phase_sort(group_cols, arg_cols, filter_cols, rel.sel, distinct_arg)
+        """One sorted state per order-arg bucket (multiple DISTINCT arguments
+        each sort by (keys, their arg); group segmentation is identical across
+        buckets — see ops/groupby.order_arg_buckets)."""
+        group_cols, arg_cols, filter_cols, specs = self._prepare(rel)
+        return G.phase_sort_multi(group_cols, arg_cols, filter_cols, rel.sel, specs)
 
     def _global(self, rel: DeviceRelation) -> DeviceRelation:
-        _, arg_cols, filter_cols, specs, _ = self._prepare(rel)
+        _, arg_cols, filter_cols, specs = self._prepare(rel)
         outs, out_sel = G.global_aggregate(arg_cols, filter_cols, rel.sel, specs, 128)
         cols = [self._coerce_out(c, f) for c, f in zip(outs, self.schema.fields)]
         return DeviceRelation(self.schema, tuple(cols), out_sel)
@@ -317,7 +315,11 @@ class AggregateExec(PhysicalPlan):
     DENSE_LIMIT = 16384
 
     def _dense_sizes(self, rel: DeviceRelation):
-        if any(a.distinct or a.fname in G._ORDER_SENSITIVE for a in self._agg_fns()):
+        from ..expr.udf import active_registry
+
+        if any(a.distinct or a.fname in G._ORDER_SENSITIVE
+               or active_registry().aggregate(a.fname) is not None
+               for a in self._agg_fns()):
             return None
         try:
             cols = jax.eval_shape(
@@ -418,7 +420,7 @@ class AggregateExec(PhysicalPlan):
     def _dense_transform(self, rel: DeviceRelation, sizes, ngroups,
                          pallas_mode=None):
         group_cols = [eval_expr(g, rel) for g in self.group_exprs]
-        _, arg_cols, filter_cols, specs, _ = self._prepare(rel)
+        _, arg_cols, filter_cols, specs = self._prepare(rel)
         seg, strides = self.dense_seg(group_cols, rel.sel, sizes, ngroups)
         iota_g = jnp.arange(ngroups, dtype=jnp.int32)
 
@@ -501,19 +503,18 @@ class AggregateExec(PhysicalPlan):
                 )
             return self._timed(ctx, fn, rel)
         t0 = time.perf_counter()
-        sorted_state = self._sort_fn(rel)
-        num_groups = int(sorted_state[-1])
+        sorted_states = self._sort_fn(rel)
+        num_groups = int(sorted_states[0][-1])
         cap = bucket_capacity(max(num_groups, 1))
         cap = max(cap, getattr(self, "_last_cap", 0))
         self._last_cap = cap
         if cap not in self._reduce_fns:
             specs_fn = self  # closure
 
-            def reduce_fn(state, rel_in, cap=cap):
-                sg, sa, sf, ssel, seg, is_start, distinct_start, _ = state
-                _, _, _, specs, _ = specs_fn._prepare(rel_in)
-                out_keys, out_aggs, out_sel = G.phase_reduce(
-                    sg, sa, sf, ssel, seg, is_start, distinct_start, specs, cap
+            def reduce_fn(states, rel_in, cap=cap):
+                _, _, _, specs = specs_fn._prepare(rel_in)
+                out_keys, out_aggs, out_sel = G.phase_reduce_multi(
+                    states, specs, cap
                 )
                 cols = [
                     specs_fn._coerce_out(c, f)
@@ -522,7 +523,7 @@ class AggregateExec(PhysicalPlan):
                 return DeviceRelation(specs_fn.schema, tuple(cols), out_sel)
 
             self._reduce_fns[cap] = jax.jit(reduce_fn)
-        out = self._reduce_fns[cap](sorted_state, rel)
+        out = self._reduce_fns[cap](sorted_states, rel)
         ctx.metric("AggregateExec").record(num_groups, time.perf_counter() - t0)
         return out
 

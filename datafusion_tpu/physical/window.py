@@ -437,6 +437,26 @@ class WindowExec(PhysicalPlan):
             sdt = out_t
             return DeviceColumn(s.astype(sdt.np_dtype()), (c > 0) & ssel, sdt)
 
+        from ..expr.udf import (active_registry, running_monoid_scan,
+                                udf_input_array)
+
+        reg = active_registry()
+        udwf = reg.window(f) or reg.aggregate(f)
+        if udwf is not None:
+            xin = udf_input_array(
+                DeviceColumn(x, None, argc.dtype, argc.dictionary)
+                if argc is not None else DeviceColumn(x, None, T.INT64))
+            idx = jnp.clip(peer_end, 0, cap - 1).astype(jnp.int32) \
+                if has_order else jnp.clip(
+                    iota - row_in_part + my_count - 1, 0, cap - 1
+                ).astype(jnp.int32)
+            vals = running_monoid_scan(udwf, xin, avalid, seg_start, idx)
+            cnt_run = _seg_cumsum(avalid.astype(jnp.int64), seg_start)
+            nonzero = cnt_run[idx] > 0
+            validity = (nonzero & ssel) if udwf.nullable else None
+            return DeviceColumn(vals.astype(udwf.return_type.np_dtype()),
+                                validity, udwf.return_type)
+
         raise PlanError(f"window function {f!r} not implemented")
 
     def _frame_agg(self, f, w, argc, x, avalid, ssel, fs, fe, fempty, out_t):

@@ -431,6 +431,16 @@ class SqlPlanner:
         def rec(x: E.Expr) -> E.Expr:
             if isinstance(x, E.Column):
                 return self._resolve_column(x, schema)
+            if isinstance(x, E.ScalarFunction):
+                # a registered UDAF name parses as a generic function call;
+                # promote it here so aggregate extraction sees it (reference:
+                # sql planner's FunctionRegistry lookup, sql/src/expr/
+                # function.rs)
+                from ..expr.udf import active_registry
+
+                if active_registry().aggregate(x.fname) is not None:
+                    return E.AggregateFunction(
+                        x.fname, tuple(rec(a) for a in x.args), False)
             if isinstance(x, A.SqlScalarSubquery):
                 sub = self._plan_subquery(x.query, schema)
                 return E.ScalarSubquery(sub)
