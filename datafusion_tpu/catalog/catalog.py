@@ -24,7 +24,11 @@ class TableProvider:
     def host_table(self) -> Table:
         raise NotImplementedError
 
-    def scan_device(self, ctx) -> DeviceRelation:
+    def scan_device(self, ctx, filters=(), projection=None) -> DeviceRelation:
+        """Device-resident scan. `filters`/`projection` are pushed-down hints
+        (reference: TableProvider::scan + supports_filters_pushdown,
+        catalog/src/table.rs); providers may ignore them — the engine always
+        re-applies filters exactly (Inexact pushdown semantics)."""
         raise NotImplementedError
 
     def statistics(self) -> Dict:
@@ -56,7 +60,7 @@ class MemTable(TableProvider):
     def host_table(self) -> Table:
         return self._table
 
-    def scan_device(self, ctx) -> DeviceRelation:
+    def scan_device(self, ctx, filters=(), projection=None) -> DeviceRelation:
         key = _device_key(ctx)
         if key not in self._device:
             self._device[key] = to_device(self._table,
@@ -83,7 +87,7 @@ class FileTable(TableProvider):
             self._table = self._read()
         return self._table
 
-    def scan_device(self, ctx) -> DeviceRelation:
+    def scan_device(self, ctx, filters=(), projection=None) -> DeviceRelation:
         key = _device_key(ctx)
         if key not in self._device:
             self._device[key] = to_device(self.host_table(),
@@ -91,31 +95,69 @@ class FileTable(TableProvider):
         return self._device[key]
 
 
-class ParquetTable(FileTable):
-    """Parquet scan via the Arrow C++ reader (native IO path; reference:
-    datasource-parquet/src/opener/mod.rs)."""
+class ParquetTable(TableProvider):
+    """Parquet scan through the file-group scanner (io/parquet.py): per-file
+    row-group reads, projection pushdown to disk, hive partition columns, and
+    statistics-based row-group/file pruning of pushed-down filter conjuncts
+    (reference: datasource-parquet/src/opener/mod.rs:388-593,
+    pruning/src/pruning_predicate.rs:365)."""
 
-    def _read(self) -> Table:
-        import pyarrow.parquet as pq
+    def __init__(self, path: str):
+        self.path = path
+        from ..io.parquet import ParquetDataset
 
-        paths = self._expand(self.path, (".parquet",))
-        import pyarrow as pa
+        self._ds = ParquetDataset(path)
+        self._schema: Optional[Schema] = None
+        self._table: Optional[Table] = None
+        self._device: Dict[tuple, DeviceRelation] = {}
 
-        tables = [pq.read_table(p) for p in paths]
-        at = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
-        return Table.from_arrow(at)
+    @property
+    def last_scan(self) -> Dict:
+        """Pruning counters of the most recent scan (for EXPLAIN/tests)."""
+        return self._ds.last_scan
 
-    @staticmethod
-    def _expand(path: str, exts) -> List[str]:
-        if os.path.isdir(path):
-            out = sorted(
-                os.path.join(path, f) for f in os.listdir(path)
-                if f.endswith(exts)
-            )
-            if not out:
-                raise PlanError(f"no files matching {exts} under {path}")
-            return out
-        return [path]
+    def schema(self) -> Schema:
+        if self._schema is None:
+            # footer metadata only — no data read
+            empty = Table.from_arrow(self._ds.arrow_schema().empty_table())
+            from ..common.schema import Field
+            fields = [Field(f.name, c.dtype, nullable=True)
+                      for f, c in zip(empty.schema.fields, empty.columns)]
+            self._schema = Schema(fields)
+        return self._schema
+
+    def host_table(self) -> Table:
+        if self._table is None:
+            self._table = Table.from_arrow(self._ds.read())
+        return self._table
+
+    def statistics(self) -> Dict:
+        stats = {"num_rows": self._ds.num_rows()}
+        stats["columns"] = self._ds.column_stats()
+        return stats
+
+    def scan_device(self, ctx, filters=(), projection=None) -> DeviceRelation:
+        units = tuple((p, tuple(rgs))
+                      for p, rgs in self._ds.plan_units(list(filters)))
+        proj = tuple(projection) if projection is not None else None
+        key = (_device_key(ctx), units, proj)
+        if key not in self._device:
+            at = self._ds.read(filters, projection)
+            self._device[key] = to_device(Table.from_arrow(at),
+                                          device=ctx.device if ctx else None)
+        return self._device[key]
+
+
+def _expand_files(path: str, exts) -> List[str]:
+    if os.path.isdir(path):
+        out = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.endswith(exts)
+        )
+        if not out:
+            raise PlanError(f"no files matching {exts} under {path}")
+        return out
+    return [path]
 
 
 class JsonTable(FileTable):
@@ -126,7 +168,7 @@ class JsonTable(FileTable):
         import pyarrow as pa
         import pyarrow.json as pjson
 
-        paths = ParquetTable._expand(self.path, (".json", ".ndjson", ".jsonl"))
+        paths = _expand_files(self.path, (".json", ".ndjson", ".jsonl"))
         tables = [pjson.read_json(p) for p in paths]
         at = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
         return Table.from_arrow(at)
@@ -142,7 +184,7 @@ class CsvTable(FileTable):
         import pyarrow as pa
         import pyarrow.csv as pcsv
 
-        paths = ParquetTable._expand(self.path, (".csv", ".tbl", ".txt"))
+        paths = _expand_files(self.path, (".csv", ".tbl", ".txt"))
         opts = pcsv.ParseOptions(delimiter=self.delimiter)
         ropts = pcsv.ReadOptions(autogenerate_column_names=not self.has_header)
         tables = [pcsv.read_csv(p, parse_options=opts, read_options=ropts) for p in paths]

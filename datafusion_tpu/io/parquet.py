@@ -1,0 +1,434 @@
+"""Native parquet scan path: file groups, hive partitions, row-group pruning.
+
+TPU-native redesign of the reference's parquet source (datasource-parquet/
+src/opener/mod.rs multi-stage pruning; pruning/src/pruning_predicate.rs:365
+predicate-over-statistics rewriting; datasource/src/file_scan_config/ file
+groups + partition columns). Instead of rewriting the predicate into a
+min/max-column expression evaluated over a stats record batch, pruning here
+is a host-side tri-state interval evaluation of the pushed-down filter
+conjuncts against per-row-group column statistics:
+
+    eval(pred, stats) in {TRUE, FALSE, UNKNOWN}
+      FALSE  = provably no row in the unit passes  -> skip the row group
+      TRUE   = provably every row passes           (usable for file-level
+               partition pruning and future filter elision)
+      UNKNOWN = must read
+
+Statistics values are coerced to the engine's LOGICAL value space (dates as
+days-since-epoch ints, decimals as floats, timestamps as micros) so they
+compare directly against planner literals. Hive-style `key=value` path
+segments become constant partition columns with exact (lo == hi) statistics,
+so the same evaluator prunes whole files on partition predicates."""
+from __future__ import annotations
+
+import dataclasses
+import datetime
+import decimal
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from ..common.errors import PlanError
+from ..expr import nodes as E
+
+_EPOCH = datetime.date(1970, 1, 1)
+_EPOCH_TS = datetime.datetime(1970, 1, 1)
+
+
+def _logical(v):
+    """Coerce a parquet statistics / partition value to the engine's logical
+    value space (matching planner Literal values)."""
+    if v is None:
+        return None
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.replace(tzinfo=None)
+        return int((v - _EPOCH_TS).total_seconds() * 1_000_000)
+    if isinstance(v, datetime.date):
+        return (v - _EPOCH).days
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return v
+
+
+@dataclasses.dataclass
+class ColStats:
+    lo: object          # logical-space min, or None if unknown
+    hi: object          # logical-space max, or None if unknown
+    null_count: Optional[int]
+    num_rows: int
+
+    @property
+    def has_nulls(self) -> Optional[bool]:
+        return None if self.null_count is None else self.null_count > 0
+
+    @property
+    def all_null(self) -> Optional[bool]:
+        return None if self.null_count is None else self.null_count >= self.num_rows
+
+
+TRUE, FALSE, UNKNOWN = True, False, None
+
+
+def _cmp(op: E.Op, a: ColStats, b: ColStats):
+    """Tri-state comparison of two interval stats (TRUE = every row passes,
+    FALSE = no row passes; SQL NULL never passes a filter, so nulls can only
+    demote TRUE to UNKNOWN — they never rescue FALSE)."""
+    if a.all_null or b.all_null:
+        return FALSE  # comparison with NULL is NULL -> filtered out
+    if a.lo is None or a.hi is None or b.lo is None or b.hi is None:
+        return UNKNOWN
+    nullfree = a.has_nulls is False and b.has_nulls is False
+    try:
+        if op is E.Op.LT:
+            if a.hi < b.lo:
+                return TRUE if nullfree else UNKNOWN
+            if a.lo >= b.hi:
+                return FALSE
+        elif op is E.Op.LE:
+            if a.hi <= b.lo:
+                return TRUE if nullfree else UNKNOWN
+            if a.lo > b.hi:
+                return FALSE
+        elif op is E.Op.GT:
+            if a.lo > b.hi:
+                return TRUE if nullfree else UNKNOWN
+            if a.hi <= b.lo:
+                return FALSE
+        elif op is E.Op.GE:
+            if a.lo >= b.hi:
+                return TRUE if nullfree else UNKNOWN
+            if a.hi < b.lo:
+                return FALSE
+        elif op is E.Op.EQ:
+            if a.hi < b.lo or b.hi < a.lo:
+                return FALSE
+            if a.lo == a.hi == b.lo == b.hi:
+                return TRUE if nullfree else UNKNOWN
+        elif op is E.Op.NEQ:
+            if a.hi < b.lo or b.hi < a.lo:
+                return TRUE if nullfree else UNKNOWN
+            if a.lo == a.hi == b.lo == b.hi:
+                return FALSE
+    except TypeError:
+        return UNKNOWN
+    return UNKNOWN
+
+
+def _interval(e: E.Expr, stats: Dict[str, ColStats]) -> Optional[ColStats]:
+    if isinstance(e, E.Column):
+        return stats.get(e.cname)
+    if isinstance(e, E.Literal):
+        if e.value is None:
+            return ColStats(None, None, 1, 1)  # all-null singleton
+        v = e.value
+        return ColStats(v, v, 0, 1)
+    if isinstance(e, E.BinaryOp) and e.op in (E.Op.ADD, E.Op.SUB, E.Op.MUL):
+        l = _interval(e.left, stats)
+        r = _interval(e.right, stats)
+        if l is None or r is None or None in (l.lo, l.hi, r.lo, r.hi):
+            return None
+        try:
+            if e.op is E.Op.ADD:
+                cands = [l.lo + r.lo, l.hi + r.hi]
+            elif e.op is E.Op.SUB:
+                cands = [l.lo - r.hi, l.hi - r.lo]
+            else:
+                cands = [l.lo * r.lo, l.lo * r.hi, l.hi * r.lo, l.hi * r.hi]
+        except TypeError:
+            return None
+        nc = None
+        if l.null_count is not None and r.null_count is not None:
+            nc = min(l.null_count + r.null_count, max(l.num_rows, r.num_rows))
+        return ColStats(min(cands), max(cands), nc, max(l.num_rows, r.num_rows))
+    return None
+
+
+def eval_predicate(e: E.Expr, stats: Dict[str, ColStats]):
+    """Tri-state evaluation of a filter over a scan unit's statistics."""
+    if isinstance(e, E.Literal):
+        if e.value is None:
+            return FALSE
+        return TRUE if bool(e.value) else FALSE
+    if isinstance(e, E.BinaryOp):
+        if e.op is E.Op.AND:
+            l = eval_predicate(e.left, stats)
+            r = eval_predicate(e.right, stats)
+            if l is FALSE or r is FALSE:
+                return FALSE
+            if l is TRUE and r is TRUE:
+                return TRUE
+            return UNKNOWN
+        if e.op is E.Op.OR:
+            l = eval_predicate(e.left, stats)
+            r = eval_predicate(e.right, stats)
+            if l is TRUE or r is TRUE:
+                return TRUE
+            if l is FALSE and r is FALSE:
+                return FALSE
+            return UNKNOWN
+        if e.op.is_comparison:
+            a = _interval(e.left, stats)
+            b = _interval(e.right, stats)
+            if a is None or b is None:
+                return UNKNOWN
+            return _cmp(e.op, a, b)
+        return UNKNOWN
+    if isinstance(e, E.Not):
+        inner = eval_predicate(e.expr, stats)
+        # NOT(NULL) = NULL: nulls stay non-passing under negation, so a
+        # definite TRUE flips, but FALSE may include null rows (which must
+        # not pass NOT either) — except under IS NULL, which is never NULL
+        # itself.
+        if inner is TRUE:
+            return FALSE
+        if inner is FALSE and isinstance(e.expr, E.IsNull):
+            return TRUE
+        return UNKNOWN
+    if isinstance(e, E.IsNull):
+        s = _interval(e.expr, stats)
+        if s is None:
+            return UNKNOWN
+        if s.all_null:
+            return TRUE
+        if s.has_nulls is False:
+            return FALSE
+        return UNKNOWN
+    if isinstance(e, E.Between):
+        lo = E.BinaryOp(E.Op.GE, e.expr, e.low)
+        hi = E.BinaryOp(E.Op.LE, e.expr, e.high)
+        both = E.BinaryOp(E.Op.AND, lo, hi)
+        return eval_predicate(E.Not(both) if e.negated else both, stats)
+    if isinstance(e, E.InList):
+        if e.negated:
+            return UNKNOWN
+        verdict = FALSE
+        for v in e.values:
+            r = eval_predicate(E.BinaryOp(E.Op.EQ, e.expr, v), stats)
+            if r is TRUE:
+                return TRUE
+            if r is UNKNOWN:
+                verdict = UNKNOWN
+        return verdict
+    return UNKNOWN
+
+
+# ---------------------------------------------------------------------------
+# dataset discovery + scan
+# ---------------------------------------------------------------------------
+
+
+def _parse_partition_value(raw: str):
+    if raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    try:
+        return int(raw)
+    except ValueError:
+        pass
+    try:
+        return float(raw)
+    except ValueError:
+        pass
+    return raw
+
+
+@dataclasses.dataclass
+class ScanFile:
+    path: str
+    partitions: Dict[str, object]
+
+
+def discover(path: str, exts=(".parquet",)) -> Tuple[List[ScanFile], List[str]]:
+    """Expand a file/dir into scan files, extracting hive `key=value` path
+    segments as partition columns (reference: hive partition discovery in
+    datasource/src/url.rs + listing table)."""
+    if not os.path.isdir(path):
+        return [ScanFile(path, {})], []
+    files: List[ScanFile] = []
+    pkeys: List[str] = []
+    for root, _dirs, names in sorted(os.walk(path)):
+        rel = os.path.relpath(root, path)
+        parts: Dict[str, object] = {}
+        if rel != ".":
+            for seg in rel.split(os.sep):
+                if "=" in seg:
+                    k, _, v = seg.partition("=")
+                    parts[k] = _parse_partition_value(v)
+                    if k not in pkeys:
+                        pkeys.append(k)
+        for f in sorted(names):
+            if f.endswith(exts):
+                files.append(ScanFile(os.path.join(root, f), parts))
+    if not files:
+        raise PlanError(f"no files matching {exts} under {path}")
+    return files, pkeys
+
+
+class ParquetDataset:
+    """File-group parquet scanner with row-group pruning.
+
+    Metadata (footers) is read once and cached; `read` returns an Arrow table
+    holding only the surviving row groups and requested columns, with hive
+    partition columns attached as constants."""
+
+    def __init__(self, path: str):
+        self.files, self.partition_keys = discover(path)
+        self._meta: Dict[str, object] = {}   # path -> pq.ParquetFile
+        self.last_scan: Dict[str, int] = {}
+
+    def _pf(self, path: str):
+        if path not in self._meta:
+            import pyarrow.parquet as pq
+
+            self._meta[path] = pq.ParquetFile(path)
+        return self._meta[path]
+
+    def arrow_schema(self):
+        import pyarrow as pa
+
+        base = self._pf(self.files[0].path).schema_arrow
+        fields = list(base)
+        for k in self.partition_keys:
+            v = next(f.partitions.get(k) for f in self.files
+                     if k in f.partitions)
+            if isinstance(v, int):
+                t = pa.int64()
+            elif isinstance(v, float):
+                t = pa.float64()
+            else:
+                t = pa.string()
+            fields.append(pa.field(k, t, nullable=True))
+        return pa.schema(fields)
+
+    def num_rows(self) -> int:
+        return sum(self._pf(f.path).metadata.num_rows for f in self.files)
+
+    def column_stats(self) -> Dict[str, ColStats]:
+        """Dataset-wide per-column min/max/null-count statistics from footers
+        only (reference: Statistics in common/src/stats.rs:368; consumed by
+        the cost-based join planner)."""
+        merged: Dict[str, ColStats] = {}
+        total = 0
+        for f in self.files:
+            md = self._pf(f.path).metadata
+            total += md.num_rows
+            for rg in range(md.num_row_groups):
+                for s, name in _rg_stats(md, rg):
+                    prev = merged.get(name)
+                    if prev is None:
+                        merged[name] = ColStats(s.lo, s.hi, s.null_count,
+                                                s.num_rows)
+                    else:
+                        merged[name] = _merge_stats(prev, s)
+        for name, s in merged.items():
+            merged[name] = ColStats(s.lo, s.hi, s.null_count, total)
+        return merged
+
+    # -- pruning -----------------------------------------------------------
+
+    def _unit_stats(self, f: ScanFile, rg: Optional[int]) -> Dict[str, ColStats]:
+        md = self._pf(f.path).metadata
+        out: Dict[str, ColStats] = {}
+        nrows = md.num_rows if rg is None else md.row_group(rg).num_rows
+        rgs = range(md.num_row_groups) if rg is None else (rg,)
+        for g in rgs:
+            for s, name in _rg_stats(md, g):
+                prev = out.get(name)
+                out[name] = s if prev is None else _merge_stats(prev, s)
+        for k, v in f.partitions.items():
+            out[k] = (ColStats(None, None, nrows, nrows) if v is None
+                      else ColStats(v, v, 0, nrows))
+        return out
+
+    def plan_units(self, filters: Sequence[E.Expr]) -> List[Tuple[str, List[int]]]:
+        """(path, surviving row-group ids) per file, after file-level then
+        row-group-level pruning (reference: opener/mod.rs:388-593 stages)."""
+        units: List[Tuple[str, List[int]]] = []
+        files_pruned = rgs_pruned = rgs_total = 0
+        for f in self.files:
+            md = self._pf(f.path).metadata
+            rgs_total += md.num_row_groups
+            if filters:
+                fstats = self._unit_stats(f, None)
+                if any(eval_predicate(p, fstats) is FALSE for p in filters):
+                    files_pruned += 1
+                    rgs_pruned += md.num_row_groups
+                    continue
+            keep: List[int] = []
+            for g in range(md.num_row_groups):
+                if filters:
+                    gstats = self._unit_stats(f, g)
+                    if any(eval_predicate(p, gstats) is FALSE for p in filters):
+                        rgs_pruned += 1
+                        continue
+                keep.append(g)
+            if keep:
+                units.append((f.path, keep))
+        self.last_scan = {
+            "files_total": len(self.files), "files_pruned": files_pruned,
+            "row_groups_total": rgs_total, "row_groups_pruned": rgs_pruned,
+        }
+        return units
+
+    # -- reading -----------------------------------------------------------
+
+    def read(self, filters: Sequence[E.Expr] = (),
+             columns: Optional[Sequence[str]] = None):
+        """Arrow table of surviving row groups; only `columns` are read from
+        disk (projection pushdown); partition columns are attached."""
+        import pyarrow as pa
+
+        units = self.plan_units(list(filters))
+        want_parts = [k for k in self.partition_keys
+                      if columns is None or k in columns]
+        file_cols = None
+        if columns is not None:
+            phys = set(self.arrow_schema().names) - set(self.partition_keys)
+            file_cols = [c for c in columns if c in phys]
+        chunks = []
+        by_file = {f.path: f for f in self.files}
+        for path, rgs in units:
+            pf = self._pf(path)
+            t = pf.read_row_groups(rgs, columns=file_cols)
+            for k in want_parts:
+                v = by_file[path].partitions.get(k)
+                arr = pa.nulls(t.num_rows) if v is None else pa.array(
+                    [v] * t.num_rows)
+                t = t.append_column(k, arr)
+            chunks.append(t)
+        if not chunks:
+            sch = self.arrow_schema()
+            if columns is not None:
+                sch = pa.schema([sch.field(c) for c in columns])
+            return sch.empty_table()
+        return pa.concat_tables(chunks, promote_options="default")
+
+
+def _merge_stats(a: ColStats, b: ColStats) -> ColStats:
+    lo = None if (a.lo is None or b.lo is None) else min(a.lo, b.lo)
+    hi = None if (a.hi is None or b.hi is None) else max(a.hi, b.hi)
+    nc = None if (a.null_count is None or b.null_count is None) else \
+        a.null_count + b.null_count
+    return ColStats(lo, hi, nc, a.num_rows + b.num_rows)
+
+
+def _rg_stats(md, rg: int):
+    """Yield (ColStats, column name) for each leaf column of row group rg."""
+    g = md.row_group(rg)
+    for ci in range(g.num_columns):
+        col = g.column(ci)
+        name = col.path_in_schema
+        if "." in name:
+            continue  # nested leaves: no pruning support
+        st = col.statistics
+        if st is None:
+            yield ColStats(None, None, None, g.num_rows), name
+            continue
+        lo = _logical(st.min) if st.has_min_max else None
+        hi = _logical(st.max) if st.has_min_max else None
+        nc = st.null_count if st.has_null_count else None
+        yield ColStats(lo, hi, nc, g.num_rows), name

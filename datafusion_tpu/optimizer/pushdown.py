@@ -85,6 +85,16 @@ def _push_filter_node(plan: L.LogicalPlan) -> L.LogicalPlan:
     if isinstance(child, L.Join):
         return _push_into_join(conjuncts, child)
 
+    if isinstance(child, L.TableScan):
+        # sink conjuncts into the scan: providers use them for file/row-group
+        # pruning (inexact), and the physical planner re-applies each as an
+        # exact FilterExec above the scan (reference: push_down_filter.rs
+        # TableScan case + TableProviderFilterPushDown::Inexact)
+        merged = list(child.filters)
+        merged.extend(c for c in conjuncts if c not in merged)
+        return L.TableScan(child.name, child.source, child.projection,
+                           merged, child.alias)
+
     if isinstance(child, L.SubqueryAlias):
         # cannot cross alias boundary without re-qualification; leave.
         return plan

@@ -81,14 +81,17 @@ class PhysicalPlan:
 
 
 class ScanExec(PhysicalPlan):
-    def __init__(self, provider, schema: Schema, projection: Optional[List[str]], alias: str):
+    def __init__(self, provider, schema: Schema, projection: Optional[List[str]],
+                 alias: str, filters: Tuple[E.Expr, ...] = ()):
         self.provider = provider
         self.schema = schema
         self.projection = projection
         self.alias = alias
+        self.filters = tuple(filters)  # pushed-down pruning hints (inexact)
 
     def execute(self, ctx: ExecContext) -> DeviceRelation:
-        rel = self.provider.scan_device(ctx)
+        rel = self.provider.scan_device(ctx, filters=self.filters,
+                                        projection=self.projection)
         # select/rename columns to match the (qualified, possibly projected) schema
         cols = []
         src = {f.name: c for f, c in zip(rel.schema.fields, rel.columns)}
@@ -97,7 +100,8 @@ class ScanExec(PhysicalPlan):
         return DeviceRelation(self.schema, tuple(cols), rel.sel)
 
     def _line(self):
-        return f"ScanExec: {self.alias}"
+        f = f" pushdown={len(self.filters)}" if self.filters else ""
+        return f"ScanExec: {self.alias}{f}"
 
 
 class FilterExec(PhysicalPlan):

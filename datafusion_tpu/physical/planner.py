@@ -54,7 +54,9 @@ def _create(plan: L.LogicalPlan, _memo) -> P.PhysicalPlan:
         return _self.create_physical_plan(p, _memo)
 
     if isinstance(plan, L.TableScan):
-        node: P.PhysicalPlan = P.ScanExec(plan.source, plan.schema, plan.projection, plan.alias)
+        node: P.PhysicalPlan = P.ScanExec(plan.source, plan.schema,
+                                          plan.projection, plan.alias,
+                                          plan.filters)
         for f in plan.filters:
             node = P.FilterExec(node, f)
         return node
