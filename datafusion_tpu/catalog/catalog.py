@@ -39,6 +39,31 @@ class TableProvider:
         except Exception:
             return {}
 
+    def scan_chunks(self, ctx, filters=(), projection=None, chunk_rows=1 << 20):
+        """Yield capacity-bounded device chunks of this table (out-of-core
+        scan; reference analog: partitioned FileStream batches). Every chunk
+        shares ONE capacity, one dictionary per string column, and one bounds
+        tuple per column, so jitted per-chunk transforms compile exactly once.
+        Default: slice the host table."""
+        from ..common.schema import Schema
+        from ..data.device import bucket_capacity, table_bounds, to_device
+
+        t = self.host_table()
+        if projection is not None:
+            idxs = [t.schema.index_of(c) for c in projection]
+            t = type(t)(Schema([t.schema.fields[i] for i in idxs]),
+                        [t.columns[i] for i in idxs])
+        bounds = table_bounds(t)
+        cap = bucket_capacity(min(max(chunk_rows, 1), max(t.num_rows, 1)))
+        device = ctx.device if ctx else None
+        if t.num_rows == 0:
+            yield to_device(t, capacity=cap, device=device, bounds=bounds)
+            return
+        for start in range(0, t.num_rows, cap):
+            yield to_device(t, capacity=cap, device=device,
+                            row_range=(start, min(start + cap, t.num_rows)),
+                            bounds=bounds)
+
 
 def _device_key(ctx) -> str:
     d = getattr(ctx, "device", None)
@@ -110,6 +135,7 @@ class ParquetTable(TableProvider):
         self._schema: Optional[Schema] = None
         self._table: Optional[Table] = None
         self._device: Dict[tuple, DeviceRelation] = {}
+        self._chunk_dicts: Dict[str, object] = {}
 
     @property
     def last_scan(self) -> Dict:
@@ -146,6 +172,76 @@ class ParquetTable(TableProvider):
             self._device[key] = to_device(Table.from_arrow(at),
                                           device=ctx.device if ctx else None)
         return self._device[key]
+
+    def _shared_dictionary(self, name: str):
+        """One interned Dictionary per string column for chunked scans (see
+        ParquetDataset.global_dictionary; identity-stable across chunks)."""
+        if name not in self._chunk_dicts:
+            import numpy as np
+
+            from ..data.column import Dictionary
+
+            if name in self._ds.partition_keys:
+                vals = np.array(sorted({str(f.partitions[name])
+                                        for f in self._ds.files
+                                        if f.partitions.get(name) is not None}),
+                                dtype=object)
+            else:
+                vals = self._ds.global_dictionary(name)
+            self._chunk_dicts[name] = None if vals is None else Dictionary(vals)
+        return self._chunk_dicts[name]
+
+    def _chunk_bounds(self, table: Table):
+        """Dataset-wide device-rep bounds per chunk column (from footer
+        statistics only), identical for every chunk."""
+        stats = self._ds.column_stats()
+        out = []
+        for f, _c in zip(table.schema.fields, table.columns):
+            s = stats.get(f.name)
+            b = None
+            if s is not None and s.lo is not None and s.hi is not None:
+                try:
+                    if f.dtype.is_decimal:
+                        k = 10 ** f.dtype.scale
+                        b = (min(int(round(s.lo * k)), 0), max(int(round(s.hi * k)), 0))
+                    elif f.dtype.is_integer or f.dtype.is_temporal:
+                        b = (min(int(s.lo), 0), max(int(s.hi), 0))
+                except (TypeError, ValueError):
+                    b = None
+            out.append(b)
+        return out
+
+    def scan_chunks(self, ctx, filters=(), projection=None, chunk_rows=1 << 20):
+        """Out-of-core parquet scan: batches of pruned row groups stream from
+        disk one at a time; string columns are re-encoded onto dataset-global
+        dictionaries and bounds come from footer statistics, so all chunks
+        share identical static metadata (one compile per transform)."""
+        from ..data.device import bucket_capacity, to_device
+
+        batches = self._ds.chunk_units(list(filters), max(chunk_rows, 1))
+        cap = bucket_capacity(max(chunk_rows, 1))
+        device = ctx.device if ctx else None
+        if not batches:
+            at = self._ds.read(filters, projection)  # empty, schema-correct
+            yield to_device(Table.from_arrow(at), device=device)
+            return
+        bounds = None
+        for units in batches:
+            t = Table.from_arrow(self._ds.read_units(units, projection))
+            cols = []
+            for f, c in zip(t.schema.fields, t.columns):
+                if f.dtype.is_string:
+                    shared = self._shared_dictionary(f.name)
+                    if shared is not None:
+                        c = c.remap_dictionary(shared)
+                cols.append(c)
+            t = Table(t.schema, cols)
+            if bounds is None:
+                bounds = self._chunk_bounds(t)
+            for start in range(0, t.num_rows, cap):
+                yield to_device(t, capacity=cap, device=device,
+                                row_range=(start, min(start + cap, t.num_rows)),
+                                bounds=bounds)
 
 
 def _expand_files(path: str, exts) -> List[str]:

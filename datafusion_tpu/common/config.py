@@ -56,6 +56,15 @@ _opt("execution.spill_dir", "",
      "Directory for host->disk spill files (empty = host RAM only).")
 _opt("execution.use_fused_queries", True,
      "Compile whole plans into a single XLA program after capacity discovery.")
+_opt("execution.out_of_core", "auto",
+     "off|auto|on: chunked out-of-core execution. Scans stream in bounded "
+     "chunks; aggregations merge Partial states across chunks; accumulated "
+     "intermediates spill to host under memory-pool pressure. 'auto' engages "
+     "when a memory limit is set and the estimated scan size exceeds half "
+     "of it.")
+_opt("execution.chunk_rows", 1 << 21,
+     "Target rows per scan chunk for out-of-core execution (capacities are "
+     "padded to the enclosing power of two).")
 _opt("execution.collect_metrics", True,
      "Record per-operator elapsed/memory metrics (EXPLAIN ANALYZE).")
 

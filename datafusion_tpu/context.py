@@ -339,10 +339,39 @@ class DataFrame:
         program per query once capacities are discovered) — the same path the
         benchmarks use; per-operator dispatch remains as the discovery pass
         and the fallback for non-fusible plans (reference analog:
-        physical_plan::collect, physical-plan/src/common.rs:43)."""
+        physical_plan::collect, physical-plan/src/common.rs:43). Workloads
+        that exceed the configured memory limit run through the chunked
+        out-of-core executor instead (physical/chunked.py)."""
         ctx = self._ctx.exec_context()
+        cq = self._chunked_query(ctx)
+        if cq is not None:
+            return cq.collect(ctx)
         rel = self._fused_query().execute(ctx)
         return to_host(rel)
+
+    def _chunked_query(self, ctx):
+        """ChunkedQuery when out-of-core execution applies (config 'on', or
+        'auto' with a bounded memory pool whose limit the estimated scan size
+        would bust), else None."""
+        mode = str(ctx.opt("execution.out_of_core", "auto")).lower()
+        if mode in ("off", "false", "0", "none"):
+            return None
+        if getattr(self, "_cq", None) is not None:
+            return self._cq
+        from .physical.chunked import ChunkedQuery, estimate_scan_bytes
+
+        chunk_rows = int(ctx.opt("execution.chunk_rows", 1 << 21) or (1 << 21))
+        if mode in ("on", "true", "1"):
+            self._cq = ChunkedQuery(self.physical_plan(), chunk_rows)
+            return self._cq
+        limit = ctx.memory_pool.headroom()
+        if limit is None:
+            return None
+        plan = self.physical_plan()
+        if estimate_scan_bytes(plan) <= ctx.memory_pool.limit // 2:
+            return None
+        self._cq = ChunkedQuery(plan, chunk_rows)
+        return self._cq
 
     def _fused_query(self):
         if getattr(self, "_fq", None) is None:

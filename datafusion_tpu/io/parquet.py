@@ -278,6 +278,7 @@ class ParquetDataset:
     def __init__(self, path: str):
         self.files, self.partition_keys = discover(path)
         self._meta: Dict[str, object] = {}   # path -> pq.ParquetFile
+        self._global_dicts: Dict[str, object] = {}
         self.last_scan: Dict[str, int] = {}
 
     def _pf(self, path: str):
@@ -376,24 +377,28 @@ class ParquetDataset:
 
     # -- reading -----------------------------------------------------------
 
-    def read(self, filters: Sequence[E.Expr] = (),
-             columns: Optional[Sequence[str]] = None):
-        """Arrow table of surviving row groups; only `columns` are read from
-        disk (projection pushdown); partition columns are attached."""
-        import pyarrow as pa
-
-        units = self.plan_units(list(filters))
+    def _split_columns(self, columns):
+        """(physical file columns, wanted partition keys) for a projection."""
         want_parts = [k for k in self.partition_keys
                       if columns is None or k in columns]
         file_cols = None
         if columns is not None:
             phys = set(self.arrow_schema().names) - set(self.partition_keys)
             file_cols = [c for c in columns if c in phys]
+        return file_cols, want_parts
+
+    def read_units(self, units: Sequence[Tuple[str, List[int]]],
+                   columns: Optional[Sequence[str]] = None):
+        """Arrow table of the given (path, row-group ids) units; only
+        `columns` are read from disk; partition columns attached."""
+        import pyarrow as pa
+
+        file_cols, want_parts = self._split_columns(columns)
         chunks = []
         by_file = {f.path: f for f in self.files}
         for path, rgs in units:
             pf = self._pf(path)
-            t = pf.read_row_groups(rgs, columns=file_cols)
+            t = pf.read_row_groups(list(rgs), columns=file_cols)
             for k in want_parts:
                 v = by_file[path].partitions.get(k)
                 arr = pa.nulls(t.num_rows) if v is None else pa.array(
@@ -406,6 +411,67 @@ class ParquetDataset:
                 sch = pa.schema([sch.field(c) for c in columns])
             return sch.empty_table()
         return pa.concat_tables(chunks, promote_options="default")
+
+    def read(self, filters: Sequence[E.Expr] = (),
+             columns: Optional[Sequence[str]] = None):
+        """Arrow table of surviving row groups; only `columns` are read from
+        disk (projection pushdown); partition columns are attached."""
+        return self.read_units(self.plan_units(list(filters)), columns)
+
+    def chunk_units(self, filters: Sequence[E.Expr],
+                    target_rows: int) -> List[List[Tuple[str, List[int]]]]:
+        """Group surviving scan units into batches of ~target_rows, splitting
+        per row group (the natural IO granule) so each batch reads bounded
+        memory. Chunked scans iterate these (reference analog: FileStream over
+        file groups, datasource/src/file_stream.rs)."""
+        batches: List[List[Tuple[str, List[int]]]] = []
+        cur: List[Tuple[str, List[int]]] = []
+        cur_rows = 0
+        for path, rgs in self.plan_units(list(filters)):
+            md = self._pf(path).metadata
+            for rg in rgs:
+                n = md.row_group(rg).num_rows
+                if cur and cur_rows + n > target_rows:
+                    batches.append(cur)
+                    cur, cur_rows = [], 0
+                if cur and cur[-1][0] == path:
+                    cur[-1][1].append(rg)
+                else:
+                    cur.append((path, [rg]))
+                cur_rows += n
+        if cur:
+            batches.append(cur)
+        return batches
+
+    def global_dictionary(self, column: str) -> Optional["np.ndarray"]:
+        """Sorted unique values of a string column across the whole dataset,
+        streamed one row group at a time (bounded host memory). Chunked scans
+        encode every chunk against this ONE dictionary so the static column
+        metadata (pytree aux) is identical across chunks -- without it each
+        chunk would carry its own dictionary and recompile every kernel."""
+        if column in self._global_dicts:
+            return self._global_dicts[column]
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        uniq: Optional[pa.Array] = None
+        for f in self.files:
+            pf = self._pf(f.path)
+            if column not in pf.schema_arrow.names:
+                self._global_dicts[column] = None
+                return None
+            for rg in range(pf.metadata.num_row_groups):
+                col = pf.read_row_groups([rg], columns=[column]).column(0)
+                u = pc.unique(col.combine_chunks())
+                uniq = u if uniq is None else pc.unique(
+                    pa.concat_arrays([uniq.cast(pa.string()), u.cast(pa.string())]))
+        vals = (np.array([], dtype=object) if uniq is None
+                else np.asarray(uniq.drop_null().to_numpy(zero_copy_only=False),
+                                dtype=object))
+        out = np.array(sorted(vals.astype(str)), dtype=object)
+        self._global_dicts[column] = out
+        return out
 
 
 def _merge_stats(a: ColStats, b: ColStats) -> ColStats:

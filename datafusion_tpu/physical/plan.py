@@ -493,6 +493,11 @@ class AggregateExec(PhysicalPlan):
 
     def execute(self, ctx: ExecContext) -> DeviceRelation:
         rel = self.input.execute(ctx)
+        return self.execute_rel(ctx, rel)
+
+    def execute_rel(self, ctx: ExecContext, rel: DeviceRelation) -> DeviceRelation:
+        """Aggregate an already-computed input relation (shared by execute()
+        and the chunked executor's materialized fallback)."""
         if not self.group_exprs:
             return self._timed(ctx, self._global_fn, rel)
         dense = self._dense_sizes(rel)
@@ -580,12 +585,21 @@ class JoinExec(PhysicalPlan):
         return lrel.with_sel(lrel.sel & keep)
 
     def execute(self, ctx: ExecContext) -> DeviceRelation:
-        t0 = time.perf_counter()
         jt = self.join_type
         swapped = jt in (JoinType.RIGHT, JoinType.RIGHT_SEMI, JoinType.RIGHT_ANTI)
         lplan, rplan = (self.right, self.left) if swapped else (self.left, self.right)
         lrel = lplan.execute(ctx)
         rrel = rplan.execute(ctx)
+        return self.execute_rels(ctx, lrel, rrel)
+
+    def execute_rels(self, ctx: ExecContext, lrel: DeviceRelation,
+                     rrel: DeviceRelation) -> DeviceRelation:
+        """Run the join over already-normalized (probe, build) relations
+        (probe = left side after RIGHT-flavor mirroring). Shared by execute()
+        and the chunked out-of-core executor, which streams probe chunks."""
+        t0 = time.perf_counter()
+        jt = self.join_type
+        swapped = jt in (JoinType.RIGHT, JoinType.RIGHT_SEMI, JoinType.RIGHT_ANTI)
         if swapped:
             # re-express as the mirrored left-flavored join
             jt = {JoinType.RIGHT: JoinType.LEFT, JoinType.RIGHT_SEMI: JoinType.LEFT_SEMI,

@@ -39,6 +39,16 @@ class MemoryPool:
     def top_consumers(self, k: int = 5) -> List[tuple]:
         return sorted(self.by_consumer.items(), key=lambda kv: -kv[1])[:k]
 
+    def headroom(self) -> Optional[int]:
+        """Bytes available before the limit (None = unbounded). Cooperative
+        consumers (the chunked executor) check this to merge/spill BEFORE
+        try_grow would raise."""
+        return None
+
+    @property
+    def bounded(self) -> bool:
+        return self.headroom() is not None
+
 
 class GreedyMemoryPool(MemoryPool):
     """Bounded pool: first-come-first-served up to the limit
@@ -47,6 +57,9 @@ class GreedyMemoryPool(MemoryPool):
     def __init__(self, limit_bytes: int):
         super().__init__()
         self.limit = limit_bytes
+
+    def headroom(self) -> Optional[int]:
+        return max(0, self.limit - self.reserved)
 
     def try_grow(self, consumer: str, additional: int) -> None:
         if self.reserved + additional > self.limit:

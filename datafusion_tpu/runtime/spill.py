@@ -73,6 +73,14 @@ class SpillManager:
         self.spill_count = 0
         self.spilled_bytes = 0
 
+    def record_offload(self, nbytes: int) -> None:
+        """Account a device->host offload whose host copy is managed by the
+        caller (external sort / host-distinct runs: the chunk leaves HBM to be
+        merged host-side later -- the ExternalSorter spill pattern,
+        sorts/sort.rs:210 -- but lives on as a host Table, not an .npz)."""
+        self.spill_count += 1
+        self.spilled_bytes += int(nbytes)
+
     def spill(self, rel: DeviceRelation) -> SpilledRelation:
         arrays = {"sel": np.asarray(rel.sel)}
         meta = []

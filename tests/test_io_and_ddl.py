@@ -63,9 +63,20 @@ def test_memory_limit_errors(ctx):
     from datafusion_tpu.common.errors import ResourceExhausted
 
     ctx.config["memory_limit_bytes"] = 64
-    with pytest.raises(ResourceExhausted) as e:
-        ctx.sql("SELECT * FROM t").collect()
-    assert "top consumers" in str(e.value)
+    # with out-of-core disabled, exceeding the pool raises with top consumers
+    ctx.config["execution.out_of_core"] = "off"
+    try:
+        with pytest.raises(ResourceExhausted) as e:
+            ctx.sql("SELECT * FROM t").collect()
+        assert "top consumers" in str(e.value)
+        # default (auto) engages the chunked executor: same query succeeds by
+        # streaming instead of dying (spill-not-crash)
+        ctx.config["execution.out_of_core"] = "auto"
+        n = ctx.catalog.get("t").host_table().num_rows
+        assert ctx.sql("SELECT * FROM t").collect().num_rows == n
+    finally:
+        del ctx.config["memory_limit_bytes"]
+        del ctx.config["execution.out_of_core"]
 
 
 def test_spill_roundtrip(ctx):
