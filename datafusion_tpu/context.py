@@ -106,6 +106,18 @@ class SessionContext:
         provider = self.catalog.get(name)
         return DataFrame(self, L.TableScan(name, provider))
 
+    def from_substrait(self, doc) -> "DataFrame":
+        """Bind a Substrait plan (proto3-JSON dict or JSON string) against
+        this session's catalog (reference analog:
+        substrait/src/logical_plan/consumer.rs)."""
+        import json as _json
+
+        from .interchange.substrait import plan_from_substrait
+
+        if isinstance(doc, (str, bytes)):
+            doc = _json.loads(doc)
+        return DataFrame(self, plan_from_substrait(doc, self.catalog))
+
     @with_registry
     def sql(self, query: str) -> "DataFrame":
         """Run one or more SQL statements; DDL executes eagerly, the last
@@ -290,6 +302,14 @@ class DataFrame:
 
     def logical_plan(self) -> L.LogicalPlan:
         return self._plan
+
+    def to_substrait(self) -> dict:
+        """Serialize this DataFrame's logical plan to a Substrait plan
+        (proto3-JSON dict; reference analog:
+        substrait/src/logical_plan/producer.rs)."""
+        from .interchange.substrait import plan_to_substrait
+
+        return plan_to_substrait(self._plan)
 
     @with_registry
     def optimized_plan(self) -> L.LogicalPlan:

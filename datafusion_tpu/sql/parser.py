@@ -698,6 +698,19 @@ class Parser:
                 args.append(self.expr())
         self.expect_op(")")
 
+        # FILTER (WHERE pred) -- aggregate filter clause (reference:
+        # Expr::AggregateFunction.filter, datafusion/expr/src/expr.rs)
+        agg_filter = None
+        if self.at("kw", "filter"):
+            save = self.i
+            self.next()
+            if self.eat_op("("):
+                self.expect_kw("where")
+                agg_filter = self.expr()
+                self.expect_op(")")
+            else:
+                self.i = save  # bare identifier named "filter"
+
         over = None
         if self.eat_kw("over"):
             self.expect_op("(")
@@ -722,8 +735,10 @@ class Parser:
 
         if fname in self._AGG_FNS:
             if star or (fname == "count" and not args):
-                return E.AggregateFunction("count", (), distinct)
-            return E.AggregateFunction(fname, tuple(args), distinct)
+                return E.AggregateFunction("count", (), distinct, agg_filter)
+            return E.AggregateFunction(fname, tuple(args), distinct, agg_filter)
+        if agg_filter is not None:
+            raise ParseError(f"FILTER clause on non-aggregate function {fname!r}")
         return E.ScalarFunction(fname, tuple(args))
 
     def _window_frame(self):
