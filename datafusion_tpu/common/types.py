@@ -40,6 +40,7 @@ class TypeKind(enum.Enum):
     STRING = "string"
     INTERVAL_DAYS = "interval_days"  # internal: calendar interval in days
     INTERVAL_MONTHS = "interval_months"
+    LIST = "list"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -47,10 +48,13 @@ class DataType:
     kind: TypeKind
     precision: Optional[int] = None  # DECIMAL only
     scale: Optional[int] = None  # DECIMAL only
+    elem: Optional["DataType"] = None  # LIST only: element type
 
     def __repr__(self) -> str:
         if self.kind is TypeKind.DECIMAL:
             return f"Decimal({self.precision},{self.scale})"
+        if self.kind is TypeKind.LIST:
+            return f"List({self.elem!r})"
         return self.kind.value
 
     # ---- classification -------------------------------------------------
@@ -83,6 +87,10 @@ class DataType:
     def is_string(self) -> bool:
         return self.kind is TypeKind.STRING
 
+    @property
+    def is_list(self) -> bool:
+        return self.kind is TypeKind.LIST
+
     # ---- device representation -----------------------------------------
     def np_dtype(self) -> np.dtype:
         """The numpy/JAX dtype of this logical type's device representation."""
@@ -111,6 +119,10 @@ class DataType:
             return np.dtype(np.int32)
         if k is TypeKind.NULL:
             return np.dtype(np.int32)
+        if k is TypeKind.LIST:
+            # device representation: [capacity, width] of the element's
+            # device dtype, plus per-row lengths (data/device.py)
+            return self.elem.np_dtype()
         raise NotImplementedError(k)
 
 
@@ -132,6 +144,10 @@ INTERVAL_MONTHS = DataType(TypeKind.INTERVAL_MONTHS)
 
 def decimal(precision: int, scale: int) -> DataType:
     return DataType(TypeKind.DECIMAL, precision=precision, scale=scale)
+
+
+def list_of(elem: DataType) -> DataType:
+    return DataType(TypeKind.LIST, elem=elem)
 
 
 _NUMERIC_KINDS = frozenset(

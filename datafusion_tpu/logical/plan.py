@@ -312,6 +312,40 @@ class Union(LogicalPlan):
         return f"Union: all={self.all}"
 
 
+class Unnest(LogicalPlan):
+    """Explode list expressions to rows (reference: LogicalPlan::Unnest,
+    expr/src/logical_plan/plan.rs; UnnestExec physical-plan/src/unnest.rs:65).
+    Appends one element column per expression to the input schema; each input
+    row expands to max(list lengths) rows, zipping multiple lists (shorter
+    lists pad with NULL); rows whose lists are all empty/NULL vanish."""
+
+    def __init__(self, input: LogicalPlan, unnest_exprs: Sequence[E.Expr],
+                 names: Optional[Sequence[str]] = None):
+        self.input = input
+        self.unnest_exprs = tuple(unnest_exprs)
+        self.names = tuple(names) if names is not None else tuple(
+            f"__unnest{i}" for i in range(len(self.unnest_exprs)))
+        fields = list(input.schema.fields)
+        for e, nm in zip(self.unnest_exprs, self.names):
+            dt, _ = infer(e, input.schema)
+            if not dt.is_list:
+                raise PlanError(f"UNNEST argument must be a list, got {dt}")
+            fields.append(Field(nm, dt.elem, nullable=True))
+        self.schema = Schema(fields)
+
+    def children(self):
+        return (self.input,)
+
+    def with_children(self, c):
+        return Unnest(c[0], self.unnest_exprs, self.names)
+
+    def exprs(self):
+        return self.unnest_exprs
+
+    def _display_line(self):
+        return f"Unnest: {', '.join(e.name() for e in self.unnest_exprs)}"
+
+
 class Window(LogicalPlan):
     def __init__(self, input: LogicalPlan, window_exprs: Sequence[E.Expr]):
         self.input = input

@@ -72,9 +72,14 @@ def gather_columns(
     for c in cols:
         data = c.data[safe]
         validity = c.validity[safe] if c.validity is not None else None
+        lengths = c.lengths[safe] if c.lengths is not None else None
+        ev = c.elem_valid[safe] if c.elem_valid is not None else None
         if null_extend is not None:
             v = validity if validity is not None else jnp.ones_like(null_extend)
             validity = v & ~null_extend
-            data = jnp.where(null_extend, jnp.zeros_like(data), data)
-        out.append(DeviceColumn(data, validity, c.dtype, c.dictionary))
+            data = jnp.where(
+                (null_extend[:, None] if data.ndim == 2 else null_extend),
+                jnp.zeros_like(data), data)
+        out.append(DeviceColumn(data, validity, c.dtype, c.dictionary, None,
+                                lengths, ev))
     return out

@@ -363,7 +363,7 @@ class ChunkedQuery:
         if isinstance(p, (P.ValuesExec, P.EmptyExec)):
             yield p.execute(ctx)
             return
-        if isinstance(p, (P.FilterExec, P.ProjectionExec)):
+        if isinstance(p, (P.FilterExec, P.ProjectionExec, P.UnnestExec)):
             for rel in self._stream(p.input, ctx):
                 yield p._fn(rel)
             return

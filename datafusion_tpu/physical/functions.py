@@ -26,6 +26,12 @@ from ..expr import nodes as E
 from ..utils import dates as DU
 
 
+def _nested():
+    from . import nested
+
+    return nested
+
+
 # ---------------------------------------------------------------------------
 # typing
 # ---------------------------------------------------------------------------
@@ -42,6 +48,8 @@ def scalar_function_type(e: E.ScalarFunction, schema: Schema) -> Tuple[T.DataTyp
     from ..expr.typing import infer
 
     f = e.fname
+    if f in _nested().NESTED_FNS:
+        return _nested().nested_function_type(e, schema)
     argt = [infer(a, schema) for a in e.args]
     nullable = any(n for _, n in argt)
     if f in ("date_part", "extract"):
@@ -182,6 +190,9 @@ def eval_scalar_function(
     capacity: int,
 ) -> DeviceColumn:
     f = fname
+    if f in _nested().NESTED_FNS:
+        return _nested().eval_nested_function(f, args, arg_exprs, out_dtype,
+                                              capacity)
     validity = _and_validity(args)
 
     if f in ("date_part", "extract", "year", "month", "day"):

@@ -130,7 +130,7 @@ def _trace_inner(p: P.PhysicalPlan, inputs, leaf_index, tctx) -> DeviceRelation:
             return DeviceRelation(p.schema, tuple(cols), rel.sel)
         return rel
     if isinstance(p, (P.FilterExec, P.ProjectionExec, P.LimitExec, P.SortExec,
-                      P.DistinctExec)):
+                      P.DistinctExec, P.UnnestExec)):
         return p._transform(_trace(p.input, inputs, leaf_index, tctx))
     if isinstance(p, AliasExec):
         rel = _trace(p.input, inputs, leaf_index, tctx)

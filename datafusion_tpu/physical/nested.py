@@ -1,0 +1,624 @@
+"""Array (nested-type) functions.
+
+Capability analog of the reference's functions-nested crate
+(datafusion/functions-nested/src/, ~50 array functions). TPU-native design:
+a list value is a fixed max-width padded row of a 2-D [capacity, width]
+device array plus an int32 length (data/device.py DeviceColumn). Every
+function below is a static-shape vectorized transform -- per-row "dynamic"
+list sizes are just length scalars and slot masks, so the whole family jits
+into the same fused query programs as scalar expressions:
+
+  make_array          stack args along a new width axis
+  array_element       take_along_axis gather
+  array_slice/reverse shifted-iota gathers
+  array_append/...    width grows by a STATIC amount; value placed by mask
+  array_distinct/...  per-row sort + neighbor-dedup + stable compaction
+  array_union/...     width-concat + membership masks + compaction
+  string_to_array     host-side split of the (static) dictionary, device
+                      gather by code -- zero string work on device
+
+Out of scope (documented): nested list-of-list (flatten/array_ndims beyond
+depth 1), map/struct types, lambda higher-order functions.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import types as T
+from ..common.errors import PlanError
+from ..data.column import Dictionary
+from ..data.device import DeviceColumn
+from ..expr import nodes as E
+
+# every name this module evaluates (aliases included, reference:
+# functions-nested/src/lib.rs exported names)
+NESTED_FNS = {
+    "make_array", "make_list", "array", "list",
+    "array_element", "list_element", "array_extract", "list_extract",
+    "array_length", "list_length", "cardinality", "array_dims", "array_ndims",
+    "empty", "array_empty", "list_empty",
+    "array_has", "array_contains", "list_has", "list_contains",
+    "array_has_all", "array_has_any",
+    "array_position", "list_position", "array_indexof", "list_indexof",
+    "array_positions", "list_positions",
+    "array_append", "list_append", "array_push_back",
+    "array_prepend", "list_prepend", "array_push_front",
+    "array_concat", "array_cat", "list_concat", "list_cat",
+    "array_slice", "list_slice",
+    "array_reverse", "list_reverse",
+    "array_distinct", "list_distinct",
+    "array_sort", "list_sort",
+    "array_union", "array_intersect", "array_except",
+    "array_remove", "list_remove", "array_remove_all", "list_remove_all",
+    "array_remove_n", "list_remove_n",
+    "array_repeat", "list_repeat",
+    "array_resize", "list_resize",
+    "array_pop_back", "array_pop_front",
+    "array_any_value", "array_max", "array_min", "array_sum", "array_mean",
+    "range", "generate_series",
+    "string_to_array", "string_to_list", "split_part_list",
+}
+
+_CANON = {
+    "make_list": "make_array", "array": "make_array", "list": "make_array",
+    "list_element": "array_element", "array_extract": "array_element",
+    "list_extract": "array_element",
+    "list_length": "array_length",
+    "list_empty": "empty", "array_empty": "empty",
+    "array_contains": "array_has", "list_has": "array_has",
+    "list_contains": "array_has",
+    "list_position": "array_position", "array_indexof": "array_position",
+    "list_indexof": "array_position",
+    "list_positions": "array_positions",
+    "list_append": "array_append", "array_push_back": "array_append",
+    "list_prepend": "array_prepend", "array_push_front": "array_prepend",
+    "array_cat": "array_concat", "list_concat": "array_concat",
+    "list_cat": "array_concat",
+    "list_slice": "array_slice",
+    "list_reverse": "array_reverse",
+    "list_distinct": "array_distinct",
+    "list_sort": "array_sort",
+    "list_remove": "array_remove", "list_remove_all": "array_remove_all",
+    "list_remove_n": "array_remove_n",
+    "list_repeat": "array_repeat",
+    "list_resize": "array_resize",
+    "generate_series": "range",
+    "string_to_list": "string_to_array",
+}
+
+
+def canon(fname: str) -> str:
+    return _CANON.get(fname, fname)
+
+
+# ---------------------------------------------------------------------------
+# typing (hooked from functions.scalar_function_type)
+# ---------------------------------------------------------------------------
+
+
+def nested_function_type(e: E.ScalarFunction, schema) -> Tuple[T.DataType, bool]:
+    from ..expr.typing import infer
+
+    f = canon(e.fname)
+    argt = [infer(a, schema) for a in e.args]
+    nullable = any(n for _, n in argt)
+    if f == "make_array":
+        elem = T.NULL
+        for t, _ in argt:
+            elem = t if elem.kind is T.TypeKind.NULL else (
+                T.common_numeric_type(elem, t) if elem.is_numeric and t.is_numeric
+                else elem)
+        if elem.kind is T.TypeKind.NULL:
+            elem = T.INT64
+        return T.list_of(elem), False
+    if f == "array_element":
+        lt = argt[0][0]
+        _need_list(lt, f)
+        return lt.elem, True
+    if f in ("array_length", "cardinality", "array_position",
+             "array_ndims"):
+        return T.INT64, True
+    if f == "array_dims":
+        return T.list_of(T.INT64), nullable
+    if f in ("empty", "array_has", "array_has_all", "array_has_any"):
+        return T.BOOL, nullable
+    if f in ("array_append", "array_prepend"):
+        li = 0 if f == "array_append" else 1
+        lt = argt[li][0]
+        _need_list(lt, f)
+        return lt, argt[li][1]
+    if f in ("array_concat", "array_union", "array_intersect", "array_except"):
+        lt = argt[0][0]
+        _need_list(lt, f)
+        return lt, nullable
+    if f in ("array_slice", "array_reverse", "array_distinct", "array_sort",
+             "array_remove", "array_remove_all", "array_remove_n",
+             "array_resize", "array_pop_back", "array_pop_front"):
+        lt = argt[0][0]
+        _need_list(lt, f)
+        return lt, argt[0][1]
+    if f == "array_positions":
+        return T.list_of(T.INT64), nullable
+    if f == "array_repeat":
+        return T.list_of(argt[0][0]), False
+    if f in ("array_any_value", "array_max", "array_min"):
+        lt = argt[0][0]
+        _need_list(lt, f)
+        return lt.elem, True
+    if f == "array_sum":
+        lt = argt[0][0]
+        _need_list(lt, f)
+        return (lt.elem if lt.elem.is_decimal else
+                (T.INT64 if lt.elem.is_integer else T.FLOAT64)), True
+    if f == "array_mean":
+        return T.FLOAT64, True
+    if f == "range":
+        return T.list_of(T.INT64), False
+    if f == "string_to_array":
+        return T.list_of(T.STRING), True
+    raise PlanError(f"unknown nested function {e.fname!r}")
+
+
+def _need_list(t: T.DataType, f: str):
+    if not t.is_list:
+        raise PlanError(f"{f} expects a list argument, got {t}")
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _iota(cap: int, w: int) -> jnp.ndarray:
+    return jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[None, :], (cap, w))
+
+
+def _compact_rows(col: DeviceColumn, keep: jnp.ndarray) -> DeviceColumn:
+    """Stable per-row compaction: kept slots move to the front, lengths are
+    the kept counts. keep: [cap, width] bool over the ORIGINAL slot grid."""
+    keep = keep & col.slot_valid()
+    order = jnp.argsort(~keep, axis=1, stable=True)
+    data = jnp.take_along_axis(col.data, order, axis=1)
+    ev = jnp.take_along_axis(keep, order, axis=1)
+    lengths = jnp.sum(keep, axis=1, dtype=jnp.int32)
+    return DeviceColumn(data, col.validity, col.dtype, col.dictionary,
+                        None, lengths, ev)
+
+
+def _elem_eq(col: DeviceColumn, value: DeviceColumn) -> jnp.ndarray:
+    """[cap, width] mask: slot element == per-row scalar value (NULL-safe:
+    NULL never equals)."""
+    v = value.data
+    if col.dictionary is not None and value.dictionary is not None \
+            and col.dictionary is not value.dictionary:
+        # remap probe codes onto the list's dictionary (exact match or miss)
+        src = value.dictionary.values.astype(str)
+        tgt = col.dictionary.values.astype(str)
+        pos = np.searchsorted(tgt, src).clip(0, max(len(tgt) - 1, 0))
+        hit = (tgt[pos] == src) if len(tgt) else np.zeros(len(src), bool)
+        remap = np.where(hit, pos, -1).astype(np.int32)
+        v = jnp.asarray(remap)[jnp.clip(v, 0, max(len(src) - 1, 0))]
+    eq = col.data == v[:, None]
+    eq = eq & col.slot_valid()
+    eq = eq & value.valid()[:, None]
+    return eq
+
+
+def _pair_widen(a: DeviceColumn, b: DeviceColumn):
+    """Align two list columns' dictionaries (strings) for slot comparison."""
+    if a.dictionary is not None and b.dictionary is not None \
+            and a.dictionary is not b.dictionary:
+        av = a.dictionary.values.astype(str)
+        bv = b.dictionary.values.astype(str)
+        merged = np.array(sorted(set(av) | set(bv)), dtype=object)
+        d = Dictionary(merged)
+        ra = jnp.asarray(np.searchsorted(merged.astype(str), av).astype(np.int32))
+        rb = jnp.asarray(np.searchsorted(merged.astype(str), bv).astype(np.int32))
+        a = DeviceColumn(ra[jnp.clip(a.data, 0, max(len(av) - 1, 0))], a.validity,
+                         a.dtype, d, None, a.lengths, a.elem_valid)
+        b = DeviceColumn(rb[jnp.clip(b.data, 0, max(len(bv) - 1, 0))], b.validity,
+                         b.dtype, d, None, b.lengths, b.elem_valid)
+    return a, b
+
+
+def _sort_key(col: DeviceColumn, descending=False) -> jnp.ndarray:
+    """Per-slot sort key; padding/NULL slots sort last."""
+    x = col.data
+    if jnp.issubdtype(x.dtype, jnp.bool_):
+        x = x.astype(jnp.int32)
+    if descending and not jnp.issubdtype(x.dtype, jnp.floating):
+        x = -x
+    elif descending:
+        x = -x
+    big = (jnp.asarray(jnp.inf, x.dtype) if jnp.issubdtype(x.dtype, jnp.floating)
+           else jnp.asarray(jnp.iinfo(x.dtype).max, x.dtype))
+    return jnp.where(col.slot_valid(), x, big)
+
+
+def _literal_int(e: Optional[E.Expr], what: str) -> int:
+    le = e
+    while isinstance(le, (E.Alias, E.Cast)):
+        le = le.expr
+    if not isinstance(le, E.Literal) or le.value is None:
+        raise PlanError(f"{what} must be an integer literal (static width)")
+    return int(le.value)
+
+
+# ---------------------------------------------------------------------------
+# evaluation (hooked from functions.eval_scalar_function)
+# ---------------------------------------------------------------------------
+
+
+def eval_nested_function(fname: str, args: List[DeviceColumn],
+                         arg_exprs: Tuple[E.Expr, ...],
+                         out_dtype: T.DataType, cap: int) -> DeviceColumn:
+    f = canon(fname)
+
+    if f == "make_array":
+        if not args:
+            raise PlanError("make_array needs at least one argument")
+        elem = out_dtype.elem
+        datas, valids = [], []
+        dictionary = None
+        from .expr_compiler import cast_column, unify_many_string_columns
+
+        if elem.is_string:
+            args = unify_many_string_columns(list(args))
+            dictionary = args[0].dictionary
+        for a in args:
+            c = a if a.dtype == elem else cast_column(a, elem, cap)
+            datas.append(c.data)
+            valids.append(c.valid())
+        data = jnp.stack(datas, axis=1)
+        ev = jnp.stack(valids, axis=1)
+        lengths = jnp.full(cap, len(args), dtype=jnp.int32)
+        return DeviceColumn(data, None, out_dtype, dictionary, None,
+                            lengths, ev)
+
+    col = args[0]
+    if f == "array_prepend":
+        col = args[1]
+    if not col.dtype.is_list and f not in ("array_repeat", "range",
+                                           "string_to_array"):
+        raise PlanError(f"{fname} expects a list argument")
+
+    if f == "array_element":
+        idx = args[1].data.astype(jnp.int32)
+        w = col.width
+        lens = col.list_lengths()
+        j = jnp.where(idx < 0, lens + idx, idx - 1)  # 1-based; negative=from end
+        ok = (j >= 0) & (j < lens) & col.valid() & args[1].valid()
+        jc = jnp.clip(j, 0, w - 1)
+        data = jnp.take_along_axis(col.data, jc[:, None], axis=1)[:, 0]
+        sv = jnp.take_along_axis(col.slot_valid(), jc[:, None], axis=1)[:, 0]
+        return DeviceColumn(data, ok & sv, out_dtype, col.dictionary)
+
+    if f in ("array_length", "cardinality"):
+        return DeviceColumn(col.list_lengths().astype(jnp.int64),
+                            col.validity, T.INT64)
+    if f == "array_ndims":
+        return DeviceColumn(jnp.ones(cap, jnp.int64), col.validity, T.INT64)
+    if f == "array_dims":
+        lens = col.list_lengths().astype(jnp.int64)
+        return DeviceColumn(lens[:, None], col.validity, out_dtype, None,
+                            None, jnp.ones(cap, jnp.int32), None)
+    if f == "empty":
+        return DeviceColumn(col.list_lengths() == 0, col.validity, T.BOOL)
+
+    if f == "array_has":
+        eq = _elem_eq(col, args[1])
+        return DeviceColumn(jnp.any(eq, axis=1), col.validity, T.BOOL)
+
+    if f in ("array_has_all", "array_has_any"):
+        a, b = _pair_widen(col, args[1])
+        # membership of each b-slot in a: [cap, wb]
+        hit = jnp.any(
+            (b.data[:, :, None] == a.data[:, None, :])
+            & a.slot_valid()[:, None, :], axis=2) & b.slot_valid()
+        if f == "array_has_any":
+            out = jnp.any(hit, axis=1)
+        else:
+            out = jnp.all(hit | ~b.slot_valid(), axis=1)
+        return DeviceColumn(out, col.validity, T.BOOL)
+
+    if f == "array_position":
+        eq = _elem_eq(col, args[1])
+        pos = jnp.argmax(eq, axis=1).astype(jnp.int64) + 1
+        found = jnp.any(eq, axis=1)
+        return DeviceColumn(pos, found & col.valid(), T.INT64)
+
+    if f == "array_positions":
+        eq = _elem_eq(col, args[1])
+        positions = (_iota(cap, col.width) + 1).astype(jnp.int64)
+        out = DeviceColumn(positions, col.validity, out_dtype, None, None,
+                           jnp.full(cap, col.width, jnp.int32), None)
+        return _compact_rows(out, eq)
+
+    if f in ("array_append", "array_prepend"):
+        lst, val = (args[0], args[1]) if f == "array_append" else (args[1], args[0])
+        from .expr_compiler import cast_column, unify_many_string_columns
+
+        if lst.dtype.elem.is_string:
+            flat = DeviceColumn(lst.data.reshape(-1), None, T.STRING,
+                                lst.dictionary)
+            flat2, val = unify_many_string_columns([flat, val])
+            lst = DeviceColumn(flat2.data.reshape(lst.data.shape), lst.validity,
+                               lst.dtype, flat2.dictionary, None, lst.lengths,
+                               lst.elem_valid)
+        elif val.dtype != lst.dtype.elem:
+            val = cast_column(val, lst.dtype.elem, cap)
+        w = lst.width + 1
+        if f == "array_append":
+            data = jnp.concatenate(
+                [lst.data, jnp.zeros((cap, 1), lst.data.dtype)], axis=1)
+            ev = jnp.concatenate(
+                [lst.slot_valid(), jnp.zeros((cap, 1), jnp.bool_)], axis=1)
+            at = lst.list_lengths()[:, None]
+            grid = _iota(cap, w)
+            data = jnp.where(grid == at, val.data[:, None], data)
+            ev = jnp.where(grid == at, val.valid()[:, None], ev)
+        else:
+            data = jnp.concatenate([val.data[:, None], lst.data], axis=1)
+            ev = jnp.concatenate([val.valid()[:, None], lst.slot_valid()],
+                                 axis=1)
+        return DeviceColumn(data, lst.validity, out_dtype, lst.dictionary,
+                            None, lst.list_lengths() + 1, ev)
+
+    if f == "array_concat":
+        a = col
+        for b in args[1:]:
+            a, b = _pair_widen(a, b)
+            wa, wb = a.width, b.width
+            la = a.list_lengths()
+            grid = _iota(cap, wa + wb)
+            from_b = grid - la[:, None]  # >=0 -> index into b
+            gather_a = jnp.clip(grid, 0, wa - 1)
+            gather_b = jnp.clip(from_b, 0, wb - 1)
+            da = jnp.take_along_axis(a.data, gather_a, axis=1)
+            db = jnp.take_along_axis(b.data, gather_b, axis=1)
+            ea = jnp.take_along_axis(a.slot_valid(), gather_a, axis=1)
+            eb = jnp.take_along_axis(b.slot_valid(), gather_b, axis=1)
+            use_a = grid < la[:, None]
+            data = jnp.where(use_a, da, db)
+            ev = jnp.where(use_a, ea, eb)
+            a = DeviceColumn(data, None, out_dtype, a.dictionary, None,
+                             la + b.list_lengths(), ev)
+        validity = None
+        if any(c.validity is not None for c in args):
+            v = jnp.ones(cap, jnp.bool_)
+            for c in args:
+                v = v & c.valid()
+            validity = v
+        return DeviceColumn(a.data, validity, out_dtype, a.dictionary, None,
+                            a.lengths, a.elem_valid)
+
+    if f == "array_slice":
+        start = args[1].data.astype(jnp.int32)
+        stop = args[2].data.astype(jnp.int32)
+        lens = col.list_lengths()
+        start = jnp.where(start < 0, lens + start + 1, start)
+        stop = jnp.where(stop < 0, lens + stop + 1, stop)
+        start = jnp.maximum(start, 1)
+        stop = jnp.minimum(stop, lens)
+        w = col.width
+        grid = _iota(cap, w)
+        src = grid + start[:, None] - 1
+        data = jnp.take_along_axis(col.data, jnp.clip(src, 0, w - 1), axis=1)
+        ev = jnp.take_along_axis(col.slot_valid(), jnp.clip(src, 0, w - 1),
+                                 axis=1)
+        newlen = jnp.maximum(stop - start + 1, 0)
+        ev = ev & (grid < newlen[:, None])
+        return DeviceColumn(data, col.validity, out_dtype, col.dictionary,
+                            None, newlen, ev)
+
+    if f == "array_reverse":
+        w = col.width
+        lens = col.list_lengths()
+        src = lens[:, None] - 1 - _iota(cap, w)
+        srcc = jnp.clip(src, 0, w - 1)
+        data = jnp.take_along_axis(col.data, srcc, axis=1)
+        ev = jnp.take_along_axis(col.slot_valid(), srcc, axis=1) & (src >= 0)
+        return DeviceColumn(data, col.validity, out_dtype, col.dictionary,
+                            None, lens, ev)
+
+    if f in ("array_pop_back", "array_pop_front"):
+        lens = col.list_lengths()
+        grid = _iota(cap, col.width)
+        if f == "array_pop_back":
+            keep = grid < (lens - 1)[:, None]
+            return _compact_rows(col, keep)
+        keep = (grid >= 1) & (grid < lens[:, None])
+        return _compact_rows(col, keep)
+
+    if f == "array_sort":
+        desc = False
+        if len(args) > 1:
+            desc = str(_literal_str(arg_exprs[1])).lower().startswith("desc")
+        key = _sort_key(col, descending=desc)
+        order = jnp.argsort(key, axis=1, stable=True)
+        data = jnp.take_along_axis(col.data, order, axis=1)
+        ev = jnp.take_along_axis(col.slot_valid(), order, axis=1)
+        return DeviceColumn(data, col.validity, out_dtype, col.dictionary,
+                            None, col.list_lengths(), ev)
+
+    if f == "array_distinct":
+        # first-occurrence order, like the reference's array_distinct
+        out = DeviceColumn(col.data, col.validity, out_dtype, col.dictionary,
+                           None, col.lengths, col.elem_valid)
+        return _compact_rows(out, _first_occurrence(col))
+
+    if f in ("array_union", "array_intersect", "array_except"):
+        a, b = _pair_widen(col, args[1])
+        in_b = jnp.any((a.data[:, :, None] == b.data[:, None, :])
+                       & b.slot_valid()[:, None, :], axis=2)
+        first_a = _first_occurrence(a)
+        if f == "array_intersect":
+            return _compact_rows(
+                DeviceColumn(a.data, a.validity, out_dtype, a.dictionary,
+                             None, a.lengths, a.elem_valid),
+                in_b & first_a)
+        if f == "array_except":
+            return _compact_rows(
+                DeviceColumn(a.data, a.validity, out_dtype, a.dictionary,
+                             None, a.lengths, a.elem_valid),
+                ~in_b & first_a)
+        # union: a's firsts ++ b's firsts not in a
+        cat = eval_nested_function(
+            "array_concat",
+            [DeviceColumn(a.data, a.validity, a.dtype, a.dictionary, None,
+                          a.lengths, a.elem_valid),
+             DeviceColumn(b.data, b.validity, b.dtype, b.dictionary, None,
+                          b.lengths, b.elem_valid)],
+            arg_exprs, out_dtype, cap)
+        return eval_nested_function("array_distinct", [cat], arg_exprs,
+                                    out_dtype, cap)
+
+    if f in ("array_remove", "array_remove_all", "array_remove_n"):
+        eq = _elem_eq(col, args[1])
+        if f == "array_remove_all":
+            keep = ~eq
+        else:
+            n = (args[2].data.astype(jnp.int32) if f == "array_remove_n"
+                 else jnp.ones(cap, jnp.int32))
+            nth = jnp.cumsum(eq, axis=1)
+            keep = ~(eq & (nth <= n[:, None]))
+        return _compact_rows(col, keep)
+
+    if f == "array_repeat":
+        w = max(_literal_int(arg_exprs[1], "array_repeat count"), 1)
+        n = args[1].data.astype(jnp.int32)
+        data = jnp.broadcast_to(args[0].data[:, None], (cap, w))
+        ev = jnp.broadcast_to(args[0].valid()[:, None], (cap, w)) \
+            & (_iota(cap, w) < n[:, None])
+        return DeviceColumn(data, None, out_dtype, args[0].dictionary, None,
+                            jnp.clip(n, 0, w), ev)
+
+    if f == "array_resize":
+        size = max(_literal_int(arg_exprs[1], "array_resize size"), 1)
+        n = jnp.clip(args[1].data.astype(jnp.int32), 0, size)
+        w = col.width
+        grid = _iota(cap, size)
+        src = jnp.clip(grid, 0, w - 1)
+        data = jnp.take_along_axis(col.data, src, axis=1) if size != w else col.data
+        ev = jnp.take_along_axis(col.slot_valid(), src, axis=1)
+        ev = ev & (grid < col.list_lengths()[:, None])
+        if len(args) > 2:
+            fill = args[2]
+            beyond = (grid >= col.list_lengths()[:, None]) & (grid < n[:, None])
+            data = jnp.where(beyond, fill.data[:, None], data)
+            ev = ev | (beyond & fill.valid()[:, None])
+        return DeviceColumn(data, col.validity, out_dtype, col.dictionary,
+                            None, n, ev)
+
+    if f in ("array_any_value", "array_max", "array_min", "array_sum",
+             "array_mean"):
+        sv = col.slot_valid()
+        if f == "array_any_value":
+            first = _first_valid_index(sv)
+            data = jnp.take_along_axis(col.data, first[:, None], axis=1)[:, 0]
+            ok = jnp.any(sv, axis=1) & col.valid()
+            return DeviceColumn(data, ok, out_dtype, col.dictionary)
+        x = col.data
+        any_valid = jnp.any(sv, axis=1) & col.valid()
+        if f in ("array_max", "array_min"):
+            if jnp.issubdtype(x.dtype, jnp.floating):
+                neutral = -jnp.inf if f == "array_max" else jnp.inf
+            else:
+                info = jnp.iinfo(x.dtype if x.dtype != jnp.bool_ else jnp.int32)
+                neutral = info.min if f == "array_max" else info.max
+                if x.dtype == jnp.bool_:
+                    x = x.astype(jnp.int32)
+            masked = jnp.where(sv, x, neutral)
+            out = (jnp.max(masked, axis=1) if f == "array_max"
+                   else jnp.min(masked, axis=1))
+            if col.dtype.elem.kind is T.TypeKind.BOOL:
+                out = out.astype(jnp.bool_)
+            return DeviceColumn(out, any_valid, out_dtype, col.dictionary)
+        acc = jnp.sum(jnp.where(sv, x, 0).astype(
+            jnp.float64 if out_dtype.is_float else jnp.int64), axis=1)
+        if f == "array_mean":
+            cnt = jnp.sum(sv, axis=1)
+            return DeviceColumn(acc.astype(jnp.float64)
+                                / jnp.maximum(cnt, 1),
+                                any_valid & (cnt > 0), T.FLOAT64)
+        if out_dtype.is_decimal or not out_dtype.is_float:
+            return DeviceColumn(acc.astype(jnp.int64), any_valid, out_dtype)
+        return DeviceColumn(acc.astype(jnp.float64), any_valid, out_dtype)
+
+    if f == "range":
+        # range(stop) / range(start, stop[, step]); bounds must be literals
+        # (they set the STATIC list width)
+        exprs = list(arg_exprs)
+        if len(exprs) == 1:
+            lo, hi, st = 0, _literal_int(exprs[0], "range stop"), 1
+        else:
+            lo = _literal_int(exprs[0], "range start")
+            hi = _literal_int(exprs[1], "range stop")
+            st = _literal_int(exprs[2], "range step") if len(exprs) > 2 else 1
+        if st == 0:
+            raise PlanError("range step must be nonzero")
+        count = max((hi - lo + st - (1 if st > 0 else -1)) // st, 0)
+        w = max(count, 1)
+        grid = _iota(cap, w).astype(jnp.int64)
+        data = lo + grid * st
+        ev = grid < count
+        return DeviceColumn(data, None, out_dtype, None, None,
+                            jnp.full(cap, count, jnp.int32), ev)
+
+    if f == "string_to_array":
+        return _string_to_array(col, arg_exprs, out_dtype, cap)
+
+    raise PlanError(f"unhandled nested function {fname!r}")
+
+
+def _first_occurrence(a: DeviceColumn) -> jnp.ndarray:
+    """[cap, w] mask of the FIRST slot of each distinct value in each row."""
+    eqs = (a.data[:, :, None] == a.data[:, None, :]) \
+        & a.slot_valid()[:, None, :]
+    w = a.width
+    earlier = jnp.tril(jnp.ones((w, w), jnp.bool_), k=-1)[None, :, :]
+    dup = jnp.any(eqs & earlier, axis=2)
+    return a.slot_valid() & ~dup
+
+
+def _first_valid_index(sv: jnp.ndarray) -> jnp.ndarray:
+    return jnp.argmax(sv, axis=1).astype(jnp.int32)
+
+
+def _literal_str(e: E.Expr) -> str:
+    le = e
+    while isinstance(le, (E.Alias, E.Cast)):
+        le = le.expr
+    if not isinstance(le, E.Literal):
+        raise PlanError("expected a string literal")
+    return str(le.value)
+
+
+def _string_to_array(col: DeviceColumn, arg_exprs, out_dtype: T.DataType,
+                     cap: int) -> DeviceColumn:
+    """Split a string column on a literal delimiter. The dictionary is
+    static, so the splitting happens HOST-side over the distinct values; the
+    device does one gather by code (same trick as transform_dictionary)."""
+    if col.dictionary is None:
+        raise PlanError("string_to_array needs a dictionary-encoded column")
+    delim = _literal_str(arg_exprs[1])
+    vals = [str(v) for v in col.dictionary.values]
+    splits = [v.split(delim) if delim else list(v) for v in vals]
+    w = max([len(s) for s in splits] or [1]) or 1
+    pieces = sorted({p for s in splits for p in s})
+    d = Dictionary(np.array(pieces, dtype=object))
+    table = np.zeros((max(len(vals), 1), w), dtype=np.int32)
+    lens = np.zeros(max(len(vals), 1), dtype=np.int32)
+    lut = {p: i for i, p in enumerate(pieces)}
+    for i, s in enumerate(splits):
+        lens[i] = len(s)
+        for j, p in enumerate(s):
+            table[i, j] = lut[p]
+    codes = jnp.clip(col.data, 0, max(len(vals) - 1, 0))
+    data = jnp.asarray(table)[codes]
+    lengths = jnp.asarray(lens)[codes]
+    ev = _iota(cap, w) < lengths[:, None]
+    return DeviceColumn(data, col.validity, out_dtype, d, None, lengths, ev)

@@ -193,20 +193,11 @@ class SortExec(PhysicalPlan):
         for s in self.specs:
             c = eval_expr(s.expr, rel)
             keys.append((c.data, c.validity, not s.asc, s.nulls_first))
-        payload = []
-        layout = []
-        for c in rel.columns:
-            payload.append(c.data)
-            if c.validity is not None:
-                payload.append(c.validity)
-            layout.append(c.validity is not None)
+        # pack every array leaf of every column (data/validity/lengths/
+        # elem_valid -- list columns included) and gather by the permutation
+        payload, treedef = jax.tree_util.tree_flatten(rel.columns)
         sorted_payload, ssel = K.sort_rows(keys, payload, rel.sel)
-        cols = []
-        it = iter(sorted_payload)
-        for c, hasv in zip(rel.columns, layout):
-            data = next(it)
-            validity = next(it) if hasv else None
-            cols.append(DeviceColumn(data, validity, c.dtype, c.dictionary))
+        cols = jax.tree_util.tree_unflatten(treedef, sorted_payload)
         if self.fetch is not None:
             iota = jnp.arange(rel.capacity, dtype=jnp.int64)
             ssel = ssel & (iota < self.fetch)
@@ -734,6 +725,25 @@ def concat_relations(rels: List[DeviceRelation], schema: Schema) -> DeviceRelati
             from .expr_compiler import unify_many_string_columns
 
             cols = unify_many_string_columns(cols)
+        if f.dtype.is_list:
+            w = max(c.width for c in cols)
+
+            def widen(c):
+                if c.width == w:
+                    return c.data, c.slot_valid()
+                pad = [(0, 0), (0, w - c.width)]
+                return jnp.pad(c.data, pad), jnp.pad(c.slot_valid(), pad)
+
+            pieces = [widen(c) for c in cols]
+            data = jnp.concatenate([d for d, _ in pieces])
+            ev = jnp.concatenate([v for _, v in pieces])
+            lengths = jnp.concatenate([c.list_lengths() for c in cols])
+            any_valid = any(c.validity is not None for c in cols)
+            validity = (jnp.concatenate([c.valid() for c in cols])
+                        if any_valid else None)
+            out_cols.append(DeviceColumn(data, validity, f.dtype,
+                                         cols[0].dictionary, None, lengths, ev))
+            continue
         data = jnp.concatenate([c.data for c in cols])
         any_valid = any(c.validity is not None for c in cols)
         validity = None
@@ -758,6 +768,75 @@ class UnionExec(PhysicalPlan):
     def execute(self, ctx: ExecContext) -> DeviceRelation:
         rels = [p.execute(ctx) for p in self.inputs]
         return self._timed(ctx, self._fn, tuple(rels))
+
+
+class UnnestExec(PhysicalPlan):
+    """Explode list expressions to rows (reference: UnnestExec,
+    physical-plan/src/unnest.rs:65). TPU-native: the output capacity is the
+    STATIC product capacity x max-width; each input row owns a width-sized
+    slot range, live slots are masked by the per-row list lengths, so the
+    explode is one reshape + repeats -- no dynamic shapes."""
+
+    def __init__(self, input: PhysicalPlan, unnest_exprs: Sequence[E.Expr],
+                 schema: Schema):
+        self.input = input
+        self.unnest_exprs = tuple(unnest_exprs)
+        self.schema = schema
+        self._fn = jax.jit(self._transform)
+
+    def children(self):
+        return (self.input,)
+
+    def _transform(self, rel: DeviceRelation) -> DeviceRelation:
+        cols = [eval_expr(e, rel) for e in self.unnest_exprs]
+        w = max(max(c.width for c in cols), 1)
+        cap = rel.capacity
+        out_cap = cap * w
+
+        def widen(c):
+            if c.width == w:
+                return c
+            pad = [(0, 0), (0, w - c.width)]
+            return DeviceColumn(jnp.pad(c.data, pad), c.validity, c.dtype,
+                                c.dictionary, None, c.list_lengths(),
+                                jnp.pad(c.slot_valid(), pad))
+
+        cols = [widen(c) for c in cols]
+        # zip semantics: each row expands to max(list lengths) slots; a NULL
+        # list contributes length 0 (rows where ALL lists are empty/NULL
+        # vanish, matching the reference's unnest)
+        def eff_len(c):
+            return jnp.where(c.valid(), c.list_lengths(), 0)
+
+        maxlen = eff_len(cols[0])
+        for c in cols[1:]:
+            maxlen = jnp.maximum(maxlen, eff_len(c))
+        slot = jnp.tile(jnp.arange(w, dtype=jnp.int32), cap)
+        sel = jnp.repeat(rel.sel, w) & (slot < jnp.repeat(maxlen, w))
+        out_cols = []
+        for c in rel.columns:  # passthrough columns repeat w times
+            data = jnp.repeat(c.data, w, axis=0)
+            validity = (None if c.validity is None
+                        else jnp.repeat(c.validity, w))
+            lengths = (None if c.lengths is None
+                       else jnp.repeat(c.lengths, w))
+            ev = (None if c.elem_valid is None
+                  else jnp.repeat(c.elem_valid, w, axis=0))
+            out_cols.append(DeviceColumn(data, validity, c.dtype,
+                                         c.dictionary, c.bounds, lengths, ev))
+        nbase = len(rel.columns)
+        for c, f in zip(cols, self.schema.fields[nbase:]):
+            data = c.data.reshape(out_cap)
+            ev = (c.slot_valid() & c.valid()[:, None]).reshape(out_cap)
+            out_cols.append(DeviceColumn(data, ev, f.dtype, c.dictionary))
+        return DeviceRelation(self.schema, tuple(out_cols), sel)
+
+    def execute(self, ctx: ExecContext) -> DeviceRelation:
+        rel = self.input.execute(ctx)
+        return self._timed(ctx, self._fn, rel)
+
+    def _line(self):
+        return f"UnnestExec: {', '.join(e.name() for e in self.unnest_exprs)}"
 
 
 class DistinctExec(PhysicalPlan):

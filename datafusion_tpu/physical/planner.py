@@ -65,10 +65,13 @@ def _create(plan: L.LogicalPlan, _memo) -> P.PhysicalPlan:
     if isinstance(plan, L.Filter):
         return P.FilterExec(create_physical_plan(plan.input), plan.predicate)
     if isinstance(plan, L.Aggregate):
+        _reject_list_keys(plan.group_exprs, plan.input.schema, "GROUP BY")
         return P.AggregateExec(
             create_physical_plan(plan.input), plan.group_exprs, plan.aggr_exprs, plan.schema
         )
     if isinstance(plan, L.Sort):
+        _reject_list_keys([s_.expr for s_ in plan.sort_specs],
+                          plan.input.schema, "ORDER BY")
         return P.SortExec(create_physical_plan(plan.input), plan.sort_specs, plan.fetch)
     if isinstance(plan, L.Limit):
         return P.LimitExec(create_physical_plan(plan.input), plan.skip, plan.fetch)
@@ -77,10 +80,14 @@ def _create(plan: L.LogicalPlan, _memo) -> P.PhysicalPlan:
         right = create_physical_plan(plan.right)
         if plan.join_type is L.JoinType.CROSS or not plan.on:
             return _cross_join(left, right, plan)
+        _reject_list_keys([l for l, _ in plan.on], plan.left.schema, "join keys")
         return P.JoinExec(left, right, plan.on, plan.join_type, plan.filter, plan.schema)
     if isinstance(plan, L.SubqueryAlias):
         return AliasExec(create_physical_plan(plan.input), plan.schema)
     if isinstance(plan, L.Distinct):
+        _reject_list_keys([E.Column(f.name, f.qualifier)
+                           for f in plan.input.schema.fields],
+                          plan.input.schema, "DISTINCT")
         return P.DistinctExec(create_physical_plan(plan.input))
     if isinstance(plan, L.Union):
         return P.UnionExec([create_physical_plan(p) for p in plan.inputs], plan.schema)
@@ -92,7 +99,24 @@ def _create(plan: L.LogicalPlan, _memo) -> P.PhysicalPlan:
         from .window import WindowExec
 
         return WindowExec(create_physical_plan(plan.input), plan.window_exprs, plan.schema)
+    if isinstance(plan, L.Unnest):
+        return P.UnnestExec(create_physical_plan(plan.input),
+                            plan.unnest_exprs, plan.schema)
     raise PlanError(f"no physical plan for {type(plan).__name__}")
+
+
+def _reject_list_keys(exprs, schema, where: str):
+    """Sort/group/join/distinct keys must be flat values: list columns have
+    no total order in the engine (the reference compares arrays
+    lexicographically; unsupported here -- unnest first)."""
+    from ..expr.typing import infer
+
+    for e in exprs:
+        dt, _ = infer(e, schema)
+        if dt.is_list:
+            raise PlanError(
+                f"list-typed expression {e.name()!r} cannot be used in "
+                f"{where}; unnest it first")
 
 
 def _cross_join(left: P.PhysicalPlan, right: P.PhysicalPlan, plan: L.Join) -> P.PhysicalPlan:

@@ -362,8 +362,14 @@ class Parser:
             if self.at_kw("select", "with") or self.at("op", "("):
                 q = self.select_stmt()
                 self.expect_op(")")
-                self.eat_kw("as")
-                alias = self.ident()
+                alias = None
+                if self.eat_kw("as"):
+                    alias = self.ident()
+                elif self.peek().kind == "ident":
+                    alias = self.next().value
+                if alias is None:
+                    self._anon_derived = getattr(self, "_anon_derived", 0) + 1
+                    alias = f"__derived{self._anon_derived}"
                 return A.Derived(q, alias)
             inner = self.table_ref()
             self.expect_op(")")
@@ -503,10 +509,17 @@ class Parser:
 
     def postfix(self) -> E.Expr:
         e = self.primary()
-        while self.at("op", "::"):
-            self.next()
-            e = E.Cast(e, self.type_name())
-        return e
+        while True:
+            if self.at("op", "::"):
+                self.next()
+                e = E.Cast(e, self.type_name())
+            elif self.at("op", "["):  # subscript: arr[i] (1-based)
+                self.next()
+                idx = self.expr()
+                self.expect_op("]")
+                e = E.ScalarFunction("array_element", (e, idx))
+            else:
+                return e
 
     def type_name(self) -> T.DataType:
         name = self.ident().lower()
@@ -547,6 +560,19 @@ class Parser:
 
     def primary(self) -> E.Expr:
         t = self.peek()
+        if t.kind == "op" and t.value == "[":  # array literal [a, b, c]
+            self.next()
+            items: List[E.Expr] = []
+            if not self.at("op", "]"):
+                items.append(self.expr())
+                while self.eat_op(","):
+                    items.append(self.expr())
+            self.expect_op("]")
+            return E.ScalarFunction("make_array", tuple(items))
+        if t.kind == "ident" and t.value.lower() == "array" \
+                and self.peek(1).kind == "op" and self.peek(1).value == "[":
+            self.next()
+            return self.primary()  # ARRAY[...] -> [...]
         if t.kind == "number":
             self.next()
             v = t.value

@@ -230,6 +230,33 @@ class SqlPlanner:
             items = [(replace_topdown(e, wmap), al) for e, al in items]
             order_items = [(replace_topdown(oe, wmap), it) for oe, it in order_items]
 
+        # 5c. select-list UNNEST extraction (reference: unnest() rewritten
+        # to LogicalPlan::Unnest, sql/src/select.rs try_process_unnest)
+        unnest_fns: List[E.Expr] = []
+
+        def collect_unnests(e: E.Expr):
+            if isinstance(e, E.ScalarFunction) and e.fname == "unnest":
+                if len(e.args) != 1:
+                    raise PlanError("unnest takes exactly one argument")
+                if e not in unnest_fns:
+                    unnest_fns.append(e)
+                return
+            for c in e.children():
+                collect_unnests(c)
+
+        for e, _ in items:
+            collect_unnests(e)
+        if unnest_fns:
+            plan = L.Unnest(plan, [u.args[0] for u in unnest_fns])
+            umap: Dict[E.Expr, E.Expr] = {}
+            nbase = len(plan.schema) - len(unnest_fns)
+            for uf, f in zip(unnest_fns, plan.schema.fields[nbase:]):
+                umap[uf] = E.Column(f.name, f.qualifier)
+            items = [(replace_topdown(e, umap),
+                      al if al is not None or e not in umap else e.name())
+                     for e, al in items]
+            order_items = [(replace_topdown(oe, umap), it) for oe, it in order_items]
+
         # 6. projection (+ hidden sort columns), DISTINCT, ORDER BY, LIMIT
         if strip_projection:
             return plan
