@@ -46,6 +46,7 @@ def simplify_rule(plan: L.LogicalPlan) -> L.LogicalPlan:
 
 def optimize(plan: L.LogicalPlan, catalog=None) -> L.LogicalPlan:
     from .decorrelate import decorrelate_rule
+    from .dedup import dedup_rule
     from .pushdown import (limit_into_sort_rule, projection_pruning_rule,
                            push_filters_rule, reorder_joins_rule)
 
@@ -53,11 +54,13 @@ def optimize(plan: L.LogicalPlan, catalog=None) -> L.LogicalPlan:
         simplify_rule,
         decorrelate_rule,
         simplify_rule,
+        dedup_rule,  # unify sub-plans duplicated by subquery lifting (Q15)
         push_filters_rule,
         reorder_joins_rule,
         push_filters_rule,
         projection_pruning_rule,
         limit_into_sort_rule,
+        dedup_rule,
     ]
     for rule in rules:
         plan = rule(plan)
