@@ -31,13 +31,20 @@ class TableProvider:
         re-applies filters exactly (Inexact pushdown semantics)."""
         raise NotImplementedError
 
-    def statistics(self) -> Dict:
-        """Row-count (and later min/max) statistics for the optimizer
-        (reference: Statistics, common/src/stats.rs:368)."""
-        try:
-            return {"num_rows": self.host_table().num_rows}
-        except Exception:
-            return {}
+    def statistics(self):
+        """Table statistics for cost-based planning (reference: Statistics,
+        common/src/stats.rs:368). Computed once from the host table (O(n)
+        vector min/max/null-count per column) and cached."""
+        cached = getattr(self, "_stats", None)
+        if cached is None:
+            from ..common.stats import Statistics, table_statistics
+
+            try:
+                cached = table_statistics(self.host_table())
+            except Exception:
+                cached = Statistics(0.0)
+            self._stats = cached
+        return cached
 
     def scan_chunks(self, ctx, filters=(), projection=None, chunk_rows=1 << 20):
         """Yield capacity-bounded device chunks of this table (out-of-core

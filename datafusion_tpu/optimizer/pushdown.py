@@ -71,6 +71,56 @@ def _factor_or(conjunct: E.Expr) -> List[E.Expr]:
     return out
 
 
+def _implied_from_or(e: E.Expr) -> List[E.Expr]:
+    """Derive pushable single-column predicates implied by an OR: if every
+    disjunct constrains column c, then OR(per-disjunct constraints on c)
+    holds for all rows.  TPC-H Q7's `(n1=F AND n2=G) OR (n1=G AND n2=F)`
+    implies n1 IN (F,G) AND n2 IN (F,G), which shrinks the nation scans
+    25x before the join chain (reference: the same extraction inside
+    EliminateCrossJoin / filter pushdown, optimizer/src/push_down_filter.rs
+    extract_or_clauses_for_filter_push analog)."""
+    disjuncts = _split_disjuncts(e)
+    if len(disjuncts) < 2:
+        return []
+    percol: List[dict] = []
+    for d in disjuncts:
+        m: dict = {}
+        for cj in split_conjuncts(d):
+            keys = {(c.qualifier, c.cname) for c in E.collect_columns(cj)}
+            if len(keys) == 1:
+                m.setdefault(keys.pop(), []).append(cj)
+        percol.append(m)
+    common = set(percol[0])
+    for m in percol[1:]:
+        common &= set(m)
+    out = []
+    for k in sorted(common, key=repr):
+        disj = None
+        for m in percol:
+            b = conjoin(m[k])
+            disj = b if disj is None else E.BinaryOp(E.Op.OR, disj, b)
+        out.append(disj)
+    return out
+
+
+def or_implication_rule(plan: L.LogicalPlan) -> L.LogicalPlan:
+    def rewrite(p: L.LogicalPlan) -> L.LogicalPlan:
+        if not isinstance(p, L.Filter):
+            return p
+        conj = split_conjuncts(p.predicate)
+        new: List[E.Expr] = []
+        for c in conj:
+            if isinstance(c, E.BinaryOp) and c.op is E.Op.OR:
+                for d in _implied_from_or(c):
+                    if d not in conj and d not in new:
+                        new.append(d)
+        if not new:
+            return p
+        return L.Filter(p.input, conjoin(conj + new))
+
+    return L.transform_up(plan, rewrite)
+
+
 def _push_filter_node(plan: L.LogicalPlan) -> L.LogicalPlan:
     if not isinstance(plan, L.Filter):
         return plan
@@ -196,64 +246,156 @@ def projection_pruning_rule(plan: L.LogicalPlan) -> L.LogicalPlan:
 
 
 def reorder_joins_rule(plan: L.LogicalPlan) -> L.LogicalPlan:
-    """Reorder chains of INNER/CROSS joins so every step is connected by an
-    equi-predicate when one exists (reference: EliminateCrossJoin,
-    optimizer/src/eliminate_cross_join.rs). The written FROM order of e.g.
-    TPC-H Q8/Q9 ('FROM part, supplier, lineitem, ...') otherwise produces a
-    part x supplier cartesian product."""
+    """Cost-based join ordering over chains of INNER/CROSS joins, with
+    semi/anti joins placed at their cheapest valid position (reference:
+    EliminateCrossJoin, optimizer/src/eliminate_cross_join.rs +
+    JoinSelection's statistics use, physical-optimizer/src/join_selection.rs).
+
+    The chain (including LEFT SEMI/ANTI links on the left spine) is
+    flattened, per-leaf cardinalities are estimated from table statistics
+    (optimizer/cost.py), and a greedy System-R-style order is chosen from
+    the best starting leaf (minimizing the sum of intermediate result
+    sizes).  Semi/anti joins are applied as soon as their left-side columns
+    are available -- e.g. TPC-H Q18's big-order semi filter runs against
+    `orders` BEFORE the customer/lineitem joins, and Q21's l2/l3 semi+anti
+    run against l1 before the supplier join."""
+    from .cost import estimate, join_cardinality, selectivity
 
     def rewrite(p: L.LogicalPlan) -> L.LogicalPlan:
-        if not isinstance(p, L.Join) or p.join_type not in (L.JoinType.INNER, L.JoinType.CROSS):
+        if not isinstance(p, L.Join) or p.join_type not in (
+                L.JoinType.INNER, L.JoinType.CROSS,
+                L.JoinType.LEFT_SEMI, L.JoinType.LEFT_ANTI):
             return p
         leaves: List[L.LogicalPlan] = []
         pairs: List[Tuple[E.Expr, E.Expr]] = []  # equi pairs (either direction)
         filters: List[E.Expr] = []
+        semis: List[Tuple] = []  # (join_type, right_plan, on, filter)
 
         def flatten(n: L.LogicalPlan):
-            if isinstance(n, L.Join) and n.join_type in (L.JoinType.INNER, L.JoinType.CROSS):
+            if isinstance(n, L.Join) and n.join_type in (L.JoinType.INNER,
+                                                         L.JoinType.CROSS):
                 flatten(n.left)
                 flatten(n.right)
                 pairs.extend(n.on)
                 if n.filter is not None:
                     filters.extend(split_conjuncts(n.filter))
+            elif isinstance(n, L.Join) and n.join_type in (
+                    L.JoinType.LEFT_SEMI, L.JoinType.LEFT_ANTI):
+                flatten(n.left)
+                semis.append((n.join_type, n.right, n.on, n.filter))
             else:
                 leaves.append(n)
 
         flatten(p)
-        if len(leaves) <= 2:
+        if len(leaves) <= 1 or (len(leaves) == 2 and not semis):
+            if len(leaves) == 1 and semis and isinstance(p, L.Join):
+                return p  # pure semi chain: already minimal
             return p
 
-        current = leaves[0]
-        remaining = leaves[1:]
-        unused_pairs = list(pairs)
-        while remaining:
-            chosen = None
-            chosen_on: List[Tuple[E.Expr, E.Expr]] = []
-            for leaf in remaining:
-                on_here = []
-                for (a, b) in unused_pairs:
-                    if _resolvable(a, current.schema) and _resolvable(b, leaf.schema):
-                        on_here.append((a, b))
-                    elif _resolvable(b, current.schema) and _resolvable(a, leaf.schema):
-                        on_here.append((b, a))
-                if on_here:
-                    chosen = leaf
-                    chosen_on = on_here
-                    break
-            if chosen is None:  # genuinely unconnected: cross join
-                chosen = remaining[0]
-            remaining.remove(chosen)
-            jt = L.JoinType.INNER if chosen_on else L.JoinType.CROSS
-            current = L.Join(current, chosen, chosen_on, jt, None)
-            for pr in chosen_on:
-                for orig in list(unused_pairs):
-                    if orig == pr or (orig[1], orig[0]) == pr:
-                        unused_pairs.remove(orig)
-                        break
-        # anything left (pairs across >2 relations resolved late, residuals)
-        extra = [E.BinaryOp(E.Op.EQ, a, b) for a, b in unused_pairs] + filters
+        memo: dict = {}
+        ests = {id(leaf): estimate(leaf, memo) for leaf in leaves}
+
+        def semi_attachable(semi, schema) -> bool:
+            jt, right, on, filt = semi
+            for lk, _ in on:
+                if not _resolvable(lk, schema):
+                    return False
+            if filt is not None:
+                for c in E.collect_columns(filt):
+                    if not (_resolvable(c, right.schema)
+                            or _resolvable(c, schema)):
+                        return False
+            return True
+
+        def apply_semi(node, node_est, semi, memo):
+            jt, right, on, filt = semi
+            out = L.Join(node, right, list(on), jt, filt)
+            out_est = join_cardinality(node_est, estimate(right, memo),
+                                       on, jt)
+            if filt is not None:
+                out_est = out_est.scaled(selectivity(filt, out_est))
+            return out, out_est
+
+        def greedy(start_idx: int):
+            """One greedy chain from leaves[start_idx]; returns
+            (total_cost, plan, leftover_pairs)."""
+            current = leaves[start_idx]
+            cur_est = ests[id(current)]
+            remaining = leaves[:start_idx] + leaves[start_idx + 1:]
+            unused_pairs = list(pairs)
+            pending = list(semis)
+            cost = 0.0
+            # attach any semi/anti already valid on the bare leaf
+            changed = True
+            while changed:
+                changed = False
+                for semi in list(pending):
+                    if semi_attachable(semi, current.schema):
+                        current, cur_est = apply_semi(current, cur_est,
+                                                      semi, memo)
+                        pending.remove(semi)
+                        cost += cur_est.rows
+                        changed = True
+            while remaining:
+                best = None  # (rows, index, leaf, on_here, est)
+                for i, leaf in enumerate(remaining):
+                    on_here = []
+                    for (a, b) in unused_pairs:
+                        if _resolvable(a, current.schema) and _resolvable(b, leaf.schema):
+                            on_here.append((a, b))
+                        elif _resolvable(b, current.schema) and _resolvable(a, leaf.schema):
+                            on_here.append((b, a))
+                    if not on_here:
+                        continue
+                    nxt = join_cardinality(cur_est, ests[id(leaf)], on_here,
+                                           L.JoinType.INNER)
+                    if best is None or nxt.rows < best[0]:
+                        best = (nxt.rows, i, leaf, on_here, nxt)
+                if best is None:  # unconnected: cross join smallest leaf
+                    i = min(range(len(remaining)),
+                            key=lambda j: ests[id(remaining[j])].rows)
+                    leaf = remaining[i]
+                    nxt = join_cardinality(cur_est, ests[id(leaf)], [],
+                                           L.JoinType.CROSS)
+                    best = (nxt.rows, i, leaf, [], nxt)
+                _, i, leaf, on_here, cur_est = best
+                remaining.pop(i)
+                jt = L.JoinType.INNER if on_here else L.JoinType.CROSS
+                current = L.Join(current, leaf, on_here, jt, None)
+                cost += cur_est.rows
+                for pr in on_here:
+                    for orig in list(unused_pairs):
+                        if orig == pr or (orig[1], orig[0]) == pr:
+                            unused_pairs.remove(orig)
+                            break
+                changed = True
+                while changed:
+                    changed = False
+                    for semi in list(pending):
+                        if semi_attachable(semi, current.schema):
+                            current, cur_est = apply_semi(current, cur_est,
+                                                          semi, memo)
+                            pending.remove(semi)
+                            cost += cur_est.rows
+                            changed = True
+            for semi in pending:  # should not happen; keep semantics anyway
+                current, cur_est = apply_semi(current, cur_est, semi, memo)
+                cost += cur_est.rows
+            return cost, current, unused_pairs
+
+        best_cost, best_plan, best_left = None, None, None
+        for s in range(len(leaves)):
+            try:
+                c, pl, leftover = greedy(s)
+            except Exception:
+                continue
+            if best_cost is None or c < best_cost:
+                best_cost, best_plan, best_left = c, pl, leftover
+        if best_plan is None:
+            return p
+        extra = [E.BinaryOp(E.Op.EQ, a, b) for a, b in best_left] + filters
         pred = conjoin(extra)
-        return L.Filter(current, pred) if pred is not None else current
+        return L.Filter(best_plan, pred) if pred is not None else best_plan
 
     return L.transform_up(plan, rewrite)
 

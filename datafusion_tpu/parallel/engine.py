@@ -63,7 +63,8 @@ def dist_of(p: PP.PhysicalPlan, memo: Optional[Dict] = None) -> str:
         return d
     if isinstance(p, (PP.ScanExec, PP.ValuesExec, PP.EmptyExec)):
         d = PART
-    elif isinstance(p, (PP.FilterExec, PP.ProjectionExec, AliasExec)):
+    elif isinstance(p, (PP.FilterExec, PP.ProjectionExec, AliasExec,
+                        PP.CompactExec)):
         d = dist_of(p.input, memo)
     elif isinstance(p, (PP.SortExec, PP.LimitExec, PP.DistinctExec, WindowExec)):
         dist_of(p.input, memo)
@@ -144,6 +145,8 @@ def _dtrace_inner(p, inputs, leaf_index, dctx) -> Tuple[DeviceRelation, str]:
     if isinstance(p, (PP.FilterExec, PP.ProjectionExec)):
         rel, d = _dtrace(p.input, inputs, leaf_index, dctx)
         return p._transform(rel), d
+    if isinstance(p, PP.CompactExec):  # shard-local capacities stay static
+        return _dtrace(p.input, inputs, leaf_index, dctx)
     if isinstance(p, AliasExec):
         rel, d = _dtrace(p.input, inputs, leaf_index, dctx)
         return DeviceRelation(p.schema, rel.columns, rel.sel), d

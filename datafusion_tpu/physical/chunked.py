@@ -264,12 +264,10 @@ def estimate_scan_bytes(plan: P.PhysicalPlan) -> int:
     def visit(p):
         nonlocal total
         if isinstance(p, P.ScanExec):
-            stats = {}
             try:
-                stats = p.provider.statistics()
+                n = int(p.provider.statistics().num_rows)
             except Exception:
-                pass
-            n = int(stats.get("num_rows", 0) or 0)
+                n = 0
             width = 1 + sum(f.dtype.np_dtype().itemsize + 1 for f in p.schema.fields)
             total += bucket_capacity(max(n, 1)) * width
         for c in p.children():
@@ -366,6 +364,9 @@ class ChunkedQuery:
         if isinstance(p, (P.FilterExec, P.ProjectionExec, P.UnnestExec)):
             for rel in self._stream(p.input, ctx):
                 yield p._fn(rel)
+            return
+        if isinstance(p, P.CompactExec):  # chunks are already capacity-bounded
+            yield from self._stream(p.input, ctx)
             return
         if isinstance(p, AliasExec):
             for rel in self._stream(p.input, ctx):

@@ -132,6 +132,15 @@ def _trace_inner(p: P.PhysicalPlan, inputs, leaf_index, tctx) -> DeviceRelation:
     if isinstance(p, (P.FilterExec, P.ProjectionExec, P.LimitExec, P.SortExec,
                       P.DistinctExec, P.UnnestExec)):
         return p._transform(_trace(p.input, inputs, leaf_index, tctx))
+    if isinstance(p, P.CompactExec):
+        rel = _trace(p.input, inputs, leaf_index, tctx)
+        d = p._decision
+        if d is None:
+            raise ExecutionError("compaction capacity not discovered")
+        if d[0] == "identity":
+            return rel
+        tctx.flags.append(jnp.sum(rel.sel) > d[1])
+        return p._apply(rel, d[1])
     if isinstance(p, AliasExec):
         rel = _trace(p.input, inputs, leaf_index, tctx)
         return DeviceRelation(p.schema, rel.columns, rel.sel)

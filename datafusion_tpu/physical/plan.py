@@ -211,6 +211,59 @@ class SortExec(PhysicalPlan):
         return f"SortExec: [{keys}] fetch={self.fetch}"
 
 
+class CompactExec(PhysicalPlan):
+    """Gather live rows to the front and truncate to a discovered power-of-two
+    capacity (capability analog of CoalesceBatchesExec,
+    physical-plan/src/coalesce_batches.rs -- the selection-mask model's
+    equivalent of re-densifying filtered batches).
+
+    One stable int32 sort of the selection mask buys every downstream
+    sort-based operator (join, grouped aggregate, sort, window, distinct) an
+    input proportional to the LIVE row count instead of the scan capacity --
+    e.g. a 3-month date filter over lineitem leaves ~3% live rows, so the
+    aggregation behind it runs 32x smaller.  Discovery disables the node
+    (identity) when the input is already >1/4 live or small."""
+
+    def __init__(self, input: PhysicalPlan):
+        self.input = input
+        self.schema = input.schema
+        self._decision = None  # None | ("identity",) | ("compact", cap)
+
+    def children(self):
+        return (self.input,)
+
+    def execute(self, ctx: ExecContext) -> DeviceRelation:
+        rel = self.input.execute(ctx)
+        live = int(jax.device_get(jnp.sum(rel.sel)))
+        cap = bucket_capacity(max(live, 1))
+        prev = self._decision
+        if prev is not None and prev[0] == "compact":
+            cap = max(cap, prev[1])
+        if cap * 4 > rel.capacity or rel.capacity <= (1 << 15):
+            self._decision = ("identity",)
+            return rel
+        self._decision = ("compact", cap)
+        return self._timed(ctx, jax.jit(self._apply, static_argnums=1), rel, cap)
+
+    def _apply(self, rel: DeviceRelation, cap: int) -> DeviceRelation:
+        perm = K.compaction_order(rel.sel)
+        idx = perm[:cap]
+        cols = []
+        for c in rel.columns:
+            cols.append(DeviceColumn(
+                c.data[idx],
+                c.validity[idx] if c.validity is not None else None,
+                c.dtype, c.dictionary, c.bounds,
+                c.lengths[idx] if c.lengths is not None else None,
+                c.elem_valid[idx] if c.elem_valid is not None else None))
+        return DeviceRelation(self.schema, tuple(cols), rel.sel[idx])
+
+    def _line(self):
+        d = self._decision
+        tag = "?" if d is None else (d[0] if d[0] == "identity" else f"cap={d[1]}")
+        return f"CompactExec: {tag}"
+
+
 class AggregateExec(PhysicalPlan):
     """Grouped / global aggregation (reference: AggregateExec,
     physical-plan/src/aggregates/mod.rs:828; sorted-grouping design notes in

@@ -66,13 +66,15 @@ def _create(plan: L.LogicalPlan, _memo) -> P.PhysicalPlan:
         return P.FilterExec(create_physical_plan(plan.input), plan.predicate)
     if isinstance(plan, L.Aggregate):
         _reject_list_keys(plan.group_exprs, plan.input.schema, "GROUP BY")
-        return P.AggregateExec(
-            create_physical_plan(plan.input), plan.group_exprs, plan.aggr_exprs, plan.schema
-        )
+        inp = create_physical_plan(plan.input)
+        if plan.group_exprs:
+            inp = _maybe_compact(inp)
+        return P.AggregateExec(inp, plan.group_exprs, plan.aggr_exprs, plan.schema)
     if isinstance(plan, L.Sort):
         _reject_list_keys([s_.expr for s_ in plan.sort_specs],
                           plan.input.schema, "ORDER BY")
-        return P.SortExec(create_physical_plan(plan.input), plan.sort_specs, plan.fetch)
+        return P.SortExec(_maybe_compact(create_physical_plan(plan.input)),
+                          plan.sort_specs, plan.fetch)
     if isinstance(plan, L.Limit):
         return P.LimitExec(create_physical_plan(plan.input), plan.skip, plan.fetch)
     if isinstance(plan, L.Join):
@@ -81,14 +83,15 @@ def _create(plan: L.LogicalPlan, _memo) -> P.PhysicalPlan:
         if plan.join_type is L.JoinType.CROSS or not plan.on:
             return _cross_join(left, right, plan)
         _reject_list_keys([l for l, _ in plan.on], plan.left.schema, "join keys")
-        return P.JoinExec(left, right, plan.on, plan.join_type, plan.filter, plan.schema)
+        return P.JoinExec(_maybe_compact(left), _maybe_compact(right), plan.on,
+                          plan.join_type, plan.filter, plan.schema)
     if isinstance(plan, L.SubqueryAlias):
         return AliasExec(create_physical_plan(plan.input), plan.schema)
     if isinstance(plan, L.Distinct):
         _reject_list_keys([E.Column(f.name, f.qualifier)
                            for f in plan.input.schema.fields],
                           plan.input.schema, "DISTINCT")
-        return P.DistinctExec(create_physical_plan(plan.input))
+        return P.DistinctExec(_maybe_compact(create_physical_plan(plan.input)))
     if isinstance(plan, L.Union):
         return P.UnionExec([create_physical_plan(p) for p in plan.inputs], plan.schema)
     if isinstance(plan, L.Values):
@@ -98,11 +101,35 @@ def _create(plan: L.LogicalPlan, _memo) -> P.PhysicalPlan:
     if isinstance(plan, L.Window):
         from .window import WindowExec
 
-        return WindowExec(create_physical_plan(plan.input), plan.window_exprs, plan.schema)
+        return WindowExec(_maybe_compact(create_physical_plan(plan.input)),
+                          plan.window_exprs, plan.schema)
     if isinstance(plan, L.Unnest):
         return P.UnnestExec(create_physical_plan(plan.input),
                             plan.unnest_exprs, plan.schema)
     raise PlanError(f"no physical plan for {type(plan).__name__}")
+
+
+def _maybe_compact(p: P.PhysicalPlan) -> P.PhysicalPlan:
+    """Wrap sort-based operators' inputs in CompactExec when the subtree can
+    produce a sparse selection mask (filters, semi/anti joins, top-k,
+    limits, unnest).  Discovery turns the node into identity when the input
+    is in fact dense, so wrapping is only ever a planning-time decision."""
+    if _sparse_producer(p):
+        return P.CompactExec(p)
+    return p
+
+
+def _sparse_producer(p: P.PhysicalPlan) -> bool:
+    if isinstance(p, (P.FilterExec, P.UnnestExec, P.LimitExec)):
+        return True
+    if isinstance(p, P.JoinExec):
+        return p.join_type in (L.JoinType.LEFT_SEMI, L.JoinType.LEFT_ANTI,
+                               L.JoinType.RIGHT_SEMI, L.JoinType.RIGHT_ANTI)
+    if isinstance(p, P.SortExec):
+        return p.fetch is not None
+    if isinstance(p, (P.ProjectionExec, AliasExec)):
+        return _sparse_producer(p.input)
+    return False
 
 
 def _reject_list_keys(exprs, schema, where: str):
