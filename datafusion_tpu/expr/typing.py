@@ -122,6 +122,8 @@ def aggregate_result(e: E.AggregateFunction, schema: Schema) -> Tuple[T.DataType
         return T.BOOL, True
     if f == "string_agg":
         return T.STRING, True
+    if f == "array_agg":
+        return T.list_of(at), True
     raise PlanError(f"unknown aggregate function {f!r}")
 
 

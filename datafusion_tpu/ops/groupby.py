@@ -39,7 +39,8 @@ class AggSpec:
 
 
 _ORDER_SENSITIVE = frozenset({"median", "approx_median", "percentile_cont",
-                              "approx_percentile_cont", "approx_distinct"})
+                              "approx_percentile_cont", "approx_distinct",
+                              "array_agg"})
 
 
 def order_arg_of(spec: "AggSpec") -> Optional[int]:
@@ -328,6 +329,30 @@ def _reduce_one(spec, sa, sf, ssel, seg, is_start, distinct_start, G, group_coun
         return DeviceColumn(cnt.astype(jnp.int64), None, T.INT64)
 
     arg = sa[spec.arg] if spec.arg is not None else None
+
+    if f == "array_agg":
+        # Rows of each group are contiguous (this spec's bucket sorted by
+        # (group keys, arg); dead rows sink to the end), so the list is a
+        # [G, W] strided gather from each group's start (reference:
+        # ArrayAggAccumulator, functions-aggregate/src/array_agg.rs).
+        # NULL elements are kept, matching the reference/Postgres.
+        if spec.distinct or filtered:
+            raise PlanError("array_agg with DISTINCT/FILTER is not supported")
+        if spec.extra is None:
+            raise PlanError("array_agg width not discovered")
+        W = int(spec.extra)
+        n = mask.shape[0]
+        iota = jnp.arange(n, dtype=jnp.int64)
+        starts = SMIN(jnp.where(mask, iota, jnp.int64(n)), mask)
+        counts = SCNT(mask)
+        j = jnp.arange(W, dtype=jnp.int64)[None, :]
+        idx = jnp.clip(starts[:, None] + j, 0, n - 1)
+        data = arg.data[idx]
+        slot = j < counts[:, None]
+        ev = slot & arg.validity[idx] if arg.validity is not None else slot
+        return DeviceColumn(data, (counts > 0) & out_sel, spec.out_dtype,
+                            arg.dictionary, None, counts.astype(jnp.int32), ev)
+
     if arg is not None:
         mask = mask & arg.valid() if arg.validity is not None else mask
 
@@ -528,10 +553,20 @@ def global_aggregate(
             c = _reduce_one(specs[i], sa, sf, ssel, seg, is_start,
                             distinct_start, 1, group_count, one)
             # pad to out_capacity
-            data = jnp.zeros(out_capacity, c.data.dtype).at[0].set(c.data[0])
+            if c.data.ndim == 2:  # array_agg: [1, W] list row
+                data = jnp.zeros((out_capacity, c.data.shape[1]),
+                                 c.data.dtype).at[0].set(c.data[0])
+                lengths = jnp.zeros(out_capacity, jnp.int32).at[0].set(
+                    c.list_lengths()[0])
+                ev = jnp.zeros((out_capacity, c.data.shape[1]),
+                               jnp.bool_).at[0].set(c.elem_valid[0])
+            else:
+                data = jnp.zeros(out_capacity, c.data.dtype).at[0].set(c.data[0])
+                lengths = ev = None
             validity = None
             if c.validity is not None:
                 validity = jnp.zeros(out_capacity, jnp.bool_).at[0].set(c.validity[0])
-            outs[i] = DeviceColumn(data, validity, c.dtype, c.dictionary)
+            outs[i] = DeviceColumn(data, validity, c.dtype, c.dictionary,
+                                   None, lengths, ev)
     out_sel = jnp.zeros(out_capacity, dtype=jnp.bool_).at[0].set(True)
     return outs, out_sel

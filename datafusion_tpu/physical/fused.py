@@ -175,8 +175,11 @@ def apply_aggregate(p: P.AggregateExec, rel: DeviceRelation,
     capacities recorded during discovery (shared by FusedQuery and the
     distributed engine)."""
     from ..ops import groupby as G
+    from ..ops import kernels as K
 
     if not p.group_exprs:
+        if tctx is not None and p._has_array_agg():
+            tctx.flags.append(jnp.sum(rel.sel) > p._last_width)
         return p._global(rel)
     dense = p._dense_sizes(rel)
     if dense is not None:
@@ -189,6 +192,10 @@ def apply_aggregate(p: P.AggregateExec, rel: DeviceRelation,
     num_groups = states[0][-1]
     if tctx is not None:
         tctx.flags.append(num_groups > cap)
+        if p._has_array_agg():
+            ssel0, seg0 = states[0][3], states[0][4]
+            tctx.flags.append(
+                jnp.max(K.segment_count(seg0, ssel0, cap)) > p._last_width)
     _, _, _, specs = p._prepare(rel)
     out_keys, out_aggs, out_sel = G.phase_reduce_multi(states, specs, cap)
     cols = [p._coerce_out(c, f)

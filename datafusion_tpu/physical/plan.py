@@ -277,8 +277,11 @@ class AggregateExec(PhysicalPlan):
         self.schema = schema
         self._specs_cache = None
         self._sort_fn = jax.jit(self._phase_sort)
-        self._reduce_fns: Dict[int, Callable] = {}
-        self._global_fn = jax.jit(self._global)
+        self._reduce_fns: Dict = {}
+        self._global_fns: Dict = {}
+
+    def _has_array_agg(self) -> bool:
+        return any(a.fname == "array_agg" for a in self._agg_fns())
 
     def children(self):
         return (self.input,)
@@ -327,6 +330,9 @@ class AggregateExec(PhysicalPlan):
                 if fname in ("percentile_cont", "approx_percentile_cont") and len(a.args) > 1:
                     if isinstance(a.args[1], E.Literal):
                         extra = float(a.args[1].value)
+                if fname == "array_agg":
+                    # static list width discovered by execute_rel
+                    extra = getattr(self, "_last_width", None)
             filt_i = None
             if a.filter is not None:
                 filt_i = len(filter_cols)
@@ -349,9 +355,11 @@ class AggregateExec(PhysicalPlan):
 
     @staticmethod
     def _coerce_out(c: DeviceColumn, f: Field) -> DeviceColumn:
-        if c.dtype != f.dtype and c.data.dtype != f.dtype.np_dtype():
-            return DeviceColumn(c.data.astype(f.dtype.np_dtype()), c.validity, f.dtype, c.dictionary)
-        return DeviceColumn(c.data, c.validity, f.dtype, c.dictionary)
+        data = c.data
+        if c.dtype != f.dtype and data.dtype != f.dtype.np_dtype():
+            data = data.astype(f.dtype.np_dtype())
+        return DeviceColumn(data, c.validity, f.dtype, c.dictionary,
+                            c.bounds, c.lengths, c.elem_valid)
 
     # -- dense-key fast path ---------------------------------------------
     # When every group key is a dictionary-coded string / bool with a small
@@ -543,7 +551,16 @@ class AggregateExec(PhysicalPlan):
         """Aggregate an already-computed input relation (shared by execute()
         and the chunked executor's materialized fallback)."""
         if not self.group_exprs:
-            return self._timed(ctx, self._global_fn, rel)
+            wkey = None
+            if self._has_array_agg():
+                live = int(jax.device_get(jnp.sum(rel.sel)))
+                wkey = max(bucket_capacity(max(live, 1)),
+                           getattr(self, "_last_width", 0))
+                self._last_width = wkey
+            fn = self._global_fns.get(wkey)
+            if fn is None:
+                fn = self._global_fns[wkey] = jax.jit(self._global)
+            return self._timed(ctx, fn, rel)
         dense = self._dense_sizes(rel)
         if dense is not None:
             sizes, ngroups = dense
@@ -561,7 +578,16 @@ class AggregateExec(PhysicalPlan):
         cap = bucket_capacity(max(num_groups, 1))
         cap = max(cap, getattr(self, "_last_cap", 0))
         self._last_cap = cap
-        if cap not in self._reduce_fns:
+        wkey = None
+        if self._has_array_agg():
+            ssel0, seg0 = sorted_states[0][3], sorted_states[0][4]
+            maxc = int(jax.device_get(
+                jnp.max(K.segment_count(seg0, ssel0, cap))))
+            wkey = max(bucket_capacity(max(maxc, 1)),
+                       getattr(self, "_last_width", 0))
+            self._last_width = wkey
+        cache_key = (cap, wkey)
+        if cache_key not in self._reduce_fns:
             specs_fn = self  # closure
 
             def reduce_fn(states, rel_in, cap=cap):
@@ -575,8 +601,8 @@ class AggregateExec(PhysicalPlan):
                 ]
                 return DeviceRelation(specs_fn.schema, tuple(cols), out_sel)
 
-            self._reduce_fns[cap] = jax.jit(reduce_fn)
-        out = self._reduce_fns[cap](sorted_states, rel)
+            self._reduce_fns[cache_key] = jax.jit(reduce_fn)
+        out = self._reduce_fns[cache_key](sorted_states, rel)
         ctx.metric("AggregateExec").record(num_groups, time.perf_counter() - t0)
         return out
 

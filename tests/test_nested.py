@@ -182,3 +182,28 @@ def test_nested_roundtrip_parquet(tmp_path, ctx):
     out = c.sql("SELECT id, vals, array_length(vals) n FROM p ORDER BY id").collect().to_pydict()
     assert out["vals"] == [[1.5, 2.5], None, []]
     assert out["n"] == [2, None, 0]
+
+
+def test_array_agg_grouped():
+    c = SessionContext()
+    c.register_table("g", {"k": [1, 1, 2, 2, 2, 3],
+                           "v": [10, 20, 30, None, 50, 60],
+                           "s": ["a", "b", "c", "d", "e", "f"]})
+    out = c.sql("SELECT k, array_agg(v) vs FROM g GROUP BY k ORDER BY k").collect().to_pydict()
+    assert out["k"] == [1, 2, 3]
+    # element order within a group is unspecified; NULL elements are kept
+    assert sorted(out["vs"][0]) == [10, 20]
+    assert sorted(x for x in out["vs"][1] if x is not None) == [30, 50]
+    assert None in out["vs"][1] and out["vs"][2] == [60]
+    out = c.sql("SELECT k, array_agg(s) ss FROM g GROUP BY k ORDER BY k").collect().to_pydict()
+    assert sorted(out["ss"][1]) == ["c", "d", "e"]
+
+
+def test_array_agg_global_and_roundtrip():
+    c = SessionContext()
+    c.register_table("g", {"k": [1, 1, 2], "v": [10, 20, 30]})
+    out = c.sql("SELECT array_agg(k) ks FROM g").collect().to_pydict()
+    assert sorted(out["ks"][0]) == [1, 1, 2]
+    # empty input -> NULL (Postgres/reference semantics)
+    assert c.sql("SELECT array_agg(v) e FROM g WHERE k > 99").collect().to_pydict() == {"e": [None]}
+    assert c.sql("SELECT sum(u) su FROM (SELECT unnest(array_agg(v)) u FROM g)").collect().to_pydict() == {"su": [60]}
