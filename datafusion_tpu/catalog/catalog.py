@@ -81,6 +81,29 @@ def _device_key(ctx) -> str:
     return str(jax.devices()[0])
 
 
+class WorkTable(TableProvider):
+    """Recursive CTE working table: the physical RecursiveQueryExec binds the
+    previous iteration's device relation before each step (reference:
+    WorkTable, physical-plan/src/work_table.rs)."""
+
+    def __init__(self, name: str, schema: Schema):
+        self.name = name
+        self._schema = schema
+        self._rel: Optional[DeviceRelation] = None
+
+    def schema(self) -> Schema:
+        return self._schema
+
+    def host_table(self) -> Table:
+        raise PlanError(f"worktable {self.name!r} has no host data")
+
+    def scan_device(self, ctx, filters=(), projection=None) -> DeviceRelation:
+        if self._rel is None:
+            raise PlanError(
+                f"worktable {self.name!r} scanned outside its recursion")
+        return self._rel
+
+
 class MemTable(TableProvider):
     def __init__(self, table: Table):
         self._table = table

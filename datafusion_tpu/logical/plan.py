@@ -346,6 +346,33 @@ class Unnest(LogicalPlan):
         return f"Unnest: {', '.join(e.name() for e in self.unnest_exprs)}"
 
 
+class RecursiveQuery(LogicalPlan):
+    """WITH RECURSIVE: static arm seeds a working table; the recursive arm
+    re-executes against the previous iteration's rows until it produces none
+    (reference: LogicalPlan::RecursiveQuery, expr/src/logical_plan/plan.rs;
+    WorkTable physical-plan/src/work_table.rs)."""
+
+    def __init__(self, name: str, static_plan: LogicalPlan,
+                 recursive_plan: LogicalPlan, work_table):
+        self.name = name
+        self.static_plan = static_plan
+        self.recursive_plan = recursive_plan
+        self.work_table = work_table
+        self.schema = static_plan.schema
+
+    def children(self):
+        return (self.static_plan, self.recursive_plan)
+
+    def with_children(self, c):
+        return RecursiveQuery(self.name, c[0], c[1], self.work_table)
+
+    def exprs(self):
+        return ()
+
+    def _display_line(self):
+        return f"RecursiveQuery: {self.name}"
+
+
 class Window(LogicalPlan):
     def __init__(self, input: LogicalPlan, window_exprs: Sequence[E.Expr]):
         self.input = input

@@ -918,6 +918,48 @@ class UnnestExec(PhysicalPlan):
         return f"UnnestExec: {', '.join(e.name() for e in self.unnest_exprs)}"
 
 
+class RecursiveQueryExec(PhysicalPlan):
+    """Host-driven fixpoint loop for WITH RECURSIVE (reference:
+    RecursiveQueryExec, physical-plan/src/recursive_query.rs:66). The
+    iteration count is data-dependent, so the loop runs on the host; each
+    step executes the (jitted, capacity-bucketed) recursive arm against the
+    previous step's rows and appends to the accumulated result."""
+
+    MAX_ITERATIONS = 100
+
+    def __init__(self, static_plan: PhysicalPlan, recursive_plan: PhysicalPlan,
+                 work_table, schema: Schema, name: str):
+        self.static_plan = static_plan
+        self.recursive_plan = recursive_plan
+        self.work_table = work_table
+        self.schema = schema
+        self.name = name
+
+    def children(self):
+        return (self.static_plan, self.recursive_plan)
+
+    def execute(self, ctx: ExecContext) -> DeviceRelation:
+        acc = self.static_plan.execute(ctx)
+        work = acc
+        try:
+            for _ in range(self.MAX_ITERATIONS):
+                live = int(jax.device_get(jnp.sum(work.sel)))
+                if live == 0:
+                    return acc
+                self.work_table._rel = work
+                step = self.recursive_plan.execute(ctx)
+                work = step
+                acc = concat_relations([acc, step], self.schema)
+        finally:
+            self.work_table._rel = None
+        raise ExecutionError(
+            f"recursive CTE {self.name!r} exceeded "
+            f"{self.MAX_ITERATIONS} iterations")
+
+    def _line(self):
+        return f"RecursiveQueryExec: {self.name}"
+
+
 class DistinctExec(PhysicalPlan):
     def __init__(self, input: PhysicalPlan):
         self.input = input

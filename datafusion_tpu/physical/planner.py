@@ -106,6 +106,10 @@ def _create(plan: L.LogicalPlan, _memo) -> P.PhysicalPlan:
     if isinstance(plan, L.Unnest):
         return P.UnnestExec(create_physical_plan(plan.input),
                             plan.unnest_exprs, plan.schema)
+    if isinstance(plan, L.RecursiveQuery):
+        return P.RecursiveQueryExec(create_physical_plan(plan.static_plan),
+                                    create_physical_plan(plan.recursive_plan),
+                                    plan.work_table, plan.schema, plan.name)
     raise PlanError(f"no physical plan for {type(plan).__name__}")
 
 

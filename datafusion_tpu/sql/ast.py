@@ -87,10 +87,12 @@ class SetOp:
 @dataclasses.dataclass
 class SelectStmt:
     body: object  # SelectCore | SetOp
-    ctes: List[Tuple[str, "SelectStmt"]] = dataclasses.field(default_factory=list)
+    # each CTE: (name, optional column aliases, query)
+    ctes: List[Tuple[str, Optional[List[str]], "SelectStmt"]] = dataclasses.field(default_factory=list)
     order_by: List[OrderItem] = dataclasses.field(default_factory=list)
     limit: Optional[int] = None
     offset: Optional[int] = None
+    recursive: bool = False  # WITH RECURSIVE
 
 
 @dataclasses.dataclass

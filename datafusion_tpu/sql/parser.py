@@ -192,16 +192,23 @@ class Parser:
 
     # ---- queries ---------------------------------------------------------
     def select_stmt(self) -> A.SelectStmt:
-        ctes: List[Tuple[str, A.SelectStmt]] = []
+        ctes: List[Tuple[str, Optional[List[str]], A.SelectStmt]] = []
+        recursive = False
         if self.eat_kw("with"):
-            self.eat_kw("recursive")
+            recursive = self.eat_kw("recursive")
             while True:
                 name = self.ident()
+                cols: Optional[List[str]] = None
+                if self.eat_op("("):
+                    cols = [self.ident()]
+                    while self.eat_op(","):
+                        cols.append(self.ident())
+                    self.expect_op(")")
                 self.expect_kw("as")
                 self.expect_op("(")
                 q = self.select_stmt()
                 self.expect_op(")")
-                ctes.append((name, q))
+                ctes.append((name, cols, q))
                 if not self.eat_op(","):
                     break
         body = self.set_expr()
@@ -214,7 +221,7 @@ class Parser:
             limit = int(self.next().value)
         if self.eat_kw("offset"):
             offset = int(self.next().value)
-        return A.SelectStmt(body, ctes, order_by, limit, offset)
+        return A.SelectStmt(body, ctes, order_by, limit, offset, recursive)
 
     def order_items(self) -> List[A.OrderItem]:
         items = []

@@ -18,6 +18,51 @@ from ..logical import plan as L
 from . import ast as A
 
 
+def _rename_columns(plan: L.LogicalPlan, cols) -> L.LogicalPlan:
+    """CTE column alias list: WITH t(a, b) AS (...)."""
+    from ..common.errors import PlanError
+
+    if len(cols) != len(plan.schema):
+        raise PlanError(f"CTE column list has {len(cols)} names for "
+                        f"{len(plan.schema)} columns")
+    proj = [E.Alias(E.Column(f.name, f.qualifier), nm)
+            for f, nm in zip(plan.schema.fields, cols)]
+    return L.Projection(plan, proj)
+
+
+def _ast_refs_table(node, key: str) -> bool:
+    """Does this AST sub-tree reference table `key` in any FROM clause?"""
+    if isinstance(node, A.SelectStmt):
+        return (any(_ast_refs_table(s, key) for _, _, s in node.ctes)
+                or _ast_refs_table(node.body, key))
+    if isinstance(node, A.SetOp):
+        return _ast_refs_table(node.left, key) or _ast_refs_table(node.right, key)
+    if isinstance(node, A.SelectCore):
+        if any(_ast_refs_table(f, key) for f in node.from_):
+            return True
+        exprs = [i.expr for i in node.items]
+        exprs += [node.where] if node.where is not None else []
+        exprs += [node.having] if node.having is not None else []
+        return any(_expr_refs_table(e, key) for e in exprs)
+    if isinstance(node, A.Relation):
+        return node.name.lower() == key
+    if isinstance(node, A.Derived):
+        return _ast_refs_table(node.query, key)
+    if isinstance(node, A.JoinRef):
+        return _ast_refs_table(node.left, key) or _ast_refs_table(node.right, key)
+    return False
+
+
+def _expr_refs_table(e, key: str) -> bool:
+    if isinstance(e, (A.SqlScalarSubquery, A.SqlExists)):
+        return _ast_refs_table(e.query, key)
+    if isinstance(e, A.SqlInSubquery):
+        return _ast_refs_table(e.query, key) or _expr_refs_table(e.expr, key)
+    if isinstance(e, E.Expr):
+        return any(_expr_refs_table(c, key) for c in e.children())
+    return False
+
+
 def replace_topdown(e: E.Expr, mapping: Dict[E.Expr, E.Expr]) -> E.Expr:
     if e in mapping:
         return mapping[e]
@@ -73,12 +118,55 @@ class SqlPlanner:
 
     def plan_query(self, q: A.SelectStmt, strip_projection: bool = False) -> L.LogicalPlan:
         ctes = dict(self.ctes)
-        for name, sub in q.ctes:
-            sub_plan = SqlPlanner(self.catalog, self.outer_schemas, ctes).plan_query(sub)
-            ctes[name.lower()] = sub_plan
+        for name, cols, sub in q.ctes:
+            key = name.lower()
+            if q.recursive and _ast_refs_table(sub, key):
+                sub_plan = self._plan_recursive_cte(key, cols, sub, ctes)
+            else:
+                sub_plan = SqlPlanner(self.catalog, self.outer_schemas, ctes).plan_query(sub)
+                if cols:
+                    sub_plan = _rename_columns(sub_plan, cols)
+            ctes[key] = sub_plan
         planner = SqlPlanner(self.catalog, self.outer_schemas, ctes)
         plan = planner.plan_body(q.body, q, strip_projection)
         return plan
+
+    def _plan_recursive_cte(self, key: str, cols, sub: A.SelectStmt,
+                            ctes) -> L.LogicalPlan:
+        """WITH RECURSIVE name AS (static UNION ALL step) (reference:
+        LogicalPlan::RecursiveQuery, expr/src/logical_plan/plan.rs;
+        RecursiveQueryExec physical-plan/src/recursive_query.rs:66)."""
+        body = sub.body
+        if not isinstance(body, A.SetOp) or body.op not in ("union", "union_all"):
+            raise PlanError(
+                f"recursive CTE {key!r} must be `static UNION ALL recursive`")
+        if body.op == "union":
+            raise PlanError(
+                f"recursive CTE {key!r}: UNION DISTINCT is not supported; "
+                "use UNION ALL")
+        static_plan = SqlPlanner(self.catalog, self.outer_schemas, ctes) \
+            .plan_body(body.left, A.SelectStmt(body.left), False)
+        if cols:
+            static_plan = _rename_columns(static_plan, cols)
+        from ..catalog.catalog import WorkTable
+        from ..common.schema import Field, Schema
+
+        wt_schema = Schema([Field(f.name, f.dtype, f.nullable)
+                            for f in static_plan.schema.fields])
+        wt = WorkTable(key, wt_schema)
+        wt_scan = L.TableScan(key, wt)
+        ctes2 = dict(ctes)
+        ctes2[key] = wt_scan
+        rec_plan = SqlPlanner(self.catalog, self.outer_schemas, ctes2) \
+            .plan_body(body.right, A.SelectStmt(body.right), False)
+        if len(rec_plan.schema) != len(static_plan.schema):
+            raise PlanError(
+                f"recursive CTE {key!r}: static and recursive arms have "
+                "different column counts")
+        names = [f.name for f in static_plan.schema.fields]
+        if [f.name for f in rec_plan.schema.fields] != names:
+            rec_plan = _rename_columns(rec_plan, names)
+        return L.RecursiveQuery(key, static_plan, rec_plan, wt)
 
     def plan_body(self, body, q: A.SelectStmt, strip_projection: bool) -> L.LogicalPlan:
         if isinstance(body, A.SetOp):
