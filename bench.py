@@ -51,6 +51,9 @@ def main():
     ap.add_argument("--settle", type=float, default=0.5,
                     help="seconds to pause after compile before timing "
                          "(the remote compile helper contends with execution)")
+    ap.add_argument("--suite", choices=["tpch", "clickbench"], default="tpch")
+    ap.add_argument("--rows", type=int, default=1_000_000,
+                    help="clickbench: synthetic hits row count")
     args = ap.parse_args()
 
     import jax
@@ -65,6 +68,9 @@ def main():
     from datafusion_tpu.context import SessionContext
     from datafusion_tpu.models.tpch.datagen import generate_tpch
     from datafusion_tpu.models.tpch.queries import ALL_QUERY_IDS, query
+
+    if args.suite == "clickbench":
+        return clickbench_main(args)
 
     qids = [int(x) for x in args.queries.split(",") if x] or ALL_QUERY_IDS
 
@@ -148,6 +154,97 @@ def main():
         # full value comparison vs the pandas oracle (decimals exact, floats
         # to tolerance) -- true only when every executed query matched
         "checked": bool(args.check and not check_failed
+                        and checked == len(per_query_ms) and per_query_ms),
+    }
+    if check_failed:
+        out["check_failed"] = {str(k): v for k, v in check_failed.items()}
+    if failed:
+        out["failed"] = failed
+    print(json.dumps(out))
+
+
+def clickbench_main(args):
+    """ClickBench hits (43 queries) on a synthetic skewed table.  There is no
+    in-repo reference baseline (BASELINE.md: tracked externally), so the
+    metric is the suite geomean; correctness is checked per query by
+    executing the same fused plan on the CPU backend and comparing frames."""
+    import jax
+    import jax.numpy as jnp
+
+    from datafusion_tpu.context import SessionContext
+    from datafusion_tpu.data.device import to_host
+    from datafusion_tpu.models.clickbench.datagen import generate_hits
+    from datafusion_tpu.models.clickbench.queries import QUERIES, query
+    from datafusion_tpu.models.tpch.compare import frames_diff
+    from datafusion_tpu.physical.fused import FusedQuery
+    from datafusion_tpu.runtime.context import ExecContext
+
+    t0 = time.time()
+    hits = generate_hits(args.rows)
+    ctx = SessionContext()
+    ctx.register_table("hits", hits)
+    if args.verbose:
+        print(f"# generated hits rows={args.rows} in {time.time()-t0:.1f}s, "
+              f"backend={jax.devices()[0].platform}", file=sys.stderr)
+    try:
+        cpu_dev = jax.devices("cpu")[0]
+    except Exception:
+        cpu_dev = None
+
+    qids = [int(x) for x in args.queries.split(",") if x] or list(range(len(QUERIES)))
+    per_query_ms = {}
+    failed = {}
+    check_failed = {}
+    checked = 0
+    on_tpu = jax.devices()[0].platform == "tpu"
+    for qid in qids:
+      try:
+        sql = query(qid, args.rows)
+        phys = FusedQuery(ctx.sql(sql).physical_plan())
+        ectx = ctx.exec_context()
+        t0 = time.time()
+        rel = phys.execute(ectx)
+        jax.block_until_ready(rel.sel)
+        compile_s = time.time() - t0
+        if args.settle and compile_s > 2:
+            time.sleep(min(args.settle * compile_s, 30.0))
+        times = []
+        for _ in range(args.repeat):
+            t0 = time.perf_counter()
+            rel = phys.execute(ectx)
+            jax.block_until_ready(rel.sel)
+            times.append((time.perf_counter() - t0) * 1000)
+        ms = min(times)
+        per_query_ms[qid] = ms
+        if args.verbose:
+            print(f"# q{qid:>2}: {ms:9.2f} ms  (compile+first {compile_s*1000:8.0f} ms)",
+                  file=sys.stderr)
+        if args.check and on_tpu and cpu_dev is not None:
+            # backend differential: same fused plan on the CPU backend
+            cpu_rel = phys.execute(ExecContext(ectx.config, device=cpu_dev))
+            diff = frames_diff(to_host(rel).to_pandas(),
+                               to_host(cpu_rel).to_pandas(),
+                               ordered="order by" in sql.lower())
+            if diff is None:
+                checked += 1
+            else:
+                check_failed[qid] = diff
+            if args.verbose or diff is not None:
+                print(f"# q{qid} check: {'OK' if diff is None else 'MISMATCH ' + diff}",
+                      file=sys.stderr)
+      except Exception as exc:  # noqa: BLE001
+        failed[qid] = f"{type(exc).__name__}: {exc}"
+        print(f"# q{qid} FAILED: {failed[qid][:200]}", file=sys.stderr)
+
+    gm = geomean(list(per_query_ms.values())) if per_query_ms else float("nan")
+    out = {
+        "metric": f"clickbench_{args.rows}rows_geomean_ms",
+        "value": round(gm, 2),
+        "unit": "ms",
+        "vs_baseline": 0.0,  # no in-repo reference numbers (BASELINE.md)
+        "queries": {str(k): round(v, 2) for k, v in per_query_ms.items()},
+        "backend": jax.devices()[0].platform,
+        "checked": bool(args.check and on_tpu and not check_failed
                         and checked == len(per_query_ms) and per_query_ms),
     }
     if check_failed:

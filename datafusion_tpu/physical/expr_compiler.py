@@ -29,19 +29,25 @@ from ..expr.typing import arith_result, infer
 from ..utils import dates as DU
 from . import functions as F
 
-# dictionary-merge memo keyed by identity of the two dictionaries
-_MERGE_CACHE: Dict[Tuple[int, int], Tuple[Dictionary, np.ndarray, np.ndarray]] = {}
+# dictionary-merge memo keyed by identity of the two dictionaries; bounded
+# LRU so long-lived sessions over many files cannot pin dictionaries forever
+import collections
+
+_MERGE_CACHE: "collections.OrderedDict" = collections.OrderedDict()
+_MERGE_CACHE_LIMIT = 256
 
 
 def merge_dictionaries(a: Dictionary, b: Dictionary):
     """Merged sorted dictionary + code translation arrays for both inputs.
 
-    The cache entry PINS the input dictionaries: the key is id()-based, so
-    letting inputs be garbage-collected would allow address reuse to serve a
-    stale (wrong) mapping for a different dictionary."""
+    A live cache entry PINS the input dictionaries: the key is id()-based,
+    so letting cached inputs be garbage-collected would allow address reuse
+    to serve a stale (wrong) mapping for a different dictionary.  Evicted
+    entries release their pins safely (the key disappears with the entry)."""
     key = (id(a), id(b))
     hit = _MERGE_CACHE.get(key)
     if hit is not None:
+        _MERGE_CACHE.move_to_end(key)
         return hit[2:]
     av = np.asarray(a.values, dtype="U") if len(a.values) else np.array([], "U1")
     bv = np.asarray(b.values, dtype="U") if len(b.values) else np.array([], "U1")
@@ -50,6 +56,8 @@ def merge_dictionaries(a: Dictionary, b: Dictionary):
     bmap = np.searchsorted(merged, bv).astype(np.int32)
     entry = (a, b, Dictionary(merged.astype(object)), amap, bmap)
     _MERGE_CACHE[key] = entry
+    while len(_MERGE_CACHE) > _MERGE_CACHE_LIMIT:
+        _MERGE_CACHE.popitem(last=False)
     return entry[2:]
 
 
