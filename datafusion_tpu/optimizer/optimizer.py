@@ -47,15 +47,16 @@ def simplify_rule(plan: L.LogicalPlan) -> L.LogicalPlan:
 def optimize(plan: L.LogicalPlan, catalog=None) -> L.LogicalPlan:
     from .decorrelate import decorrelate_rule
     from .dedup import dedup_rule
-    from .pushdown import (limit_into_sort_rule, or_implication_rule,
-                           projection_pruning_rule, push_filters_rule,
-                           reorder_joins_rule)
+    from .pushdown import (eliminate_outer_joins_rule, limit_into_sort_rule,
+                           or_implication_rule, projection_pruning_rule,
+                           push_filters_rule, reorder_joins_rule)
 
     rules: List[Callable] = [
         simplify_rule,
         decorrelate_rule,
         simplify_rule,
         dedup_rule,  # unify sub-plans duplicated by subquery lifting (Q15)
+        eliminate_outer_joins_rule,  # LEFT/RIGHT/FULL -> INNER under strict filters
         or_implication_rule,  # derive pushable per-column predicates (Q7/Q19)
         push_filters_rule,
         reorder_joins_rule,

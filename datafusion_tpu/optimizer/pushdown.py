@@ -103,6 +103,67 @@ def _implied_from_or(e: E.Expr) -> List[E.Expr]:
     return out
 
 
+def _null_rejecting_cols(e: E.Expr) -> Set[Tuple]:
+    """Columns for which predicate `e` cannot be TRUE when the column is
+    NULL (reference: eliminate_outer_join.rs extract_non_nullable_columns).
+    Conservative: only shapes whose strictness is obvious."""
+    if isinstance(e, E.BinaryOp):
+        if e.op is E.Op.AND:
+            return _null_rejecting_cols(e.left) | _null_rejecting_cols(e.right)
+        if e.op is E.Op.OR:
+            return _null_rejecting_cols(e.left) & _null_rejecting_cols(e.right)
+        if e.op in (E.Op.EQ, E.Op.NEQ, E.Op.LT, E.Op.LE, E.Op.GT, E.Op.GE):
+            return {(c.qualifier, c.cname) for c in E.collect_columns(e)}
+    if isinstance(e, (E.Between, E.InList, E.Like)) and not e.negated:
+        return {(c.qualifier, c.cname) for c in E.collect_columns(e)}
+    if isinstance(e, E.Not) and isinstance(e.expr, E.IsNull):
+        if isinstance(e.expr.expr, E.Column):
+            c = e.expr.expr
+            return {(c.qualifier, c.cname)}
+    return set()
+
+
+def eliminate_outer_joins_rule(plan: L.LogicalPlan) -> L.LogicalPlan:
+    """LEFT/RIGHT/FULL -> INNER when a filter above rejects NULLs from the
+    null-supplying side (reference: optimizer/src/eliminate_outer_join.rs).
+    Run before filter pushdown so the demoted join can then reorder."""
+
+    def side_cols(p: L.LogicalPlan) -> Set[Tuple]:
+        return {(f.qualifier, f.name) for f in p.schema.fields}
+
+    def rewrite(p: L.LogicalPlan) -> L.LogicalPlan:
+        if not isinstance(p, L.Filter) or not isinstance(p.input, L.Join):
+            return p
+        j = p.input
+        if j.join_type not in (L.JoinType.LEFT, L.JoinType.RIGHT, L.JoinType.FULL):
+            return p
+        strict: Set[Tuple] = set()
+        for conj in split_conjuncts(p.predicate):
+            strict |= _null_rejecting_cols(conj)
+        right_hit = bool(strict & side_cols(j.right))
+        left_hit = bool(strict & side_cols(j.left))
+        jt = j.join_type
+        if jt is L.JoinType.LEFT and right_hit:
+            jt = L.JoinType.INNER
+        elif jt is L.JoinType.RIGHT and left_hit:
+            jt = L.JoinType.INNER
+        elif jt is L.JoinType.FULL:
+            # rejecting right-side NULLs removes the left-unmatched rows
+            # (whose right columns are NULL), leaving inner + right-unmatched
+            if left_hit and right_hit:
+                jt = L.JoinType.INNER
+            elif right_hit:
+                jt = L.JoinType.RIGHT
+            elif left_hit:
+                jt = L.JoinType.LEFT
+        if jt is j.join_type:
+            return p
+        return L.Filter(L.Join(j.left, j.right, j.on, jt, j.filter),
+                        p.predicate)
+
+    return L.transform_up(plan, rewrite)
+
+
 def or_implication_rule(plan: L.LogicalPlan) -> L.LogicalPlan:
     def rewrite(p: L.LogicalPlan) -> L.LogicalPlan:
         if not isinstance(p, L.Filter):
