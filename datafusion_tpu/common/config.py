@@ -54,6 +54,11 @@ _opt("execution.memory_limit_bytes", 0,
      "naming the top consumers.")
 _opt("execution.spill_dir", "",
      "Directory for host->disk spill files (empty = host RAM only).")
+_opt("execution.timeout_seconds", 0.0,
+     "Cooperative per-query deadline; 0 = none. Checked at every operator "
+     "dispatch, scan chunk, and recursion step (a fused single-XLA-program "
+     "query cancels at its next host sync). QueryCancelled on expiry; "
+     "SessionContext.interrupt() cancels explicitly.")
 _opt("execution.use_fused_queries", True,
      "Compile whole plans into a single XLA program after capacity discovery.")
 _opt("execution.out_of_core", "auto",

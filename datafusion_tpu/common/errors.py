@@ -23,5 +23,11 @@ class ResourceExhausted(DataFusionTpuError):
     """Memory-pool style resource failure (analog of ResourcesExhausted)."""
 
 
+class QueryCancelled(ExecutionError):
+    """Query interrupted by SessionContext.interrupt() or a configured
+    execution.timeout_seconds deadline (analog of the reference's stream
+    drop / cancellation propagation, see benchmarks/src/cancellation)."""
+
+
 class NotImplementedYet(DataFusionTpuError):
     """Feature recognized but not yet supported."""

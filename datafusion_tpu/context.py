@@ -27,11 +27,21 @@ class SessionContext:
     def __init__(self, config: Optional[Dict] = None, device=None):
         from .common.config import ConfigOptions
 
+        import threading
+
         self.catalog = Catalog()
         self.config = dict(config or {})
         self.options = ConfigOptions(self.config)
         self.device = device
         self.functions = FunctionRegistry()
+        self._cancel = threading.Event()
+
+    def interrupt(self):
+        """Cancel queries currently executing under this session (analog of
+        dropping the reference's record-batch stream; the cooperative check
+        runs at every operator dispatch / chunk / recursion step, so a fused
+        single-XLA-program query cancels at its next host sync)."""
+        self._cancel.set()
 
     # ---- registration ---------------------------------------------------
     def register_table(self, name: str, data) -> None:
@@ -221,6 +231,8 @@ class SessionContext:
     def exec_context(self) -> ExecContext:
         merged = self.options.to_dict()
         merged.update(self.config)
+        self._cancel.clear()  # a new execution starts un-cancelled
+        merged["_cancel_event"] = self._cancel
         return ExecContext(merged, self.device)
 
 

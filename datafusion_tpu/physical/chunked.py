@@ -354,6 +354,7 @@ class ChunkedQuery:
             for rel in p.provider.scan_chunks(ctx, filters=p.filters,
                                               projection=p.projection,
                                               chunk_rows=self.chunk_rows):
+                ctx.check_cancelled()
                 src = {f.name: c for f, c in zip(rel.schema.fields, rel.columns)}
                 yield DeviceRelation(
                     p.schema, tuple(src[f.name] for f in p.schema.fields), rel.sel)

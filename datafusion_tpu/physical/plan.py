@@ -55,6 +55,7 @@ class PhysicalPlan:
     def _timed(self, ctx: ExecContext, fn, *args):
         from ..runtime.tracing import TRACER
 
+        ctx.check_cancelled()
         t0 = time.perf_counter()
         with TRACER.span(self._line()):
             out = fn(*args)
@@ -943,6 +944,7 @@ class RecursiveQueryExec(PhysicalPlan):
         work = acc
         try:
             for _ in range(self.MAX_ITERATIONS):
+                ctx.check_cancelled()
                 live = int(jax.device_get(jnp.sum(work.sel)))
                 if live == 0:
                     return acc

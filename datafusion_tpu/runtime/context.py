@@ -39,6 +39,21 @@ class ExecContext:
 
         self.spill_manager = SpillManager(self.config.get("spill_dir")
                                           or self.config.get("execution.spill_dir") or None)
+        # cooperative cancellation: checked between operator dispatches /
+        # chunks / recursion steps.  A fused single-program execution is
+        # uninterruptible once dispatched (one XLA call), like a single
+        # batch in the reference; cancellation bites at every host sync.
+        self.cancel_event = self.config.get("_cancel_event")
+        timeout = self.config.get("execution.timeout_seconds")
+        self.deadline = (time.monotonic() + float(timeout)) if timeout else None
+
+    def check_cancelled(self):
+        from ..common.errors import QueryCancelled
+
+        if self.cancel_event is not None and self.cancel_event.is_set():
+            raise QueryCancelled("query cancelled by interrupt()")
+        if self.deadline is not None and time.monotonic() > self.deadline:
+            raise QueryCancelled("execution.timeout_seconds exceeded")
 
     def metric(self, name: str) -> ExecMetrics:
         if name not in self.metrics:
