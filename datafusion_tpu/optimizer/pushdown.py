@@ -103,19 +103,58 @@ def _implied_from_or(e: E.Expr) -> List[E.Expr]:
     return out
 
 
+# scalar functions that return NULL whenever any argument is NULL, so a
+# column under them stays null-rejecting inside a comparison
+_STRICT_FNS = frozenset({
+    "abs", "round", "floor", "ceil", "trunc", "sqrt", "exp", "ln", "log10",
+    "log2", "sign", "signum", "upper", "lower", "trim", "ltrim", "rtrim",
+    "btrim", "substr", "substring", "length", "char_length",
+    "character_length", "year", "month", "day", "extract", "date_part",
+    "date_trunc", "to_date", "reverse", "ascii",
+})
+
+
+def _strict_columns(e: E.Expr) -> Set[Tuple]:
+    """Columns whose NULL forces `e` to evaluate to NULL (strict
+    propagation). COALESCE/IFNULL/CASE/IS NULL absorb NULLs, so columns
+    under them are NOT collected."""
+    if isinstance(e, E.Column):
+        return {(e.qualifier, e.cname)}
+    if isinstance(e, (E.Cast, E.Negative)):
+        return _strict_columns(e.expr)
+    if isinstance(e, E.Alias):
+        return _strict_columns(e.expr)
+    if isinstance(e, E.BinaryOp) and not e.op.is_logic:
+        return _strict_columns(e.left) | _strict_columns(e.right)
+    if isinstance(e, E.ScalarFunction) and e.fname.lower() in _STRICT_FNS:
+        out: Set[Tuple] = set()
+        for a in e.args:
+            out |= _strict_columns(a)
+        return out
+    return set()
+
+
 def _null_rejecting_cols(e: E.Expr) -> Set[Tuple]:
     """Columns for which predicate `e` cannot be TRUE when the column is
     NULL (reference: eliminate_outer_join.rs extract_non_nullable_columns).
-    Conservative: only shapes whose strictness is obvious."""
+    Conservative: only shapes whose strictness is obvious, and only columns
+    that propagate NULL strictly into the comparison (a column under
+    COALESCE does not reject NULLs — the classic COUNT-subquery trap)."""
     if isinstance(e, E.BinaryOp):
         if e.op is E.Op.AND:
             return _null_rejecting_cols(e.left) | _null_rejecting_cols(e.right)
         if e.op is E.Op.OR:
             return _null_rejecting_cols(e.left) & _null_rejecting_cols(e.right)
         if e.op in (E.Op.EQ, E.Op.NEQ, E.Op.LT, E.Op.LE, E.Op.GT, E.Op.GE):
-            return {(c.qualifier, c.cname) for c in E.collect_columns(e)}
+            return _strict_columns(e.left) | _strict_columns(e.right)
     if isinstance(e, (E.Between, E.InList, E.Like)) and not e.negated:
-        return {(c.qualifier, c.cname) for c in E.collect_columns(e)}
+        out: Set[Tuple] = set()
+        for sub in getattr(e, "values", None) or ():
+            out |= _strict_columns(sub)
+        out |= _strict_columns(e.expr)
+        if isinstance(e, E.Between):
+            out |= _strict_columns(e.low) | _strict_columns(e.high)
+        return out
     if isinstance(e, E.Not) and isinstance(e.expr, E.IsNull):
         if isinstance(e.expr.expr, E.Column):
             c = e.expr.expr
