@@ -114,6 +114,22 @@ def decorrelate_rule(plan: L.LogicalPlan) -> L.LogicalPlan:
 
 
 def _rewrite_node(plan: L.LogicalPlan) -> L.LogicalPlan:
+    if isinstance(plan, L.Projection) and any(
+            _has_subquery(e) for e in plan.proj_exprs):
+        # scalar subqueries in the SELECT list: join each one in and replace
+        # it with the joined scalar column (reference: ScalarSubqueryToJoin
+        # also fires on Projection, scalar_subquery_to_join.rs)
+        input_plan = plan.input
+        new_exprs = []
+        for e in plan.proj_exprs:
+            while True:
+                sq = _find_scalar_subquery(e)
+                if sq is None:
+                    break
+                input_plan, scalar_ref = _scalar_subquery_join(sq, input_plan)
+                e = _replace_expr(e, sq, scalar_ref)
+            new_exprs.append(e)
+        return L.Projection(input_plan, new_exprs)
     if not isinstance(plan, L.Filter) or not _has_subquery(plan.predicate):
         return plan
     input_plan = plan.input
@@ -233,6 +249,14 @@ def _rewrite_scalar_cmp(conj: E.Expr, input_plan: L.LogicalPlan) -> L.LogicalPla
     sq = _find_scalar_subquery(conj)
     if sq is None:
         raise PlanError(f"unsupported subquery pattern: {conj!r}")
+    joined, scalar_ref = _scalar_subquery_join(sq, input_plan)
+    new_pred = _replace_expr(conj, sq, scalar_ref)
+    return L.Filter(joined, new_pred)
+
+
+def _scalar_subquery_join(sq: E.ScalarSubquery, input_plan: L.LogicalPlan):
+    """Join `sq` against input_plan; returns (joined_plan, expr standing in
+    for the subquery's scalar value over the joined schema)."""
     sub, pairs, residual = _extract_correlated(decorrelate_rule(sq.plan))
     if residual:
         raise PlanError("non-equality correlated predicate in scalar subquery")
@@ -243,8 +267,7 @@ def _rewrite_scalar_cmp(conj: E.Expr, input_plan: L.LogicalPlan) -> L.LogicalPla
         sub_aliased = L.SubqueryAlias(sub, alias)
         joined = L.Join(input_plan, sub_aliased, [], L.JoinType.INNER, None)
         scalar_col = E.Column(sub_aliased.schema.fields[0].name, alias)
-        new_pred = _replace_expr(conj, sq, scalar_col)
-        return L.Filter(joined, new_pred)
+        return joined, scalar_col
 
     # correlated: group the subquery by its correlation keys
     path, agg = _strip_projections_to(sub)
@@ -277,8 +300,7 @@ def _rewrite_scalar_cmp(conj: E.Expr, input_plan: L.LogicalPlan) -> L.LogicalPla
     scalar_ref: E.Expr = scalar_col
     if _count_like(sq.plan):
         scalar_ref = E.ScalarFunction("coalesce", (scalar_col, E.lit(0)))
-    new_pred = _replace_expr(conj, sq, scalar_ref)
-    return L.Filter(joined, new_pred)
+    return joined, scalar_ref
 
 
 def _count_like(plan: L.LogicalPlan) -> bool:

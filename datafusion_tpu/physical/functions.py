@@ -339,25 +339,45 @@ def eval_scalar_function(
         return transform_dictionary(a, lambda vals: np.char.replace(vals, old, new))
 
     if f == "concat":
-        # supported: any mix of string columns sharing one dictionary source
-        # and literals is out of scope round 1; literal+column works
+        # Any mix of literals and dictionary-encoded columns: literals fold
+        # into the dictionary host-side; each column multiplies the composite
+        # dictionary (codes = base * |d| + code). The product is capped --
+        # concat of two high-cardinality columns would need a row-wise string
+        # kernel, which the dictionary model deliberately avoids.
         from ..common.errors import NotImplementedYet
 
-        str_cols = [(i, a) for i, a in enumerate(args) if a.dtype.is_string and a.dictionary is not None]
-        if len(str_cols) != 1:
-            raise NotImplementedYet("concat of multiple string columns")
-        idx, a = str_cols[0]
-        parts = []
-        for i, ae in enumerate(arg_exprs):
-            parts.append(None if i == idx else str(_literal_value(ae)))
-
-        def fn(vals):
-            out = vals
-            pre = "".join(p for p in parts[:idx] if p is not None)
-            post = "".join(p for p in parts[idx + 1:] if p is not None)
-            return np.array([pre + v + post for v in out], "U")
-
-        return transform_dictionary(a, fn)
+        CAP = 1 << 18
+        vals = np.array([""], dtype="U1")
+        codes = None  # jnp codes into vals; None = single value 0
+        for a, ae in zip(args, arg_exprs):
+            if not (a.dtype.is_string and a.dictionary is not None
+                    and len(a.dictionary.values)):
+                lit = _literal_value(ae) if isinstance(
+                    ae.expr if isinstance(ae, E.Alias) else ae, E.Literal) else None
+                if lit is None and a.dtype.is_string:
+                    continue  # empty-dictionary column contributes nothing
+                if lit is None:
+                    raise NotImplementedYet(
+                        "concat of non-string non-literal argument")
+                vals = np.char.add(vals, np.array([str(lit)], "U"))
+                continue
+            dv = np.asarray(a.dictionary.values, dtype="U")
+            if len(vals) * len(dv) > CAP:
+                raise NotImplementedYet(
+                    f"concat dictionary product {len(vals)}x{len(dv)} "
+                    f"exceeds {CAP}")
+            vals = np.char.add(
+                np.repeat(vals, len(dv)),
+                np.tile(dv, len(vals)))
+            cc = jnp.clip(a.data, 0, len(dv) - 1)
+            codes = cc if codes is None else codes * len(dv) + cc
+        if codes is None:
+            codes = jnp.zeros(capacity, dtype=jnp.int32)
+        # restore the sorted-unique dictionary invariant
+        uniq, inv = np.unique(vals, return_inverse=True)
+        out_codes = jnp.asarray(inv.astype(np.int32))[codes]
+        return DeviceColumn(out_codes.astype(jnp.int32), validity, T.STRING,
+                            Dictionary(uniq.astype(object)))
 
     if f in ("length", "char_length", "character_length", "octet_length"):
         a = args[0]
@@ -386,27 +406,47 @@ def eval_scalar_function(
         return DeviceColumn(out, validity, T.INT64)
 
     if f == "coalesce":
+        dictionary = None
+        if out_dtype.is_string:
+            from .expr_compiler import unify_many_string_columns
+
+            args = unify_many_string_columns(list(args))
+            dictionary = args[0].dictionary
         out = args[-1]
         data, valid = out.data, out.valid()
         for c in reversed(args[:-1]):
-            cd = _coerce_to(c, out_dtype)
+            cd = c.data if dictionary is not None else _coerce_to(c, out_dtype)
             data = jnp.where(c.valid(), cd, data)
             valid = c.valid() | valid
         all_valid = bool(all(a.validity is None for a in args))
-        return DeviceColumn(data, None if all_valid else valid, out_dtype)
+        return DeviceColumn(data, None if all_valid else valid, out_dtype,
+                            dictionary)
 
     if f in ("nvl", "ifnull"):
         a, b = args
-        bd = _coerce_to(b, a.dtype)
+        if a.dtype.is_string:
+            from .expr_compiler import unify_string_columns
+
+            a, b = unify_string_columns(a, b)
+            bd = b.data
+        else:
+            bd = _coerce_to(b, a.dtype)
         data = jnp.where(a.valid(), a.data, bd)
         valid = a.valid() | b.valid()
-        return DeviceColumn(data, None if (a.validity is None or b.validity is None) else valid, a.dtype)
+        return DeviceColumn(data, None if (a.validity is None or b.validity is None) else valid, a.dtype,
+                            a.dictionary)
 
     if f == "nullif":
         a, b = args
-        eqmask = (a.data == _coerce_to(b, a.dtype)) & a.valid() & b.valid()
+        if a.dtype.is_string:
+            from .expr_compiler import unify_string_columns
+
+            ua, ub = unify_string_columns(a, b)
+            eqmask = (ua.data == ub.data) & ua.valid() & ub.valid()
+        else:
+            eqmask = (a.data == _coerce_to(b, a.dtype)) & a.valid() & b.valid()
         valid = a.valid() & ~eqmask
-        return DeviceColumn(a.data, valid, a.dtype)
+        return DeviceColumn(a.data, valid, a.dtype, a.dictionary)
 
     if f in ("md5", "sha224", "sha256", "sha384", "sha512"):
         import hashlib

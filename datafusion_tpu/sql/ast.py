@@ -48,6 +48,18 @@ class Relation:
 class Derived:
     query: "SelectStmt"
     alias: str
+    columns: Optional[List[str]] = None  # AS alias(c1, c2, ...) renames
+
+
+@dataclasses.dataclass
+class ValuesTable:
+    """Inline VALUES relation: `(VALUES (1,'a'), (2,'b')) AS v(id, s)` or the
+    bare `VALUES ...` statement (reference: LogicalPlan::Values,
+    expr/src/logical_plan/plan.rs)."""
+
+    rows: List[List[object]]  # E.Expr per cell (literals after folding)
+    alias: Optional[str] = None
+    columns: Optional[List[str]] = None
 
 
 @dataclasses.dataclass

@@ -257,6 +257,11 @@ class Parser:
             inner = self.select_stmt()
             self.expect_op(")")
             return inner
+        if self.at_kw("values"):
+            # bare VALUES statement: SELECT * over an inline relation
+            vt = A.ValuesTable(self._values_rows())
+            return A.SelectCore([A.SelectItem(A.Star())], [vt], None, None,
+                                None, False, None)
         self.expect_kw("select")
         distinct = self.eat_kw("distinct") is not None
         self.eat_kw("all")
@@ -364,20 +369,51 @@ class Parser:
                     self.expect_op(")")
             left = A.JoinRef(left, right, kind, on, using)
 
+    def _values_rows(self):
+        """Rows of a VALUES clause (the VALUES keyword itself)."""
+        self.expect_kw("values")
+        rows = []
+        while True:
+            self.expect_op("(")
+            row = [self.expr()]
+            while self.eat_op(","):
+                row.append(self.expr())
+            self.expect_op(")")
+            rows.append(row)
+            if not self.eat_op(","):
+                return rows
+
+    def _table_alias(self):
+        """[AS] alias [(col, ...)] after a derived table / VALUES."""
+        alias = None
+        if self.eat_kw("as"):
+            alias = self.ident()
+        elif self.peek().kind == "ident":
+            alias = self.next().value
+        columns = None
+        if alias is not None and self.at("op", "("):
+            self.next()
+            columns = [self.ident()]
+            while self.eat_op(","):
+                columns.append(self.ident())
+            self.expect_op(")")
+        return alias, columns
+
     def table_primary(self):
         if self.eat_op("("):
+            if self.at_kw("values"):
+                rows = self._values_rows()
+                self.expect_op(")")
+                alias, columns = self._table_alias()
+                return A.ValuesTable(rows, alias, columns)
             if self.at_kw("select", "with") or self.at("op", "("):
                 q = self.select_stmt()
                 self.expect_op(")")
-                alias = None
-                if self.eat_kw("as"):
-                    alias = self.ident()
-                elif self.peek().kind == "ident":
-                    alias = self.next().value
+                alias, columns = self._table_alias()
                 if alias is None:
                     self._anon_derived = getattr(self, "_anon_derived", 0) + 1
                     alias = f"__derived{self._anon_derived}"
-                return A.Derived(q, alias)
+                return A.Derived(q, alias, columns)
             inner = self.table_ref()
             self.expect_op(")")
             return inner

@@ -30,6 +30,23 @@ def _rename_columns(plan: L.LogicalPlan, cols) -> L.LogicalPlan:
     return L.Projection(plan, proj)
 
 
+def _fold_to_literal(e: E.Expr) -> E.Literal:
+    """Constant-fold a VALUES cell to a literal (literals, signs, casts)."""
+    if isinstance(e, E.Literal):
+        return e
+    if isinstance(e, E.Alias):
+        return _fold_to_literal(e.expr)
+    if isinstance(e, E.Negative):
+        inner = _fold_to_literal(e.expr)
+        if inner.value is None:
+            return inner
+        return E.Literal(-inner.value, inner.dtype)
+    if isinstance(e, E.Cast):
+        inner = _fold_to_literal(e.expr)
+        return E.Literal(inner.value, e.dtype)
+    raise PlanError(f"VALUES cells must be constant, got {e!r}")
+
+
 def _ast_refs_table(node, key: str) -> bool:
     """Does this AST sub-tree reference table `key` in any FROM clause?"""
     if isinstance(node, A.SelectStmt):
@@ -442,7 +459,17 @@ class SqlPlanner:
             return L.TableScan(tr.name, provider, alias=tr.alias or tr.name)
         if isinstance(tr, A.Derived):
             sub = SqlPlanner(self.catalog, self.outer_schemas, self.ctes).plan_query(tr.query)
+            if tr.columns:
+                if len(tr.columns) != len(sub.schema):
+                    raise PlanError(
+                        f"derived table {tr.alias!r} has {len(sub.schema)} "
+                        f"columns but {len(tr.columns)} aliases")
+                exprs = [E.Alias(E.col(f.qualified_name), n)
+                         for f, n in zip(sub.schema.fields, tr.columns)]
+                sub = L.Projection(sub, exprs)
             return L.SubqueryAlias(sub, tr.alias)
+        if isinstance(tr, A.ValuesTable):
+            return self._plan_values_table(tr)
         if isinstance(tr, A.JoinRef):
             left = self.plan_table_ref(tr.left)
             right = self.plan_table_ref(tr.right)
@@ -477,6 +504,42 @@ class SqlPlanner:
                 return L.Join(left, right, [], jt, None)
             return L.Join(left, right, on_pairs, jt, residual)
         raise PlanError(f"unsupported table ref {tr!r}")
+
+    def _plan_values_table(self, tr) -> L.LogicalPlan:
+        """Inline VALUES relation -> L.Values (reference:
+        LogicalPlan::Values, sql/src/query.rs VALUES planning). Cells fold to
+        literals; per-column types unify numerically; default column names
+        are column1..columnN like the reference."""
+        from ..common.schema import Field
+
+        rows = [[_fold_to_literal(c) for c in row] for row in tr.rows]
+        if not rows:
+            raise PlanError("VALUES requires at least one row")
+        ncols = len(rows[0])
+        for r in rows:
+            if len(r) != ncols:
+                raise PlanError("VALUES rows have differing lengths")
+        names = tr.columns or [f"column{i + 1}" for i in range(ncols)]
+        if len(names) != ncols:
+            raise PlanError(
+                f"VALUES has {ncols} columns but {len(names)} aliases")
+        fields = []
+        for j in range(ncols):
+            dtype = T.NULL
+            nullable = False
+            for r in rows:
+                lv = r[j]
+                if lv.value is None:
+                    nullable = True
+                elif dtype.kind is T.TypeKind.NULL:
+                    dtype = lv.dtype
+                elif lv.dtype != dtype and lv.dtype.is_numeric and dtype.is_numeric:
+                    dtype = T.common_numeric_type(dtype, lv.dtype)
+            if dtype.kind is T.TypeKind.NULL:
+                dtype = T.INT64
+            fields.append(Field(names[j], dtype, nullable))
+        plan = L.Values(Schema(fields), rows)
+        return L.SubqueryAlias(plan, tr.alias) if tr.alias else plan
 
     def _information_schema(self, table: str, alias) -> L.LogicalPlan:
         """Virtual information_schema.{tables,columns} built from the catalog
