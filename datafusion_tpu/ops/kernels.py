@@ -39,6 +39,18 @@ _M1 = np.uint64(0xFF51AFD7ED558CCD)
 _M2 = np.uint64(0xC4CEB9FE1A85EC53)
 
 
+def _force_collisions() -> bool:
+    """Hash-collision stress mode (reference: the force_hash_collisions
+    workspace feature, exercised in extended CI): every hash64 returns a
+    constant, so hash-partitioned exchanges route ALL rows to one shard and
+    every collision-handling path must still be exact. Read at trace time;
+    set the env var before building plans."""
+    import os
+
+    return os.environ.get("DATAFUSION_TPU_FORCE_HASH_COLLISIONS",
+                          "") not in ("", "0", "false")
+
+
 def _mix64(x: jax.Array) -> jax.Array:
     """splitmix64-style finalizer (uint64)."""
     x = x ^ (x >> 33)
@@ -55,6 +67,8 @@ def hash64(columns: Sequence[jax.Array], seed: int = 0) -> jax.Array:
     hash-based operator so repartitioned data never needs rehashing."""
     assert columns, "hash64 needs at least one column"
     n = columns[0].shape[0]
+    if _force_collisions():
+        return jnp.zeros((n,), dtype=jnp.uint64)
     acc = jnp.full((n,), np.uint64(seed) ^ _M1, dtype=jnp.uint64)
     for c in columns:
         if jnp.issubdtype(c.dtype, jnp.floating):

@@ -37,6 +37,7 @@ def create_physical_plan(plan: L.LogicalPlan, _memo=None) -> P.PhysicalPlan:
     """LogicalPlan -> PhysicalPlan. Shared logical sub-plans (CTEs referenced
     more than once) map to ONE physical operator instance, so fused tracing
     and per-op execution compute them once."""
+    top = _memo is None
     if _memo is None:
         _memo = {}
     hit = _memo.get(id(plan))
@@ -44,6 +45,10 @@ def create_physical_plan(plan: L.LogicalPlan, _memo=None) -> P.PhysicalPlan:
         return hit
     out = _create(plan, _memo)
     _memo[id(plan)] = out
+    if top:
+        from .sanity import validate_plan
+
+        validate_plan(out)
     return out
 
 
