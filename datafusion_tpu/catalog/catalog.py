@@ -81,6 +81,65 @@ def _device_key(ctx) -> str:
     return str(jax.devices()[0])
 
 
+class StreamingTable(TableProvider):
+    """A (possibly unbounded) stream of record batches (reference:
+    StreamingTableExec, physical-plan/src/streaming.rs:63 + StreamingTable
+    in catalog). `batches` is a zero-arg factory returning an iterator of
+    host Tables (or pydicts); each call starts a fresh scan. Unbounded
+    streams execute through the chunked executor, which pulls batches
+    incrementally and early-stops on LIMIT; pipeline-breaking operators over
+    an unbounded stream are rejected at plan time (the reference's
+    Boundedness/EmissionType check, execution_plan.rs:1022,1067)."""
+
+    def __init__(self, schema: Schema, batches, unbounded: bool = False):
+        self._schema = schema
+        self._batches = batches
+        self.unbounded = unbounded
+
+    def schema(self) -> Schema:
+        return self._schema
+
+    def statistics(self):
+        from ..common.stats import Statistics
+
+        return Statistics(float("inf") if self.unbounded else 0.0)
+
+    def host_table(self) -> Table:
+        if self.unbounded:
+            raise PlanError("cannot materialize an unbounded stream")
+        from ..physical.chunked import concat_host
+
+        return concat_host([self._coerce(b) for b in self._batches()],
+                           self._schema)
+
+    def _coerce(self, b) -> Table:
+        if isinstance(b, Table):
+            return b
+        return Table.from_pydict(b, {f.name: f.dtype
+                                     for f in self._schema.fields})
+
+    def scan_device(self, ctx, filters=(), projection=None) -> DeviceRelation:
+        return to_device(self.host_table(),
+                         device=ctx.device if ctx else None)
+
+    def scan_chunks(self, ctx, filters=(), projection=None, chunk_rows=1 << 20):
+        from ..data.device import bucket_capacity
+
+        cap = None
+        for b in self._batches():
+            t = self._coerce(b)
+            if projection is not None:
+                idxs = [t.schema.index_of(c) for c in projection]
+                t = Table(Schema([t.schema.fields[i] for i in idxs]),
+                          [t.columns[i] for i in idxs])
+            if cap is None:
+                cap = bucket_capacity(min(max(t.num_rows, 1), chunk_rows))
+            device = ctx.device if ctx else None
+            for start in range(0, max(t.num_rows, 1), cap):
+                yield to_device(t, capacity=cap, device=device,
+                                row_range=(start, min(start + cap, t.num_rows)))
+
+
 class WorkTable(TableProvider):
     """Recursive CTE working table: the physical RecursiveQueryExec binds the
     previous iteration's device relation before each step (reference:

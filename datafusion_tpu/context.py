@@ -67,6 +67,20 @@ class SessionContext:
             else:
                 raise PlanError(f"cannot register {type(data)}")
 
+    def register_streaming_table(self, name: str, batches, schema,
+                                 unbounded: bool = False) -> None:
+        """Register a stream of record batches (reference: StreamingTable /
+        StreamingTableExec, physical-plan/src/streaming.rs:63). `batches` is
+        a zero-arg callable returning an iterator of host Tables or pydicts;
+        `schema` is a Schema or {name: DataType}. With unbounded=True the
+        engine only accepts pipeline-friendly plans over it (filters,
+        projections, limits) and executes them incrementally."""
+        from .catalog.catalog import StreamingTable
+
+        if isinstance(schema, dict):
+            schema = Schema([Field(n, t) for n, t in schema.items()])
+        self.catalog.register(name, StreamingTable(schema, batches, unbounded))
+
     def register_parquet(self, name: str, path: str) -> None:
         self.catalog.register(name, ParquetTable(path))
 
@@ -331,7 +345,11 @@ class DataFrame:
 
     @with_registry
     def physical_plan(self):
-        return create_physical_plan(self.optimized_plan())
+        """Cached: one physical plan per DataFrame, shared by collect()/
+        explain()/execute_stream() so discovered capacities persist."""
+        if getattr(self, "_pp", None) is None:
+            self._pp = create_physical_plan(self.optimized_plan())
+        return self._pp
 
     @with_registry
     def explain(self) -> str:
@@ -377,22 +395,51 @@ class DataFrame:
         ctx = self._ctx.exec_context()
         cq = self._chunked_query(ctx)
         if cq is not None:
+            from .physical.chunked import plan_boundedness
+
+            if plan_boundedness(cq.plan):
+                raise PlanError(
+                    "query output is an unbounded stream; use "
+                    "execute_stream() or add a LIMIT")
             return cq.collect(ctx)
         rel = self._fused_query().execute(ctx)
         return to_host(rel)
+
+    def execute_stream(self, chunk_rows: Optional[int] = None):
+        """Incremental execution: yield host Tables chunk by chunk through
+        the chunked executor (reference: DataFrame::execute_stream ->
+        SendableRecordBatchStream). The only way to consume a query whose
+        OUTPUT is unbounded."""
+        ctx = self._ctx.exec_context()
+        from .physical.chunked import ChunkedQuery, plan_boundedness
+
+        rows = int(chunk_rows or ctx.opt("execution.chunk_rows", 1 << 21)
+                   or (1 << 21))
+        cq = ChunkedQuery(self.physical_plan(), rows)
+        plan_boundedness(cq.plan)  # reject breakers over unbounded inputs
+        for rel in cq._stream(cq.plan, ctx):
+            t = to_host(rel)
+            if t.num_rows:
+                yield t
 
     def _chunked_query(self, ctx):
         """ChunkedQuery when out-of-core execution applies (config 'on', or
         'auto' with a bounded memory pool whose limit the estimated scan size
         would bust), else None."""
         mode = str(ctx.opt("execution.out_of_core", "auto")).lower()
-        if mode in ("off", "false", "0", "none"):
-            return None
         if getattr(self, "_cq", None) is not None:
             return self._cq
-        from .physical.chunked import ChunkedQuery, estimate_scan_bytes
+        from .physical.chunked import (ChunkedQuery, estimate_scan_bytes,
+                                       plan_boundedness, scan_unbounded)
 
         chunk_rows = int(ctx.opt("execution.chunk_rows", 1 << 21) or (1 << 21))
+        plan0 = self.physical_plan()
+        if scan_unbounded(plan0):
+            plan_boundedness(plan0)  # raises on breakers over the stream
+            self._cq = ChunkedQuery(plan0, chunk_rows)
+            return self._cq
+        if mode in ("off", "false", "0", "none"):
+            return None
         if mode in ("on", "true", "1"):
             self._cq = ChunkedQuery(self.physical_plan(), chunk_rows)
             return self._cq

@@ -256,6 +256,59 @@ class SpillableAccumulator:
 # ---------------------------------------------------------------------------
 
 
+def scan_unbounded(plan: P.PhysicalPlan) -> bool:
+    """True when any scan in the tree reads an unbounded stream."""
+    if isinstance(plan, P.ScanExec) and getattr(plan.provider, "unbounded", False):
+        return True
+    return any(scan_unbounded(c) for c in plan.children())
+
+
+def plan_boundedness(plan: P.PhysicalPlan) -> bool:
+    """Return True when the plan's OUTPUT is unbounded; raise PlanError when
+    a pipeline-breaking operator consumes an unbounded input (the reference's
+    Boundedness / EmissionType planning check, execution_plan.rs:1022,1067 +
+    the CLI's unbounded guard, datafusion-cli exec.rs:274-281)."""
+    from ..common.errors import PlanError
+    from .window import WindowExec
+    from .planner import AliasExec
+
+    p = plan
+    if isinstance(p, P.ScanExec):
+        return bool(getattr(p.provider, "unbounded", False))
+    if isinstance(p, (P.ValuesExec, P.EmptyExec)):
+        return False
+    if isinstance(p, (P.FilterExec, P.ProjectionExec, P.CompactExec,
+                      P.UnnestExec, AliasExec)):
+        return plan_boundedness(p.input)
+    if isinstance(p, P.LimitExec):
+        ub = plan_boundedness(p.input)
+        return ub if p.fetch is None else False
+    if isinstance(p, P.UnionExec):
+        return any(plan_boundedness(c) for c in p.inputs)
+    if isinstance(p, P.JoinExec):
+        from . import fused as F
+
+        swapped, _, _ = F.join_normalize(p)
+        lplan, rplan = (p.right, p.left) if swapped else (p.left, p.right)
+        if plan_boundedness(rplan):
+            raise PlanError(
+                f"{type(p).__name__}: join build side is an unbounded "
+                f"stream; bound it (e.g. with LIMIT) first")
+        return plan_boundedness(lplan)
+    # pipeline breakers: need the whole input before emitting anything
+    breakers = (P.SortExec, P.AggregateExec, P.DistinctExec, WindowExec,
+                P.RecursiveQueryExec)
+    if isinstance(p, breakers):
+        for c in p.children():
+            if plan_boundedness(c):
+                raise PlanError(
+                    f"{type(p).__name__} cannot run over an unbounded "
+                    f"stream (pipeline breaker); add a LIMIT below it or "
+                    f"bound the source")
+        return False
+    return any(plan_boundedness(c) for c in p.children())
+
+
 def estimate_scan_bytes(plan: P.PhysicalPlan) -> int:
     """Pre-execution estimate of total device bytes the plan's scans would
     materialize resident (drives the auto out-of-core decision)."""
