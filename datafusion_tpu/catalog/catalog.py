@@ -377,25 +377,127 @@ class CsvTable(FileTable):
         return Table.from_arrow(at)
 
 
-class Catalog:
-    def __init__(self):
-        self._tables: Dict[str, TableProvider] = {}
-        self.views: Dict[str, object] = {}  # name -> LogicalPlan
+class SchemaProvider:
+    """One namespace of tables (reference: SchemaProvider,
+    datafusion/catalog/src/schema.rs)."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self.tables: Dict[str, TableProvider] = {}
 
     def register(self, name: str, provider: TableProvider):
-        self._tables[name.lower()] = provider
+        self.tables[name.lower()] = provider
 
     def deregister(self, name: str):
-        self._tables.pop(name.lower(), None)
+        self.tables.pop(name.lower(), None)
+
+    def table(self, name: str) -> Optional[TableProvider]:
+        return self.tables.get(name.lower())
+
+    def names(self) -> List[str]:
+        return sorted(self.tables)
+
+
+class CatalogProvider:
+    """A named collection of schemas (reference: CatalogProvider,
+    datafusion/catalog/src/catalog.rs)."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self.schemas: Dict[str, SchemaProvider] = {}
+
+    def schema(self, name: str, create: bool = False) -> Optional[SchemaProvider]:
+        s = self.schemas.get(name.lower())
+        if s is None and create:
+            s = self.schemas[name.lower()] = SchemaProvider(name.lower())
+        return s
+
+    def schema_names(self) -> List[str]:
+        return sorted(self.schemas)
+
+
+DEFAULT_CATALOG = "datafusion"
+DEFAULT_SCHEMA = "public"
+
+
+class Catalog:
+    """Session catalog list with a three-level namespace
+    catalog.schema.table (reference: CatalogProviderList -> CatalogProvider
+    -> SchemaProvider -> TableProvider). Bare names resolve against the
+    default catalog/schema; registration with 1/2/3 dotted parts targets
+    (default.default.t), (default.s.t), (c.s.t)."""
+
+    def __init__(self):
+        self.catalogs: Dict[str, CatalogProvider] = {}
+        self.default_catalog = DEFAULT_CATALOG
+        self.default_schema = DEFAULT_SCHEMA
+        self.register_catalog(DEFAULT_CATALOG)
+        self.views: Dict[str, object] = {}  # name -> LogicalPlan
+
+    # ---- catalogs/schemas -------------------------------------------------
+    def register_catalog(self, name: str) -> CatalogProvider:
+        c = self.catalogs.get(name.lower())
+        if c is None:
+            c = self.catalogs[name.lower()] = CatalogProvider(name.lower())
+            c.schema(DEFAULT_SCHEMA, create=True)
+        return c
+
+    def catalog(self, name: str) -> Optional[CatalogProvider]:
+        return self.catalogs.get(name.lower())
+
+    def register_schema(self, catalog: str, schema: str) -> SchemaProvider:
+        return self.register_catalog(catalog).schema(schema, create=True)
+
+    def _split(self, name: str):
+        parts = name.split(".")
+        if len(parts) == 1:
+            return self.default_catalog, self.default_schema, parts[0]
+        if len(parts) == 2:
+            return self.default_catalog, parts[0], parts[1]
+        if len(parts) == 3:
+            return parts[0], parts[1], parts[2]
+        raise PlanError(f"invalid table reference {name!r}")
+
+    # ---- tables -------------------------------------------------------------
+    def register(self, name: str, provider: TableProvider):
+        c, s, t = self._split(name)
+        self.register_catalog(c).schema(s, create=True).register(t, provider)
+
+    def deregister(self, name: str):
+        c, s, t = self._split(name)
+        cat = self.catalog(c)
+        sch = cat.schema(s) if cat else None
+        if sch:
+            sch.deregister(t)
 
     def get(self, name: str) -> TableProvider:
-        p = self._tables.get(name.lower())
+        c, s, t = self._split(name)
+        cat = self.catalog(c)
+        sch = cat.schema(s) if cat else None
+        p = sch.table(t) if sch else None
         if p is None:
-            raise PlanError(f"table {name!r} not found; registered: {sorted(self._tables)}")
+            raise PlanError(
+                f"table {name!r} not found; registered: {self.names()}")
         return p
 
     def names(self) -> List[str]:
-        return sorted(self._tables)
+        """Registered table names: bare for the default schema, qualified
+        elsewhere."""
+        out = []
+        for cn, cat in sorted(self.catalogs.items()):
+            for sn, sch in sorted(cat.schemas.items()):
+                for t in sch.names():
+                    if cn == self.default_catalog and sn == self.default_schema:
+                        out.append(t)
+                    elif cn == self.default_catalog:
+                        out.append(f"{sn}.{t}")
+                    else:
+                        out.append(f"{cn}.{sn}.{t}")
+        return sorted(out)
 
     def __contains__(self, name: str) -> bool:
-        return name.lower() in self._tables
+        try:
+            self.get(name)
+            return True
+        except PlanError:
+            return False

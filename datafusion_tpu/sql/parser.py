@@ -75,6 +75,14 @@ class Parser:
             return self.next().value
         raise ParseError(f"expected identifier, got {t}")
 
+    def qualified_ident(self) -> str:
+        """Dotted object name: table / schema.table / catalog.schema.table."""
+        name = self.ident()
+        while self.at("op", ".") and self.peek(1).kind in ("ident", "kw"):
+            self.next()
+            name += "." + self.ident()
+        return name
+
     # ---- statements ------------------------------------------------------
     def statement(self):
         if self.at_kw("explain"):
@@ -90,7 +98,7 @@ class Parser:
             if self.eat_kw("if"):
                 self.expect_kw("exists")
                 if_exists = True
-            return A.DropTable(self.ident(), if_exists)
+            return A.DropTable(self.qualified_ident(), if_exists)
         if self.at_kw("show"):
             self.next()
             self.ident()  # "tables"
@@ -98,7 +106,7 @@ class Parser:
         if self.at_kw("insert"):
             self.next()
             self.expect_kw("into")
-            name = self.ident()
+            name = self.qualified_ident()
             cols = None
             if self.at("op", "(") :
                 self.next()
@@ -127,7 +135,7 @@ class Parser:
                 src = self.select_stmt()
                 self.expect_op(")")
             else:
-                src = self.ident()
+                src = self.qualified_ident()
             self.expect_kw("to")
             path = self.next().value
             fmt = "parquet"
@@ -151,7 +159,7 @@ class Parser:
         self.eat_kw("replace")
         if self.eat_kw("external"):
             self.expect_kw("table")
-            name = self.ident()
+            name = self.qualified_ident()
             if self.eat_op("("):  # optional column list, ignored (inferred)
                 depth = 1
                 while depth:
@@ -185,7 +193,7 @@ class Parser:
         is_view = self.eat_kw("view") is not None
         if not is_view:
             self.expect_kw("table")
-        name = self.ident()
+        name = self.qualified_ident()
         self.expect_kw("as")
         q = self.select_stmt()
         return A.CreateViewAs(name, q) if is_view else A.CreateTableAs(name, q)

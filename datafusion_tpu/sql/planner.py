@@ -550,12 +550,26 @@ class SqlPlanner:
         if table == "tables":
             names = self.catalog.names()
             views = sorted(getattr(self.catalog, "views", {}))
+            cats, schemas, bare = [], [], []
+            for n in names:
+                c, s, tn = self.catalog._split(n)
+                cats.append(c)
+                schemas.append(s)
+                bare.append(tn)
             t = Table.from_pydict({
-                "table_catalog": ["datafusion"] * (len(names) + len(views)),
-                "table_schema": ["public"] * len(names) + ["public"] * len(views),
-                "table_name": list(names) + views,
+                "table_catalog": cats + [self.catalog.default_catalog] * len(views),
+                "table_schema": schemas + [self.catalog.default_schema] * len(views),
+                "table_name": bare + views,
                 "table_type": ["BASE TABLE"] * len(names) + ["VIEW"] * len(views),
             })
+        elif table == "schemata":
+            cats, schemas = [], []
+            for cn, cat in sorted(self.catalog.catalogs.items()):
+                for sn in cat.schema_names():
+                    cats.append(cn)
+                    schemas.append(sn)
+            t = Table.from_pydict({"catalog_name": cats,
+                                   "schema_name": schemas})
         elif table == "columns":
             rows = {"table_name": [], "column_name": [], "ordinal_position": [],
                     "data_type": [], "is_nullable": []}
