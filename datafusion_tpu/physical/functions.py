@@ -103,6 +103,29 @@ def scalar_function_type(e: E.ScalarFunction, schema: Schema) -> Tuple[T.DataTyp
         return T.FLOAT64, False
     if f == "pi":
         return T.FLOAT64, False
+    if f in ("split_part", "overlay", "chr", "char", "to_hex", "uuid",
+             "encode", "decode"):
+        return T.STRING, nullable if f != "uuid" else False
+    if f in ("find_in_set", "factorial", "gcd", "lcm", "to_unixtime"):
+        return T.INT64, nullable
+    if f == "cot":
+        return T.FLOAT64, nullable
+    if f == "nanvl":
+        return T.FLOAT64, nullable
+    if f == "make_date":
+        return T.DATE32, nullable
+    if f in ("to_timestamp", "from_unixtime", "date_bin"):
+        return T.TIMESTAMP, nullable
+    if f in ("greatest", "least"):
+        base = argt[0][0]
+        for t, _ in argt[1:]:
+            if base.is_numeric and t.is_numeric and t != base:
+                base = T.common_numeric_type(base, t)
+        return base, all(n for _, n in argt)
+    if f == "arrow_typeof":
+        return T.STRING, False
+    if f == "version":
+        return T.STRING, False
     raise PlanError(f"unknown scalar function {f!r}")
 
 
@@ -514,6 +537,215 @@ def eval_scalar_function(
         lut = np.array([ord(v[0]) if v else 0 for v in vals], np.int64)
         return DeviceColumn(jnp.asarray(lut)[jnp.clip(a.data, 0, len(lut) - 1)],
                             validity, T.INT64)
+
+    if f == "split_part":
+        delim = str(_literal_value(arg_exprs[1]))
+        n = int(_literal_value(arg_exprs[2]))
+
+        def fn(vals):
+            out = []
+            for v in vals:
+                parts = v.split(delim) if delim else [v]
+                i = n - 1 if n > 0 else len(parts) + n
+                out.append(parts[i] if 0 <= i < len(parts) else "")
+            return np.array(out, "U")
+
+        return transform_dictionary(args[0], fn)
+
+    if f == "overlay":
+        repl = str(_literal_value(arg_exprs[1]))
+        pos = int(_literal_value(arg_exprs[2]))
+        cnt = int(_literal_value(arg_exprs[3])) if len(arg_exprs) > 3 else len(repl)
+
+        def fn(vals):
+            return np.array([v[: pos - 1] + repl + v[pos - 1 + cnt:]
+                             for v in vals], "U")
+
+        return transform_dictionary(args[0], fn)
+
+    if f in ("chr", "char", "to_hex"):
+        # integer -> string through a bounds-sized host lookup table
+        a = args[0]
+        b = a.bounds
+        if b is None or b[1] - b[0] > (1 << 16):
+            raise PlanError(f"{f} needs an integer column with small static "
+                            f"bounds (got bounds={b})")
+        lo, hi = int(b[0]), int(b[1])
+        dom = np.arange(lo, hi + 1)
+        strs = (np.array([format(x, "x") for x in dom], dtype="U")
+                if f == "to_hex" else
+                np.array([chr(x) if 0 < x < 0x110000 else "" for x in dom],
+                         dtype="U"))
+        uniq = np.unique(strs)
+        lut = np.searchsorted(uniq, strs).astype(np.int32)
+        codes = jnp.asarray(lut)[jnp.clip(a.data.astype(jnp.int64) - lo, 0,
+                                          len(lut) - 1).astype(jnp.int32)]
+        return DeviceColumn(codes, validity, T.STRING,
+                            Dictionary(uniq.astype(object)))
+
+    if f == "uuid":
+        import uuid as _uuid
+
+        vals = np.array(sorted(str(_uuid.uuid4()) for _ in range(capacity)),
+                        dtype=object)
+        return DeviceColumn(jnp.arange(capacity, dtype=jnp.int32), None,
+                            T.STRING, Dictionary(vals))
+
+    if f in ("encode", "decode"):
+        enc = str(_literal_value(arg_exprs[1])).lower()
+        import base64
+
+        def fn(vals):
+            out = []
+            for v in vals:
+                try:
+                    if f == "encode":
+                        raw = v.encode()
+                        out.append(raw.hex() if enc == "hex"
+                                   else base64.b64encode(raw).decode())
+                    else:
+                        raw = (bytes.fromhex(v) if enc == "hex"
+                               else base64.b64decode(v))
+                        out.append(raw.decode("utf-8", "replace"))
+                except (ValueError, UnicodeError):
+                    out.append("")
+            return np.array(out, "U")
+
+        return transform_dictionary(args[0], fn)
+
+    if f == "find_in_set":
+        lst = str(_literal_value(arg_exprs[1])).split(",")
+        idx = {v: i + 1 for i, v in enumerate(lst)}
+
+        def lut(vals):
+            return np.array([idx.get(v, 0) for v in vals], np.int64)
+
+        a = args[0]
+        d = a.dictionary
+        vals = np.asarray(d.values, "U") if d and len(d.values) else np.array([""], "U1")
+        table = lut(vals)
+        return DeviceColumn(jnp.asarray(table)[jnp.clip(a.data, 0, len(table) - 1)],
+                            validity, T.INT64)
+
+    if f == "factorial":
+        facts = np.ones(21, dtype=np.int64)
+        for i in range(2, 21):
+            facts[i] = facts[i - 1] * i
+        x = jnp.clip(args[0].data.astype(jnp.int64), 0, 20)
+        return DeviceColumn(jnp.asarray(facts)[x], validity, T.INT64)
+
+    if f in ("gcd", "lcm"):
+        a = args[0].data.astype(jnp.int64)
+        b = args[1].data.astype(jnp.int64)
+        out = jnp.gcd(a, b) if f == "gcd" else jnp.lcm(a, b)
+        return DeviceColumn(out, validity, T.INT64)
+
+    if f == "cot":
+        return DeviceColumn(1.0 / jnp.tan(_to_float(args[0])), validity, T.FLOAT64)
+
+    if f == "nanvl":
+        x, y = _to_float(args[0]), _to_float(args[1])
+        return DeviceColumn(jnp.where(jnp.isnan(x), y, x), validity, T.FLOAT64)
+
+    if f == "make_date":
+        y = args[0].data.astype(jnp.int64)
+        m = args[1].data.astype(jnp.int64)
+        d_ = args[2].data.astype(jnp.int64)
+        return DeviceColumn(DU.days_from_civil(y, m, d_).astype(jnp.int32),
+                            validity, T.DATE32)
+
+    if f == "to_timestamp":
+        a = args[0]
+        if a.dtype.is_string:
+            d = a.dictionary
+            vals = np.asarray(d.values, "U") if d and len(d.values) else np.array([], "U1")
+            lut = (vals.astype("datetime64[us]").astype(np.int64)
+                   if len(vals) else np.zeros(1, np.int64))
+            out = jnp.asarray(lut)[jnp.clip(a.data, 0, len(lut) - 1)]
+            return DeviceColumn(out, validity, T.TIMESTAMP)
+        if a.dtype.kind is T.TypeKind.TIMESTAMP:
+            return a
+        if a.dtype.kind is T.TypeKind.DATE32:
+            return DeviceColumn(a.data.astype(jnp.int64) * np.int64(86_400_000_000),
+                                validity, T.TIMESTAMP)
+        secs = _to_float(a)
+        return DeviceColumn((secs * 1e6).astype(jnp.int64), validity, T.TIMESTAMP)
+
+    if f == "from_unixtime":
+        secs = args[0].data.astype(jnp.int64)
+        return DeviceColumn(secs * np.int64(1_000_000), validity, T.TIMESTAMP)
+
+    if f == "to_unixtime":
+        a = args[0]
+        if a.dtype.kind is T.TypeKind.TIMESTAMP:
+            return DeviceColumn(a.data // np.int64(1_000_000), validity, T.INT64)
+        if a.dtype.kind is T.TypeKind.DATE32:
+            return DeviceColumn(a.data.astype(jnp.int64) * np.int64(86_400),
+                                validity, T.INT64)
+        from .expr_compiler import cast_column
+
+        ts = cast_column(a, T.TIMESTAMP, capacity)
+        return DeviceColumn(ts.data // np.int64(1_000_000), validity, T.INT64)
+
+    if f == "date_bin":
+        # date_bin(stride_interval, ts[, origin]): floor to stride boundaries
+        stride_col = args[0]
+        if stride_col.dtype.kind is T.TypeKind.INTERVAL_DAYS:
+            stride_us = int(_literal_value(arg_exprs[0])) * 86_400_000_000
+        elif stride_col.dtype.kind is T.TypeKind.INTERVAL_MONTHS:
+            raise PlanError("date_bin with month strides is not supported")
+        else:
+            stride_us = int(_literal_value(arg_exprs[0]))
+        a = args[1]
+        x = (a.data.astype(jnp.int64) * np.int64(86_400_000_000)
+             if a.dtype.kind is T.TypeKind.DATE32 else a.data.astype(jnp.int64))
+        origin = 0
+        if len(args) > 2:
+            o = args[2]
+            ov = _literal_value(arg_exprs[2])
+            if o.dtype.kind is T.TypeKind.DATE32 or a.dtype.kind is T.TypeKind.DATE32:
+                origin = DU.date_str_to_days(str(ov)) * 86_400_000_000 \
+                    if isinstance(ov, str) else int(ov)
+            else:
+                origin = int(np.datetime64(str(ov), "us").astype(np.int64)) \
+                    if isinstance(ov, str) else int(ov)
+        out = ((x - origin) // stride_us) * stride_us + origin
+        return DeviceColumn(out, validity, T.TIMESTAMP)
+
+    if f in ("greatest", "least"):
+        # skip-NULL semantics: NULL only when every argument is NULL
+        is_max = f == "greatest"
+        if out_dtype.is_string:
+            from .expr_compiler import unify_many_string_columns
+
+            args = unify_many_string_columns(list(args))
+        base = args[0]
+        out_np = out_dtype.np_dtype()
+        acc = None
+        acc_valid = None
+        for c in args:
+            x = _coerce_to(c, out_dtype) if c.dtype != out_dtype else c.data
+            v = c.valid()
+            if acc is None:
+                acc, acc_valid = x, v
+                continue
+            take_new = v & (~acc_valid | ((x > acc) if is_max else (x < acc)))
+            acc = jnp.where(take_new, x, acc)
+            acc_valid = acc_valid | v
+        all_valid = bool(all(a.validity is None for a in args))
+        return DeviceColumn(acc, None if all_valid else acc_valid, out_dtype,
+                            base.dictionary if out_dtype.is_string else None)
+
+    if f == "arrow_typeof":
+        d = Dictionary(np.array([repr(args[0].dtype)], dtype=object))
+        return DeviceColumn(jnp.zeros(capacity, jnp.int32), None, T.STRING, d)
+
+    if f == "version":
+        import datafusion_tpu
+
+        v = getattr(datafusion_tpu, "__version__", "0.2.0")
+        d = Dictionary(np.array([f"datafusion-tpu {v}"], dtype=object))
+        return DeviceColumn(jnp.zeros(capacity, jnp.int32), None, T.STRING, d)
 
     raise PlanError(f"scalar function {f!r} not implemented")
 
