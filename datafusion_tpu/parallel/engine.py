@@ -152,7 +152,13 @@ def _dtrace_inner(p, inputs, leaf_index, dctx) -> Tuple[DeviceRelation, str]:
         return DeviceRelation(p.schema, rel.columns, rel.sel), d
     if isinstance(p, (PP.SortExec, PP.LimitExec, PP.DistinctExec, WindowExec)):
         rel, d = _dtrace(p.input, inputs, leaf_index, dctx)
-        return p._transform(_as_repl(rel, d, axis)), REPL
+        gathered = _as_repl(rel, d, axis)
+        if isinstance(p, PP.SortExec):
+            # shard-major gather order is NOT globally sorted: always run
+            # the full sort here, even when the single-device plan was
+            # marked presorted (physical/ordering.py)
+            return p._transform_full(gathered), REPL
+        return p._transform(gathered), REPL
     if isinstance(p, PP.UnionExec):
         rds = [_dtrace(c, inputs, leaf_index, dctx) for c in p.inputs]
         if all(d == PART for _, d in rds):

@@ -430,10 +430,12 @@ class ChunkedQuery:
             yield from self._stream_limit(p, ctx)
             return
         if isinstance(p, P.SortExec):
+            # chunk-concatenated inputs are never globally ordered: always
+            # use the full sort regardless of the presorted marking
             if p.fetch is not None:
                 yield from self._stream_topk(p, ctx)
             else:
-                yield p._fn(self._materialize(p.input, ctx))
+                yield p._full_fn(self._materialize(p.input, ctx))
             return
         if isinstance(p, P.UnionExec):
             for c in p.inputs:
@@ -507,7 +509,7 @@ class ChunkedQuery:
         for chunk in self._stream(p.input, ctx):
             def make_head():
                 def f(rel):
-                    s = p._transform(rel)  # sorted live-first, fetch-masked
+                    s = p._transform_full(rel)  # sorted live-first, fetch-masked
                     return jax.tree.map(lambda a: a[:capk], s)
 
                 return f
@@ -519,7 +521,7 @@ class ChunkedQuery:
                 def make_merge():
                     def f(a, b):
                         both = P.concat_relations([a, b], p.schema)
-                        s = p._transform(both)
+                        s = p._transform_full(both)
                         return jax.tree.map(lambda x: x[:capk], s)
 
                     return f

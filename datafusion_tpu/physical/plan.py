@@ -176,20 +176,37 @@ class LimitExec(PhysicalPlan):
 
 class SortExec(PhysicalPlan):
     """Full multi-key sort; with fetch this is the TopK operator
-    (reference: SortExec + topk/mod.rs fast path)."""
+    (reference: SortExec + topk/mod.rs fast path).
+
+    presorted=True marks a sort whose single-device input already emits the
+    requested order (physical/ordering.py, the EnforceSorting elision
+    analog): the local transform degenerates to identity / a rank-mask
+    limit, while the distributed and chunked executors -- whose inputs
+    arrive shard-major / chunk-major and are NOT globally ordered -- keep
+    using the full sort via _transform_full."""
 
     def __init__(self, input: PhysicalPlan, specs: Sequence[E.SortSpec],
-                 fetch: Optional[int] = None):
+                 fetch: Optional[int] = None, presorted: bool = False):
         self.input = input
         self.specs = tuple(specs)
         self.fetch = fetch
+        self.presorted = presorted
         self.schema = input.schema
         self._fn = jax.jit(self._transform)
+        self._full_fn = jax.jit(self._transform_full)
 
     def children(self):
         return (self.input,)
 
     def _transform(self, rel: DeviceRelation) -> DeviceRelation:
+        if self.presorted:
+            if self.fetch is None:
+                return rel
+            rank = jnp.cumsum(rel.sel.astype(jnp.int64))
+            return rel.with_sel(rel.sel & (rank <= self.fetch))
+        return self._transform_full(rel)
+
+    def _transform_full(self, rel: DeviceRelation) -> DeviceRelation:
         keys = []
         for s in self.specs:
             c = eval_expr(s.expr, rel)
@@ -209,7 +226,8 @@ class SortExec(PhysicalPlan):
 
     def _line(self):
         keys = ", ".join(f"{s.expr.name()} {'ASC' if s.asc else 'DESC'}" for s in self.specs)
-        return f"SortExec: [{keys}] fetch={self.fetch}"
+        pre = " (presorted)" if self.presorted else ""
+        return f"SortExec: [{keys}] fetch={self.fetch}{pre}"
 
 
 class CompactExec(PhysicalPlan):

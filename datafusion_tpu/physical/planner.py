@@ -78,8 +78,15 @@ def _create(plan: L.LogicalPlan, _memo) -> P.PhysicalPlan:
     if isinstance(plan, L.Sort):
         _reject_list_keys([s_.expr for s_ in plan.sort_specs],
                           plan.input.schema, "ORDER BY")
-        return P.SortExec(_maybe_compact(create_physical_plan(plan.input)),
-                          plan.sort_specs, plan.fetch)
+        child = create_physical_plan(plan.input)
+        from .ordering import ordering_satisfies
+
+        if ordering_satisfies(child, plan.sort_specs):
+            # single-device input already emits this order (EnforceSorting
+            # elision analog); the node stays for distributed/chunked runs
+            return P.SortExec(child, plan.sort_specs, plan.fetch,
+                              presorted=True)
+        return P.SortExec(_maybe_compact(child), plan.sort_specs, plan.fetch)
     if isinstance(plan, L.Limit):
         return P.LimitExec(create_physical_plan(plan.input), plan.skip, plan.fetch)
     if isinstance(plan, L.Join):
