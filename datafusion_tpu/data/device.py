@@ -57,12 +57,12 @@ class DeviceColumn:
     """One column on device; see module docstring for the layout."""
 
     __slots__ = ("data", "validity", "dtype", "dictionary", "bounds",
-                 "lengths", "elem_valid")
+                 "lengths", "elem_valid", "meta")
 
     def __init__(self, data, validity=None, dtype: Optional[T.DataType] = None,
                  dictionary: Optional[Dictionary] = None,
                  bounds: Optional[Tuple[int, int]] = None,
-                 lengths=None, elem_valid=None):
+                 lengths=None, elem_valid=None, meta=None):
         self.data = data
         self.validity = validity
         self.dtype = dtype
@@ -70,6 +70,10 @@ class DeviceColumn:
         self.bounds = bounds
         self.lengths = lengths
         self.elem_valid = elem_valid
+        # static aux tag for host-side materialization, e.g.
+        # ("string_agg", delim): 2-D code rows are dictionary-decoded and
+        # joined with delim on download (to_host)
+        self.meta = meta
 
     # ---- shape -----------------------------------------------------------
     @property
@@ -127,14 +131,14 @@ class DeviceColumn:
 
 def _col_flatten(c: DeviceColumn):
     return ((c.data, c.validity, c.lengths, c.elem_valid),
-            (c.dtype, c.dictionary, c.bounds))
+            (c.dtype, c.dictionary, c.bounds, c.meta))
 
 
 def _col_unflatten(aux, children):
     data, validity, lengths, elem_valid = children
-    dtype, dictionary, bounds = aux
+    dtype, dictionary, bounds, meta = aux
     return DeviceColumn(data, validity, dtype, dictionary, bounds,
-                        lengths, elem_valid)
+                        lengths, elem_valid, meta)
 
 
 jax.tree_util.register_pytree_node(DeviceColumn, _col_flatten, _col_unflatten)
@@ -294,6 +298,25 @@ def to_host(rel: DeviceRelation) -> Table:
     for f, c in zip(rel.schema.fields, host.columns):
         data = np.asarray(c.data)
         v = None if c.validity is None else np.asarray(c.validity)[sel]
+        if c.meta is not None and c.meta[0] == "string_agg":
+            # [cap, W] dictionary codes + lengths: decode and join with the
+            # delimiter host-side (device cannot mint new strings)
+            delim = c.meta[1]
+            words = c.dictionary.values if c.dictionary is not None else np.array([], object)
+            lengths = np.asarray(c.lengths)[sel] if c.lengths is not None else \
+                np.full(int(sel.sum()), data.shape[1], dtype=np.int32)
+            d2 = data[sel]
+            rows = np.empty(len(d2), dtype=object)
+            for i in range(len(d2)):
+                if v is not None and not v[i]:
+                    rows[i] = None
+                else:
+                    rows[i] = delim.join(str(words[d2[i, j]])
+                                         for j in range(int(lengths[i])))
+            from .column import column_from_values
+
+            cols.append(column_from_values(list(rows), f.dtype))
+            continue
         if f.dtype.is_list:
             if c.lengths is not None:
                 lengths = np.asarray(c.lengths)

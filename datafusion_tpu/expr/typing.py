@@ -99,7 +99,7 @@ def aggregate_result(e: E.AggregateFunction, schema: Schema) -> Tuple[T.DataType
     udaf = active_registry().aggregate(f)
     if udaf is not None:
         return udaf.return_type, udaf.nullable
-    if f in ("count", "approx_distinct"):
+    if f in ("count", "approx_distinct", "regr_count"):
         return T.INT64, False
     if not e.args:
         raise PlanError(f"{f} requires arguments")
@@ -112,9 +112,12 @@ def aggregate_result(e: E.AggregateFunction, schema: Schema) -> Tuple[T.DataType
         return T.FLOAT64, True
     if f in ("avg", "mean", "median", "approx_median", "stddev", "stddev_pop",
              "stddev_samp", "var", "var_pop", "var_samp", "corr", "covar",
-             "covar_pop", "covar_samp", "approx_percentile_cont"):
+             "covar_pop", "covar_samp", "approx_percentile_cont",
+             "percentile_cont", "regr_slope", "regr_intercept", "regr_r2",
+             "regr_avgx", "regr_avgy", "regr_sxx", "regr_syy", "regr_sxy"):
         return T.FLOAT64, True
-    if f in ("min", "max", "first_value", "last_value", "any_value"):
+    if f in ("min", "max", "first_value", "last_value", "any_value",
+             "nth_value"):
         return at, True
     if f in ("bit_and", "bit_or", "bit_xor"):
         return at, True

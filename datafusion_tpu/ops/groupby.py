@@ -40,12 +40,25 @@ class AggSpec:
 
 _ORDER_SENSITIVE = frozenset({"median", "approx_median", "percentile_cont",
                               "approx_percentile_cont", "approx_distinct",
-                              "array_agg"})
+                              "array_agg", "string_agg"})
+
+# aggregates the arithmetic dense-key path cannot evaluate (they need the
+# sorted path's is_start/run structure)
+DENSE_UNSUPPORTED = frozenset({"bit_and", "bit_or", "bit_xor", "nth_value"})
+
+
+# aggregates whose result depends on the INPUT row order within each group:
+# they must reduce over the keys-only (stable) sort, never a value-sorted
+# bucket (reference: first/last/nth accumulators honor insertion order)
+_INPUT_ORDER = frozenset({"first_value", "last_value", "any_value",
+                          "nth_value"})
 
 
 def order_arg_of(spec: "AggSpec") -> Optional[int]:
     """The argument this spec needs rows value-sorted by (DISTINCT aggs and
     order-statistic aggs share the mechanism), or None."""
+    if spec.fname in _INPUT_ORDER:
+        return None
     if (spec.distinct or spec.fname in _ORDER_SENSITIVE) and spec.arg is not None:
         return spec.arg
     return None
@@ -57,23 +70,35 @@ def order_arg_buckets(specs: Sequence["AggSpec"]) -> List[Optional[int]]:
     identical across passes (determined by the group keys alone), so per-
     bucket reductions align index-for-index — the TPU answer to the
     reference's per-distinct-argument accumulator state
-    (optimizer/src/single_distinct_to_groupby.rs generalized to N)."""
+    (optimizer/src/single_distinct_to_groupby.rs generalized to N).
+
+    When any spec needs INPUT order (first/last/nth_value) alongside value-
+    sorted buckets, a keys-only None bucket leads so those specs never see a
+    value-sorted row order."""
     buckets: List[Optional[int]] = []
+    need_input_order = any(s.fname in _INPUT_ORDER for s in specs)
     for s in specs:
         b = order_arg_of(s)
         if b is not None and b not in buckets:
             buckets.append(b)
+    if buckets and need_input_order:
+        return [None] + buckets
     return buckets or [None]
 
 
 def bucket_assignment(specs: Sequence["AggSpec"]) -> List[int]:
-    """Per-spec index into order_arg_buckets(specs); plain aggregates ride
-    bucket 0."""
+    """Per-spec index into order_arg_buckets(specs); order-insensitive
+    aggregates ride bucket 0."""
     buckets = order_arg_buckets(specs)
     out = []
     for s in specs:
         b = order_arg_of(s)
-        out.append(buckets.index(b) if b is not None else 0)
+        if b is not None:
+            out.append(buckets.index(b))
+        elif s.fname in _INPUT_ORDER and buckets[0] is not None:
+            out.append(buckets.index(None))
+        else:
+            out.append(0)
     return out
 
 
@@ -353,6 +378,44 @@ def _reduce_one(spec, sa, sf, ssel, seg, is_start, distinct_start, G, group_coun
         return DeviceColumn(data, (counts > 0) & out_sel, spec.out_dtype,
                             arg.dictionary, None, counts.astype(jnp.int32), ev)
 
+    if f == "string_agg":
+        # values sorted within group (this spec's bucket), NULLs skipped and
+        # sorted last so live values are contiguous from each group's start;
+        # host-side join on download reads the ("string_agg", delim) meta
+        # (reference: functions-aggregate/src/string_agg.rs)
+        if spec.extra is None:
+            raise PlanError("string_agg width not discovered")
+        delim = spec.extra[0] if isinstance(spec.extra, tuple) else ","
+        W = int(spec.extra[1]) if isinstance(spec.extra, tuple) else int(spec.extra)
+        m = mask & arg.valid() if arg.validity is not None else mask
+        if spec.distinct:
+            m = _distinct_marker(m, distinct_start) if filtered \
+                else (m & distinct_start)
+        n = m.shape[0]
+        iota = jnp.arange(n, dtype=jnp.int64)
+        if spec.distinct or filtered:
+            # passing rows are not contiguous: compact them first (stable
+            # sort by !marker keeps (group, value) order)
+            iota32 = jnp.arange(n, dtype=jnp.int32)
+            _, perm = jax.lax.sort([(~m).astype(jnp.int32), iota32],
+                                   dimension=0, is_stable=True, num_keys=1)
+            cdata = arg.data[perm]
+            counts = SCNT(m)
+            excl = jnp.cumsum(counts) - counts  # group start in compacted order
+            starts = excl
+            src = cdata
+        else:
+            starts = SMIN(jnp.where(m, iota, jnp.int64(n)), m)
+            counts = SCNT(m)
+            src = arg.data
+        j = jnp.arange(W, dtype=jnp.int64)[None, :]
+        idx = jnp.clip(starts[:, None] + j, 0, n - 1)
+        data = src[idx]
+        slot = j < counts[:, None]
+        return DeviceColumn(data, (counts > 0) & out_sel, spec.out_dtype,
+                            arg.dictionary, None, counts.astype(jnp.int32),
+                            slot, ("string_agg", delim))
+
     if arg is not None:
         mask = mask & arg.valid() if arg.validity is not None else mask
 
@@ -438,6 +501,66 @@ def _reduce_one(spec, sa, sf, ssel, seg, is_start, distinct_start, G, group_coun
         cnt = K.segment_count(seg, mask, G)
         return DeviceColumn(r.astype(jnp.bool_), (cnt > 0) & out_sel, T.BOOL)
 
+    if f in ("bit_and", "bit_or", "bit_xor"):
+        # segmented associative scan with identity-masked dead rows
+        # (reference: functions-aggregate/src/bit_and_or_xor.rs)
+        if spec.distinct and f != "bit_xor":
+            mask = mask  # and/or are idempotent; DISTINCT is a no-op
+        elif spec.distinct:
+            mask = dmark()
+        x = data.astype(jnp.int64)
+        if f == "bit_and":
+            ident, op = jnp.int64(-1), jnp.bitwise_and
+        elif f == "bit_or":
+            ident, op = jnp.int64(0), jnp.bitwise_or
+        else:
+            ident, op = jnp.int64(0), jnp.bitwise_xor
+        z = jnp.where(mask, x, ident)
+
+        def comb(a, b):
+            af, av = a
+            bf, bv = b
+            return af | bf, jnp.where(bf, bv, op(av, bv))
+
+        _, scanned = jax.lax.associative_scan(comb, (is_start, z))
+        if ss is not None:
+            ends = ss.ends
+        elif G == 1:
+            ends = jnp.array([x.shape[0] - 1], dtype=jnp.int32)
+        else:
+            raise PlanError(f"{f} requires the sorted aggregation path")
+        cnt = SCNT(mask)
+        r = scanned[ends].astype(spec.out_dtype.np_dtype())
+        return DeviceColumn(r, (cnt > 0) & out_sel, spec.out_dtype)
+
+    if f == "nth_value":
+        # n-th FILTER/validity-passing row of the group in input order
+        # (reference: functions-aggregate/src/nth_value.rs); n is 1-based,
+        # negative n counts from the end
+        n_ = int(spec.extra) if spec.extra is not None else 1
+        nrows = ssel.shape[0]
+        m = mask.astype(jnp.int64)
+        cs = jnp.cumsum(m)
+        iota32 = jnp.arange(nrows, dtype=jnp.int32)
+        start_of = jax.lax.cummax(jnp.where(is_start, iota32, 0))
+        excl = cs - m
+        within = cs - excl[jnp.clip(start_of, 0, nrows - 1)]
+        cnt = SCNT(mask)
+        if n_ >= 0:
+            want = jnp.int64(n_)
+        else:
+            want = jnp.maximum(cnt + jnp.int64(n_) + 1, jnp.int64(0))[
+                jnp.clip(seg, 0, G - 1)]
+        marker = mask & (within == want)
+        idx = K.segment_max(jnp.where(marker, iota32, -1), seg, marker, G)
+        have = (cnt >= jnp.abs(jnp.int64(n_))) & (n_ != 0) & out_sel
+        idx = jnp.clip(idx, 0, nrows - 1)
+        validity = have
+        if arg.validity is not None:
+            validity = validity & arg.validity[idx]
+        return DeviceColumn(arg.data[idx], validity, spec.out_dtype,
+                            arg.dictionary)
+
     if f in ("median", "approx_median", "percentile_cont", "approx_percentile_cont"):
         # rows are sorted by (group keys, value) -- see order_arg_of/phase_sort
         n = ssel.shape[0]
@@ -454,6 +577,57 @@ def _reduce_one(spec, sa, sf, ssel, seg, is_start, distinct_start, G, group_coun
             x = x / (10.0 ** arg.dtype.scale)
         v = x[lo_i] * (1.0 - frac) + x[hi_i] * frac
         return DeviceColumn(v, (cnt > 0) & out_sel, T.FLOAT64)
+
+    if f.startswith("regr_"):
+        # linear-regression aggregates over (y, x) pairs with both non-null
+        # (reference: functions-aggregate/src/regr.rs)
+        y = sa[spec.arg]       # first argument is the dependent variable
+        x = sa[spec.arg + 1]
+        m = mask
+        if x.validity is not None:
+            m = m & x.validity
+        yv = y.data.astype(jnp.float64)
+        xv = x.data.astype(jnp.float64)
+        if y.dtype.is_decimal:
+            yv = yv / (10.0 ** y.dtype.scale)
+        if x.dtype.is_decimal:
+            xv = xv / (10.0 ** x.dtype.scale)
+        sx = K.segment_sum(xv, seg, m, G)
+        sy = K.segment_sum(yv, seg, m, G)
+        sxy = K.segment_sum(xv * yv, seg, m, G)
+        sxx = K.segment_sum(xv * xv, seg, m, G)
+        syy = K.segment_sum(yv * yv, seg, m, G)
+        cnt = K.segment_count(seg, m, G).astype(jnp.float64)
+        if f == "regr_count":
+            return DeviceColumn(cnt.astype(jnp.int64), None, T.INT64)
+        cn = jnp.maximum(cnt, 1.0)
+        Sxx = sxx - sx * sx / cn
+        Syy = syy - sy * sy / cn
+        Sxy = sxy - sx * sy / cn
+        nonempty = (cnt >= 1) & out_sel
+        if f == "regr_avgx":
+            return DeviceColumn(sx / cn, nonempty, T.FLOAT64)
+        if f == "regr_avgy":
+            return DeviceColumn(sy / cn, nonempty, T.FLOAT64)
+        if f == "regr_sxx":
+            return DeviceColumn(Sxx, nonempty, T.FLOAT64)
+        if f == "regr_syy":
+            return DeviceColumn(Syy, nonempty, T.FLOAT64)
+        if f == "regr_sxy":
+            return DeviceColumn(Sxy, nonempty, T.FLOAT64)
+        ok = nonempty & (Sxx > 0)
+        slope = Sxy / jnp.where(Sxx > 0, Sxx, 1.0)
+        if f == "regr_slope":
+            return DeviceColumn(slope, ok, T.FLOAT64)
+        if f == "regr_intercept":
+            return DeviceColumn(sy / cn - slope * sx / cn, ok, T.FLOAT64)
+        if f == "regr_r2":
+            r2 = jnp.where(Syy > 0,
+                           (Sxy * Sxy) / jnp.where((Sxx > 0) & (Syy > 0),
+                                                   Sxx * Syy, 1.0),
+                           1.0)
+            return DeviceColumn(r2, ok, T.FLOAT64)
+        raise PlanError(f"unknown regression aggregate {f!r}")
 
     if f in ("corr", "covar", "covar_pop", "covar_samp"):
         # second argument travels in the filter slot's sibling: specs carry
@@ -567,6 +741,6 @@ def global_aggregate(
             if c.validity is not None:
                 validity = jnp.zeros(out_capacity, jnp.bool_).at[0].set(c.validity[0])
             outs[i] = DeviceColumn(data, validity, c.dtype, c.dictionary,
-                                   None, lengths, ev)
+                                   None, lengths, ev, c.meta)
     out_sel = jnp.zeros(out_capacity, dtype=jnp.bool_).at[0].set(True)
     return outs, out_sel

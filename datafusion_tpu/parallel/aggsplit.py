@@ -38,6 +38,9 @@ _DECOMPOSABLE = frozenset({
     "count", "count_star", "sum", "avg", "min", "max",
     "var", "var_samp", "var_pop", "stddev", "stddev_samp", "stddev_pop",
     "bool_and", "bool_or", "corr", "covar", "covar_pop", "covar_samp",
+    "bit_and", "bit_or", "bit_xor",
+    "regr_slope", "regr_intercept", "regr_count", "regr_r2", "regr_avgx",
+    "regr_avgy", "regr_sxx", "regr_syy", "regr_sxy",
 })
 
 
@@ -85,12 +88,11 @@ def build_state_plan(specs: Sequence[G.AggSpec],
         sp.state_specs.append(G.AggSpec(fname, arg_i, False, out_dtype,
                                         arg_dtype, filt))
         state_i = len(sp.merge_specs)
-        merge_f = {"sum": "sum", "min": "min", "max": "max",
-                   "bool_and": "bool_and", "bool_or": "bool_or"}[merge]
-        sp.merge_specs.append(G.AggSpec(merge_f, state_i, False, out_dtype,
+        sp.merge_specs.append(G.AggSpec(merge, state_i, False, out_dtype,
                                         out_dtype, None))
         sp.merge_kinds.append("min" if merge in ("min", "bool_and")
                               else "max" if merge in ("max", "bool_or")
+                              else "bitop" if merge.startswith("bit_")
                               else "sum")
         return state_i
 
@@ -138,6 +140,29 @@ def build_state_plan(specs: Sequence[G.AggSpec],
             i2 = add_state("sum", x2, T.FLOAT64, s.filter, "sum")
             c = add_state("count", arg, T.INT64, s.filter, "sum")
             sp.finals.append(_Final("var", [i1, i2, c], s))
+        elif f in ("bit_and", "bit_or", "bit_xor"):
+            i = add_state(f, arg, s.out_dtype, s.filter, f)
+            c = add_state("count", arg, T.INT64, s.filter, "sum")
+            sp.finals.append(_Final("minmax", [i, c], s))
+        elif f.startswith("regr_"):
+            # (y, x) sums with both-non-null pairing; same state vector as
+            # corr so the finalize formulas share the slots layout
+            y_col, x_col = arg, arg_cols[s.arg + 1]
+            both = None
+            if y_col.validity is not None or x_col.validity is not None:
+                both = y_col.valid() & x_col.valid()
+            xf = _f64_scaled(x_col, both)
+            yf = _f64_scaled(y_col, both)
+            prods = [
+                xf, yf,
+                DeviceColumn(xf.data * yf.data, both, T.FLOAT64),
+                DeviceColumn(xf.data * xf.data, both, T.FLOAT64),
+                DeviceColumn(yf.data * yf.data, both, T.FLOAT64),
+            ]
+            slots = [add_state("sum", pc, T.FLOAT64, s.filter, "sum")
+                     for pc in prods]
+            slots.append(add_state("count", xf, T.INT64, s.filter, "sum"))
+            sp.finals.append(_Final("regr", slots, s))
         elif f in ("corr", "covar", "covar_pop", "covar_samp"):
             y = arg_cols[s.arg + 1]
             both = None
@@ -189,6 +214,44 @@ def finalize(sp: StatePlan, merged: Sequence[DeviceColumn],
             val = jnp.sqrt(var) if s.fname.startswith("stddev") else var
             min_n = 1.0 if pop else 2.0
             out.append(DeviceColumn(val, (cn >= min_n) & out_sel, T.FLOAT64))
+        elif fin.kind == "regr":
+            sx, sy, sxy, sxx, syy = (merged[i].data for i in fin.slots[:5])
+            # state order is (x, y, xy, xx, yy) with y the first argument
+            sx, sy = sx, sy
+            if s.fname == "regr_count":
+                out.append(DeviceColumn(cnt.astype(jnp.int64), None, T.INT64))
+                continue
+            cn = jnp.maximum(cnt.astype(jnp.float64), 1.0)
+            Sxx = sxx - sx * sx / cn
+            Syy = syy - sy * sy / cn
+            Sxy = sxy - sx * sy / cn
+            if s.fname == "regr_avgx":
+                out.append(DeviceColumn(sx / cn, nonempty, T.FLOAT64))
+                continue
+            if s.fname == "regr_avgy":
+                out.append(DeviceColumn(sy / cn, nonempty, T.FLOAT64))
+                continue
+            if s.fname == "regr_sxx":
+                out.append(DeviceColumn(Sxx, nonempty, T.FLOAT64))
+                continue
+            if s.fname == "regr_syy":
+                out.append(DeviceColumn(Syy, nonempty, T.FLOAT64))
+                continue
+            if s.fname == "regr_sxy":
+                out.append(DeviceColumn(Sxy, nonempty, T.FLOAT64))
+                continue
+            ok = nonempty & (Sxx > 0)
+            slope = Sxy / jnp.where(Sxx > 0, Sxx, 1.0)
+            if s.fname == "regr_slope":
+                out.append(DeviceColumn(slope, ok, T.FLOAT64))
+            elif s.fname == "regr_intercept":
+                out.append(DeviceColumn(sy / cn - slope * sx / cn, ok, T.FLOAT64))
+            else:  # regr_r2
+                r2 = jnp.where(Syy > 0,
+                               (Sxy * Sxy) / jnp.where((Sxx > 0) & (Syy > 0),
+                                                       Sxx * Syy, 1.0),
+                               1.0)
+                out.append(DeviceColumn(r2, ok, T.FLOAT64))
         elif fin.kind == "corr":
             sx, sy, sxy, sxx, syy = (merged[i].data for i in fin.slots[:5])
             cn = jnp.maximum(cnt.astype(jnp.float64), 1.0)
@@ -226,6 +289,8 @@ def dense_partial_final(p, rel: DeviceRelation, axis: str, sizes,
     if not decomposable(specs):
         return None
     sp = build_state_plan(specs, arg_cols)
+    if "bitop" in sp.merge_kinds:
+        return None  # no bitwise mesh collective; use the exchange path
     seg, strides = p.dense_seg(group_cols, rel.sel, sizes, ngroups)
     is_start = jnp.zeros(rel.capacity, dtype=bool)
     ones = jnp.ones(ngroups, dtype=bool)

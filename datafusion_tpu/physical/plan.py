@@ -300,7 +300,8 @@ class AggregateExec(PhysicalPlan):
         self._global_fns: Dict = {}
 
     def _has_array_agg(self) -> bool:
-        return any(a.fname == "array_agg" for a in self._agg_fns())
+        return any(a.fname in ("array_agg", "string_agg")
+                   for a in self._agg_fns())
 
     def children(self):
         return (self.input,)
@@ -333,25 +334,37 @@ class AggregateExec(PhysicalPlan):
                 fname = "count_star"
                 arg_dt = None
             else:
+                two_arg = fname in ("corr", "covar", "covar_pop",
+                                    "covar_samp") or fname.startswith("regr_")
                 key = a.args[0]
                 arg_i = arg_index.get(key)
-                if arg_i is None or fname in ("corr", "covar", "covar_pop", "covar_samp"):
+                if arg_i is None or two_arg:
                     arg = eval_expr(a.args[0], rel)
                     arg_i = len(arg_cols)
                     arg_cols.append(arg)
-                    if fname not in ("corr", "covar", "covar_pop", "covar_samp"):
+                    if not two_arg:
                         arg_index[key] = arg_i
                 else:
                     arg = arg_cols[arg_i]
                 arg_dt = arg.dtype
-                if fname in ("corr", "covar", "covar_pop", "covar_samp") and len(a.args) > 1:
+                if two_arg and len(a.args) > 1:
                     arg_cols.append(eval_expr(a.args[1], rel))  # y at arg_i + 1
                 if fname in ("percentile_cont", "approx_percentile_cont") and len(a.args) > 1:
                     if isinstance(a.args[1], E.Literal):
                         extra = float(a.args[1].value)
+                if fname == "nth_value":
+                    if len(a.args) < 2 or not isinstance(a.args[1], E.Literal):
+                        raise PlanError("nth_value requires a literal n")
+                    extra = float(a.args[1].value)
                 if fname == "array_agg":
                     # static list width discovered by execute_rel
                     extra = getattr(self, "_last_width", None)
+                if fname == "string_agg":
+                    delim = ","
+                    if len(a.args) > 1 and isinstance(a.args[1], E.Literal) \
+                            and a.args[1].value is not None:
+                        delim = str(a.args[1].value)
+                    extra = (delim, getattr(self, "_last_width", None) or 0)
             filt_i = None
             if a.filter is not None:
                 filt_i = len(filter_cols)
@@ -378,7 +391,7 @@ class AggregateExec(PhysicalPlan):
         if c.dtype != f.dtype and data.dtype != f.dtype.np_dtype():
             data = data.astype(f.dtype.np_dtype())
         return DeviceColumn(data, c.validity, f.dtype, c.dictionary,
-                            c.bounds, c.lengths, c.elem_valid)
+                            c.bounds, c.lengths, c.elem_valid, c.meta)
 
     # -- dense-key fast path ---------------------------------------------
     # When every group key is a dictionary-coded string / bool with a small
@@ -393,6 +406,7 @@ class AggregateExec(PhysicalPlan):
         from ..expr.udf import active_registry
 
         if any(a.distinct or a.fname in G._ORDER_SENSITIVE
+               or a.fname in G.DENSE_UNSUPPORTED
                or active_registry().aggregate(a.fname) is not None
                for a in self._agg_fns()):
             return None

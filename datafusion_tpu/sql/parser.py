@@ -755,7 +755,9 @@ class Parser:
         "approx_distinct", "first_value", "last_value", "any_value", "corr",
         "covar", "covar_pop", "covar_samp", "bit_and", "bit_or", "bit_xor",
         "bool_and", "bool_or", "string_agg", "array_agg",
-        "approx_percentile_cont",
+        "approx_percentile_cont", "percentile_cont", "nth_value",
+        "regr_slope", "regr_intercept", "regr_count", "regr_r2", "regr_avgx",
+        "regr_avgy", "regr_sxx", "regr_syy", "regr_sxy",
     }
     _WINDOW_FNS = {"row_number", "rank", "dense_rank", "percent_rank",
                    "cume_dist", "ntile", "lead", "lag", "nth_value"}
