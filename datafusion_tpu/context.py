@@ -125,6 +125,15 @@ class SessionContext:
             WindowUDF(name, state, combine, identity, finalize,
                       return_type, nullable))
 
+    def register_udtf(self, name: str, fn) -> None:
+        """Register a table function usable in FROM position:
+        `fn(*literal_args)` runs host-side and returns a dict of columns or a
+        Table (reference: TableFunctionImpl, catalog/src/table.rs;
+        functions-table/)."""
+        from .expr.udf import TableUDF
+
+        self.functions.register_table_function(TableUDF(name, fn))
+
     # ---- plan entry points ----------------------------------------------
     def table(self, name: str) -> "DataFrame":
         provider = self.catalog.get(name)

@@ -77,6 +77,17 @@ class WindowUDF:
     nullable: bool = True
 
 
+@dataclasses.dataclass(frozen=True)
+class TableUDF:
+    """Table function: host callable over literal arguments returning rows
+    (a dict of columns or a Table), used in FROM position (reference:
+    TableFunctionImpl, catalog/src/table.rs + functions-table/src/
+    generate_series.rs)."""
+
+    name: str
+    fn: Callable[..., Any]
+
+
 class FunctionRegistry:
     """Per-session function registry (reference: expr/src/registry.rs:30)."""
 
@@ -84,6 +95,7 @@ class FunctionRegistry:
         self.scalars: Dict[str, ScalarUDF] = {}
         self.aggregates: Dict[str, AggregateUDF] = {}
         self.windows: Dict[str, WindowUDF] = {}
+        self.tables: Dict[str, TableUDF] = {}
 
     def register_scalar(self, udf: ScalarUDF) -> None:
         self.scalars[udf.name.lower()] = udf
@@ -102,6 +114,12 @@ class FunctionRegistry:
 
     def window(self, name: str) -> Optional[WindowUDF]:
         return self.windows.get(name.lower())
+
+    def register_table_function(self, udtf: TableUDF) -> None:
+        self.tables[udtf.name.lower()] = udtf
+
+    def table(self, name: str) -> Optional[TableUDF]:
+        return self.tables.get(name.lower())
 
 
 _EMPTY = FunctionRegistry()

@@ -63,6 +63,17 @@ class ValuesTable:
 
 
 @dataclasses.dataclass
+class TableFunction:
+    """FROM-position function call: `FROM generate_series(1, 10) AS t(n)`
+    (reference: functions-table/, TableFunctionImpl)."""
+
+    name: str
+    args: List[E.Expr]
+    alias: Optional[str] = None
+    columns: Optional[List[str]] = None
+
+
+@dataclasses.dataclass
 class JoinRef:
     left: object
     right: object

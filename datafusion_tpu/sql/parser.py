@@ -426,6 +426,17 @@ class Parser:
             self.expect_op(")")
             return inner
         name = self.ident()
+        if self.at("op", "("):
+            # table function in FROM position
+            self.next()
+            args: List[E.Expr] = []
+            if not self.at("op", ")"):
+                args.append(self.expr())
+                while self.eat_op(","):
+                    args.append(self.expr())
+            self.expect_op(")")
+            alias, columns = self._table_alias()
+            return A.TableFunction(name.lower(), args, alias, columns)
         while self.at("op", ".") and self.peek(1).kind in ("ident", "kw"):
             self.next()
             name += "." + self.ident()

@@ -219,22 +219,54 @@ class SqlPlanner:
         if core.grouping_sets is not None:
             import dataclasses as _dc
 
+            def fold_grouping(x, gset):
+                # grouping(a[, b, ...]) -> bitmask literal: bit is 1 when the
+                # column is NOT in this branch's grouping set (reference:
+                # analyzer/resolve_grouping_function.rs)
+                if isinstance(x, E.ScalarFunction) and x.fname == "grouping":
+                    bits = 0
+                    for a in x.args:
+                        bits = (bits << 1) | (0 if any(a == g for g in gset) else 1)
+                    return E.Literal(bits, T.INT64)
+                return x
+
             branches = []
             for gset in core.grouping_sets:
                 new_items = []
                 for it in core.items:
+                    expr = E.map_expr(it.expr, lambda x: fold_grouping(x, gset)) \
+                        if not isinstance(it.expr, A.Star) else it.expr
                     in_group = any(it.expr == g for g in (core.group_by or []))
                     in_set = any(it.expr == g for g in gset)
                     if in_group and not in_set:
                         alias = it.alias or it.expr.name()
                         new_items.append(A.SelectItem(E.Literal(None, T.NULL), alias))
                     else:
-                        new_items.append(it)
+                        new_items.append(A.SelectItem(expr, it.alias))
+                having = None if core.having is None else \
+                    E.map_expr(core.having, lambda x: fold_grouping(x, gset))
                 sub = _dc.replace(core, items=new_items, group_by=list(gset),
-                                  grouping_sets=None)
+                                  grouping_sets=None, having=having)
                 branches.append(self.plan_select_core(sub, A.SelectStmt(sub), False))
             u = L.Union(branches, all=True)
             return self._order_limit(u, q, None)
+
+        if core.group_by:
+            # plain GROUP BY: grouping(col) over a grouped column is 0
+            def fold_plain(x):
+                if isinstance(x, E.ScalarFunction) and x.fname == "grouping":
+                    return E.Literal(0, T.INT64)
+                return x
+
+            import dataclasses as _dc
+
+            new_items = [
+                it if isinstance(it.expr, A.Star)
+                else A.SelectItem(E.map_expr(it.expr, fold_plain), it.alias)
+                for it in core.items]
+            having = None if core.having is None else \
+                E.map_expr(core.having, fold_plain)
+            core = _dc.replace(core, items=new_items, having=having)
 
         # 1. FROM
         if core.from_:
@@ -470,6 +502,8 @@ class SqlPlanner:
             return L.SubqueryAlias(sub, tr.alias)
         if isinstance(tr, A.ValuesTable):
             return self._plan_values_table(tr)
+        if isinstance(tr, A.TableFunction):
+            return self._plan_table_function(tr)
         if isinstance(tr, A.JoinRef):
             left = self.plan_table_ref(tr.left)
             right = self.plan_table_ref(tr.right)
@@ -504,6 +538,58 @@ class SqlPlanner:
                 return L.Join(left, right, [], jt, None)
             return L.Join(left, right, on_pairs, jt, residual)
         raise PlanError(f"unsupported table ref {tr!r}")
+
+    def _plan_table_function(self, tr) -> L.LogicalPlan:
+        """FROM-position function call. Built-ins generate_series (inclusive
+        stop) and range (exclusive stop) match the reference
+        (functions-table/src/generate_series.rs); other names resolve to
+        session-registered table UDFs (ctx.register_udtf)."""
+        from ..catalog.catalog import MemTable
+        from ..data.table import Table
+        from ..expr.udf import active_registry
+
+        vals = []
+        for a in tr.args:
+            lit = _fold_to_literal(a)
+            if not isinstance(lit, E.Literal):
+                raise PlanError(
+                    f"table function {tr.name!r} arguments must be literals")
+            vals.append(lit.value)
+
+        if tr.name in ("generate_series", "range"):
+            if not 1 <= len(vals) <= 3:
+                raise PlanError(f"{tr.name} takes 1-3 arguments")
+            if any(v is None for v in vals):
+                rows = []
+            else:
+                start = int(vals[0]) if len(vals) > 1 else 0
+                stop = int(vals[1]) if len(vals) > 1 else int(vals[0])
+                step = int(vals[2]) if len(vals) > 2 else 1
+                if step == 0:
+                    raise PlanError(f"{tr.name} step must not be zero")
+                end = stop + (0 if tr.name == "range" else
+                              (1 if step > 0 else -1))
+                rows = list(range(start, end, step))
+            out = Table.from_pydict({"value": rows},
+                                    {"value": T.INT64})
+        else:
+            udtf = active_registry().table(tr.name)
+            if udtf is None:
+                raise PlanError(f"unknown table function {tr.name!r}")
+            res = udtf.fn(*vals)
+            out = res if isinstance(res, Table) else Table.from_pydict(res)
+
+        alias = tr.alias or tr.name
+        plan: L.LogicalPlan = L.TableScan(alias, MemTable(out), alias=alias)
+        if tr.columns:
+            if len(tr.columns) != len(out.schema):
+                raise PlanError(
+                    f"table function {tr.name!r} has {len(out.schema)} "
+                    f"columns but {len(tr.columns)} aliases")
+            exprs = [E.Alias(E.col(f.qualified_name), n)
+                     for f, n in zip(plan.schema.fields, tr.columns)]
+            plan = L.SubqueryAlias(L.Projection(plan, exprs), alias)
+        return plan
 
     def _plan_values_table(self, tr) -> L.LogicalPlan:
         """Inline VALUES relation -> L.Values (reference:

@@ -132,3 +132,17 @@ def test_regr_bit_distributed(ctx, data):
     assert got["bx"] == ref["bx"]
     assert got["ba"] == ref["ba"]
     np.testing.assert_allclose(got["sl"], ref["sl"], rtol=1e-9)
+
+
+def test_grouping_function(ctx, data):
+    """grouping() bitmask under ROLLUP and plain GROUP BY (reference:
+    analyzer/resolve_grouping_function.rs)."""
+    c = SessionContext()
+    c.register_table("g", {"a": ["x", "x", "y"], "b": [1, 2, 1],
+                           "v": [10, 20, 30]})
+    out = c.sql("SELECT a, b, grouping(a, b) gab, sum(v) sv FROM g "
+                "GROUP BY ROLLUP(a, b) ORDER BY gab, a, b").to_pydict()
+    assert out["gab"] == [0, 0, 0, 1, 1, 3]
+    assert out["sv"] == [10, 20, 30, 30, 30, 60]
+    plain = c.sql("SELECT a, grouping(a) g0 FROM g GROUP BY a ORDER BY a").to_pydict()
+    assert plain["g0"] == [0, 0]
