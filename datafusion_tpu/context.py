@@ -125,6 +125,14 @@ class SessionContext:
             WindowUDF(name, state, combine, identity, finalize,
                       return_type, nullable))
 
+    def enable_spark_functions(self) -> None:
+        """Opt this session into the Spark-compatible function library
+        (reference: datafusion-spark crate, spark/src/function/): Spark-only
+        names (sha2, crc32, elt, date_add, ...) become available, and names
+        whose Spark semantics differ (round = HALF_UP, substring with
+        negative positions) switch to the Spark behavior."""
+        self.functions.spark = True
+
     def register_udtf(self, name: str, fn) -> None:
         """Register a table function usable in FROM position:
         `fn(*literal_args)` runs host-side and returns a dict of columns or a

@@ -96,6 +96,7 @@ class FunctionRegistry:
         self.aggregates: Dict[str, AggregateUDF] = {}
         self.windows: Dict[str, WindowUDF] = {}
         self.tables: Dict[str, TableUDF] = {}
+        self.spark = False  # Spark-semantics function set enabled
 
     def register_scalar(self, udf: ScalarUDF) -> None:
         self.scalars[udf.name.lower()] = udf

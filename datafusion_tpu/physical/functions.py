@@ -44,12 +44,29 @@ _NUMERIC_UNARY = {
 _STRING_UNARY = {"upper", "lower", "trim", "ltrim", "rtrim", "reverse", "initcap", "btrim"}
 
 
+def _spark_active(fname: str) -> bool:
+    """True when the session opted into Spark-semantics functions
+    (ctx.enable_spark_functions(); reference: datafusion-spark crate
+    registration) and `fname` is one of them."""
+    from ..expr.udf import active_registry
+
+    if not getattr(active_registry(), "spark", False):
+        return False
+    from ..spark import SPARK_FNS
+
+    return fname in SPARK_FNS
+
+
 def scalar_function_type(e: E.ScalarFunction, schema: Schema) -> Tuple[T.DataType, bool]:
     from ..expr.typing import infer
 
     f = e.fname
     if f in _nested().NESTED_FNS:
         return _nested().nested_function_type(e, schema)
+    if _spark_active(f):
+        from ..spark import functions as SK
+
+        return SK.spark_function_type(e, schema)
     argt = [infer(a, schema) for a in e.args]
     nullable = any(n for _, n in argt)
     if f in ("date_part", "extract"):
@@ -216,6 +233,10 @@ def eval_scalar_function(
     if f in _nested().NESTED_FNS:
         return _nested().eval_nested_function(f, args, arg_exprs, out_dtype,
                                               capacity)
+    if _spark_active(f):
+        from ..spark import functions as SK
+
+        return SK.eval_spark_function(f, args, arg_exprs, out_dtype, capacity)
     validity = _and_validity(args)
 
     if f in ("date_part", "extract", "year", "month", "day"):

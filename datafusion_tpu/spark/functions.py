@@ -1,0 +1,531 @@
+"""Spark-semantics scalar functions (reference: datafusion/spark/src/function/).
+
+Each function follows the engine's evaluation model: numeric work stays on
+device as jnp ops; string work is a host-side transform over the column's
+dictionary values (distinct values only) with an on-device code remap
+(physical/functions.py transform_dictionary).
+
+Semantics intentionally differ from the core library where Spark differs:
+  round     HALF_UP (core/bround are HALF_EVEN)      math/round.rs
+  substring 1-based, negative pos counts from end    string/substring.rs
+  hex       uppercase, ints and strings              math/hex.rs
+"""
+from __future__ import annotations
+
+import binascii
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import types as T
+from ..common.errors import PlanError
+from ..data.column import Dictionary
+from ..data.device import DeviceColumn
+from ..expr import nodes as E
+from ..utils import dates as DU
+
+SPARK_FNS = frozenset({
+    # math / bitwise
+    "round", "bround", "expm1", "log1p", "rint", "hypot", "pmod",
+    "width_bucket", "bin", "hex", "unhex", "bit_count", "bit_get", "getbit",
+    "shiftleft", "shiftright", "shiftrightunsigned", "bitwise_not",
+    # hash
+    "sha1", "sha2", "crc32", "xxhash64",
+    # string
+    "elt", "space", "base64", "unbase64", "soundex", "luhn_check",
+    "substring", "substr", "url_encode", "url_decode",
+    # datetime
+    "add_months", "date_add", "date_sub", "datediff", "date_diff",
+    "last_day", "next_day", "weekday", "dayofweek", "dayofmonth",
+    "months_between", "unix_timestamp",
+    # conditional / predicate / misc
+    "if", "nvl2", "isnull", "isnotnull", "monotonically_increasing_id",
+})
+
+
+def spark_function_type(e: E.ScalarFunction, schema) -> Tuple[T.DataType, bool]:
+    from ..expr.typing import infer
+
+    f = e.fname
+    argt = [infer(a, schema) for a in e.args]
+    nullable = any(n for _, n in argt)
+    if f in ("round", "bround"):
+        t = argt[0][0]
+        return (t if t.is_integer or t.is_decimal else T.FLOAT64), nullable
+    if f in ("expm1", "log1p", "rint", "hypot", "months_between"):
+        return T.FLOAT64, nullable
+    if f in ("pmod", "width_bucket", "bit_count", "bit_get", "getbit",
+             "shiftleft", "shiftright", "shiftrightunsigned", "bitwise_not",
+             "crc32", "xxhash64", "weekday", "dayofweek", "dayofmonth",
+             "datediff", "date_diff", "unix_timestamp",
+             "monotonically_increasing_id"):
+        return T.INT64, f != "monotonically_increasing_id" and nullable
+    if f in ("bin", "hex", "unhex", "sha1", "sha2", "elt", "space", "base64",
+             "unbase64", "soundex", "substring", "substr", "url_encode",
+             "url_decode"):
+        return T.STRING, nullable
+    if f == "luhn_check":
+        return T.BOOL, nullable
+    if f in ("add_months", "date_add", "date_sub", "last_day", "next_day"):
+        return T.DATE32, nullable
+    if f == "if":
+        return argt[1][0], True
+    if f == "nvl2":
+        return argt[1][0], argt[1][1] or argt[2][1]
+    if f in ("isnull", "isnotnull"):
+        return T.BOOL, False
+    raise PlanError(f"unknown spark function {f!r}")
+
+
+def _lit(arg_exprs, i, default=None):
+    if i >= len(arg_exprs):
+        return default
+    e = arg_exprs[i]
+    e = e.expr if isinstance(e, E.Alias) else e
+    if not isinstance(e, E.Literal):
+        raise PlanError("spark function argument must be a literal here")
+    return e.value
+
+
+def _xxhash64(data: bytes, seed: int = 42) -> int:
+    """Pure-python xxHash64 (public algorithm; Spark seeds with 42)."""
+    P1, P2, P3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+    P4, P5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+    M = (1 << 64) - 1
+
+    def rot(x, r):
+        return ((x << r) | (x >> (64 - r))) & M
+
+    n = len(data)
+    if n >= 32:
+        v1 = (seed + P1 + P2) & M
+        v2 = (seed + P2) & M
+        v3 = seed & M
+        v4 = (seed - P1) & M
+        i = 0
+        while i <= n - 32:
+            for j, v in enumerate((v1, v2, v3, v4)):
+                lane = int.from_bytes(data[i + 8 * j:i + 8 * j + 8], "little")
+                v = (v + lane * P2) & M
+                v = rot(v, 31)
+                v = (v * P1) & M
+                if j == 0:
+                    v1 = v
+                elif j == 1:
+                    v2 = v
+                elif j == 2:
+                    v3 = v
+                else:
+                    v4 = v
+            i += 32
+        h = (rot(v1, 1) + rot(v2, 7) + rot(v3, 12) + rot(v4, 18)) & M
+        for v in (v1, v2, v3, v4):
+            v = (v * P2) & M
+            v = rot(v, 31)
+            v = (v * P1) & M
+            h = ((h ^ v) * P1 + P4) & M
+    else:
+        h = (seed + P5) & M
+        i = 0
+    h = (h + n) & M
+    while i <= n - 8:
+        lane = int.from_bytes(data[i:i + 8], "little")
+        k = (lane * P2) & M
+        k = rot(k, 31)
+        k = (k * P1) & M
+        h = (rot(h ^ k, 27) * P1 + P4) & M
+        i += 8
+    if i <= n - 4:
+        lane = int.from_bytes(data[i:i + 4], "little")
+        h = (rot(h ^ ((lane * P1) & M), 23) * P2 + P3) & M
+        i += 4
+    while i < n:
+        h = (rot(h ^ ((data[i] * P5) & M), 11) * P1) & M
+        i += 1
+    h ^= h >> 33
+    h = (h * P2) & M
+    h ^= h >> 29
+    h = (h * P3) & M
+    h ^= h >> 32
+    return h
+
+
+def _soundex(s: str) -> str:
+    if not s or not s[0].isalpha():
+        return s
+    codes = {**{c: "1" for c in "BFPV"}, **{c: "2" for c in "CGJKQSXZ"},
+             **{c: "3" for c in "DT"}, "L": "4",
+             **{c: "5" for c in "MN"}, "R": "6"}
+    up = s.upper()
+    out = up[0]
+    prev = codes.get(up[0], "")
+    for ch in up[1:]:
+        c = codes.get(ch, "")
+        if c and c != prev:
+            out += c
+            if len(out) == 4:
+                break
+        if ch not in "HW":
+            prev = c
+    return (out + "000")[:4]
+
+
+def _luhn(s: str) -> bool:
+    if not s or not s.isdigit():
+        return False
+    total = 0
+    for i, ch in enumerate(reversed(s)):
+        d = ord(ch) - 48
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+_DOW = {"mo": 0, "tu": 1, "we": 2, "th": 3, "fr": 4, "sa": 5, "su": 6}
+
+
+def eval_spark_function(
+    f: str,
+    args: List[DeviceColumn],
+    arg_exprs,
+    out_dtype: T.DataType,
+    capacity: int,
+) -> DeviceColumn:
+    from ..physical.functions import (_and_validity, _to_float,
+                                      transform_dictionary)
+
+    validity = _and_validity(args)
+
+    # ---- math --------------------------------------------------------------
+    if f in ("round", "bround"):
+        a = args[0]
+        nd = int(_lit(arg_exprs, 1, 0) or 0)
+        s = 10.0 ** nd
+        if a.dtype.is_integer and nd >= 0:
+            return DeviceColumn(a.data, validity, a.dtype)
+        x = _to_float(a)
+        if f == "round":  # HALF_UP (Spark round; reference math/round.rs)
+            r = jnp.sign(x) * jnp.floor(jnp.abs(x) * s + 0.5) / s
+        else:             # HALF_EVEN
+            r = jnp.round(x * s) / s
+        if a.dtype.is_decimal:
+            return DeviceColumn(
+                jnp.rint(r * (10.0 ** a.dtype.scale)).astype(jnp.int64),
+                validity, a.dtype)
+        return DeviceColumn(r, validity, T.FLOAT64)
+    if f == "expm1":
+        return DeviceColumn(jnp.expm1(_to_float(args[0])), validity, T.FLOAT64)
+    if f == "log1p":
+        return DeviceColumn(jnp.log1p(_to_float(args[0])), validity, T.FLOAT64)
+    if f == "rint":
+        return DeviceColumn(jnp.round(_to_float(args[0])), validity, T.FLOAT64)
+    if f == "hypot":
+        return DeviceColumn(jnp.hypot(_to_float(args[0]), _to_float(args[1])),
+                            validity, T.FLOAT64)
+    if f == "pmod":
+        a = args[0].data.astype(jnp.int64)
+        b = args[1].data.astype(jnp.int64)
+        bz = jnp.where(b == 0, 1, b)
+        r = ((a % bz) + bz) % bz
+        v = validity
+        zmask = b == 0
+        v = (~zmask) if v is None else (v & ~zmask)
+        return DeviceColumn(r, v, T.INT64)
+    if f == "width_bucket":
+        x = _to_float(args[0])
+        lo = float(_lit(arg_exprs, 1))
+        hi = float(_lit(arg_exprs, 2))
+        n = int(_lit(arg_exprs, 3))
+        b = jnp.floor((x - lo) / (hi - lo) * n) + 1
+        b = jnp.clip(b, 0, n + 1)
+        return DeviceColumn(b.astype(jnp.int64), validity, T.INT64)
+
+    # ---- bitwise -----------------------------------------------------------
+    if f == "bit_count":
+        x = args[0].data.astype(jnp.uint64)
+        return DeviceColumn(jax.lax.population_count(x).astype(jnp.int64),
+                            validity, T.INT64)
+    if f in ("bit_get", "getbit"):
+        x = args[0].data.astype(jnp.int64)
+        pos = args[1].data.astype(jnp.int64)
+        return DeviceColumn((x >> pos) & 1, validity, T.INT64)
+    if f == "shiftleft":
+        return DeviceColumn(args[0].data.astype(jnp.int64)
+                            << args[1].data.astype(jnp.int64),
+                            validity, T.INT64)
+    if f == "shiftright":
+        return DeviceColumn(args[0].data.astype(jnp.int64)
+                            >> args[1].data.astype(jnp.int64),
+                            validity, T.INT64)
+    if f == "shiftrightunsigned":
+        x = args[0].data.astype(jnp.int64).view(jnp.uint64)
+        n = args[1].data.astype(jnp.uint64)
+        return DeviceColumn(jax.lax.shift_right_logical(x, n).view(jnp.int64),
+                            validity, T.INT64)
+    if f == "bitwise_not":
+        return DeviceColumn(~args[0].data.astype(jnp.int64), validity, T.INT64)
+
+    # ---- int -> string via bounds LUT --------------------------------------
+    if f in ("bin", "hex") and not args[0].dtype.is_string:
+        a = args[0]
+        b = a.bounds
+        if b is None or b[1] - b[0] > (1 << 16):
+            raise PlanError(f"{f} needs an integer column with small static "
+                            f"bounds (got bounds={b})")
+        lo, hi = int(b[0]), int(b[1])
+        dom = np.arange(lo, hi + 1)
+        strs = (np.array([format(x if x >= 0 else x + (1 << 64), "b")
+                          for x in dom], "U") if f == "bin" else
+                np.array([format(x if x >= 0 else x + (1 << 64), "X")
+                          for x in dom], "U"))
+        uniq = np.unique(strs)
+        lut = np.searchsorted(uniq, strs).astype(np.int32)
+        codes = jnp.asarray(lut)[jnp.clip(a.data.astype(jnp.int64) - lo, 0,
+                                          len(lut) - 1).astype(jnp.int32)]
+        return DeviceColumn(codes, validity, T.STRING,
+                            Dictionary(uniq.astype(object)))
+
+    # ---- string (dictionary transforms) ------------------------------------
+    if f == "hex":  # string input: utf8 bytes, uppercase
+        return transform_dictionary(
+            args[0], lambda vals: np.array(
+                [v.encode().hex().upper() for v in vals], "U"))
+    if f == "unhex":
+        def fn(vals):
+            out = []
+            for v in vals:
+                try:
+                    out.append(bytes.fromhex(v).decode("utf-8", "replace"))
+                except ValueError:
+                    out.append("")
+            return np.array(out, "U")
+
+        return transform_dictionary(args[0], fn)
+    if f == "sha1":
+        import hashlib
+
+        return transform_dictionary(
+            args[0], lambda vals: np.array(
+                [hashlib.sha1(v.encode()).hexdigest() for v in vals], "U"))
+    if f == "sha2":
+        import hashlib
+
+        bits = int(_lit(arg_exprs, 1, 256))
+        algo = {0: "sha256", 224: "sha224", 256: "sha256", 384: "sha384",
+                512: "sha512"}.get(bits)
+        if algo is None:
+            raise PlanError(f"sha2 bit length {bits} not supported")
+        return transform_dictionary(
+            args[0], lambda vals: np.array(
+                [getattr(hashlib, algo)(v.encode()).hexdigest()
+                 for v in vals], "U"))
+    if f == "crc32":
+        a = args[0]
+        d = a.dictionary
+        vals = np.asarray(d.values, "U") if d and len(d.values) else np.array([""], "U1")
+        lut = np.array([binascii.crc32(v.encode()) for v in vals], np.int64)
+        return DeviceColumn(jnp.asarray(lut)[jnp.clip(a.data, 0, len(lut) - 1)],
+                            validity, T.INT64)
+    if f == "xxhash64":
+        a = args[0]
+        d = a.dictionary
+        vals = np.asarray(d.values, "U") if d and len(d.values) else np.array([""], "U1")
+        hs = [_xxhash64(v.encode()) for v in vals]
+        lut = np.array([h - (1 << 64) if h >= 1 << 63 else h for h in hs],
+                       np.int64)
+        return DeviceColumn(jnp.asarray(lut)[jnp.clip(a.data, 0, len(lut) - 1)],
+                            validity, T.INT64)
+    if f == "base64":
+        import base64 as b64
+
+        return transform_dictionary(
+            args[0], lambda vals: np.array(
+                [b64.b64encode(v.encode()).decode() for v in vals], "U"))
+    if f == "unbase64":
+        import base64 as b64
+
+        def fn(vals):
+            out = []
+            for v in vals:
+                try:
+                    out.append(b64.b64decode(v).decode("utf-8", "replace"))
+                except Exception:
+                    out.append("")
+            return np.array(out, "U")
+
+        return transform_dictionary(args[0], fn)
+    if f == "soundex":
+        return transform_dictionary(
+            args[0], lambda vals: np.array([_soundex(v) for v in vals], "U"))
+    if f == "luhn_check":
+        from ..physical.functions import dict_predicate
+
+        return DeviceColumn(dict_predicate(args[0], lambda vals: np.array(
+            [_luhn(v) for v in vals], bool)), validity, T.BOOL)
+    if f in ("substring", "substr"):
+        # Spark: 1-based; pos 0 treated as 1; negative pos counts from end
+        pos = int(_lit(arg_exprs, 1))
+        ln = _lit(arg_exprs, 2)
+        ln = None if ln is None else int(ln)
+
+        def fn(vals):
+            out = []
+            for v in vals:
+                p = pos
+                if p < 0:
+                    p = max(len(v) + p, 0)
+                elif p > 0:
+                    p -= 1
+                out.append(v[p:] if ln is None else v[p:p + max(ln, 0)])
+            return np.array(out, "U")
+
+        return transform_dictionary(args[0], fn)
+    if f == "url_encode":
+        from urllib.parse import quote_plus
+
+        return transform_dictionary(
+            args[0], lambda vals: np.array([quote_plus(v) for v in vals], "U"))
+    if f == "url_decode":
+        from urllib.parse import unquote_plus
+
+        return transform_dictionary(
+            args[0], lambda vals: np.array([unquote_plus(v) for v in vals], "U"))
+    if f == "space":
+        a = args[0]
+        b = a.bounds
+        if b is None or b[1] - b[0] > (1 << 12):
+            raise PlanError("space needs an integer column with small bounds")
+        lo, hi = int(b[0]), int(b[1])
+        strs = np.array([" " * max(x, 0) for x in range(lo, hi + 1)], "U")
+        uniq = np.unique(strs)
+        lut = np.searchsorted(uniq, strs).astype(np.int32)
+        codes = jnp.asarray(lut)[jnp.clip(a.data.astype(jnp.int64) - lo, 0,
+                                          len(lut) - 1).astype(jnp.int32)]
+        return DeviceColumn(codes, validity, T.STRING,
+                            Dictionary(uniq.astype(object)))
+    if f == "elt":
+        idx_e = arg_exprs[0]
+        idx_e = idx_e.expr if isinstance(idx_e, E.Alias) else idx_e
+        choices = args[1:]
+        if isinstance(idx_e, E.Literal):
+            i = int(idx_e.value)
+            if not 1 <= i <= len(choices):
+                cap = args[0].data.shape[0]
+                return DeviceColumn(jnp.zeros(cap, jnp.int32),
+                                    jnp.zeros(cap, bool), T.STRING,
+                                    Dictionary(np.array([], object)))
+            return choices[i - 1]
+        if all(not c.dtype.is_string for c in choices):
+            i = args[0].data.astype(jnp.int64)
+            data = choices[0].data
+            for j in range(1, len(choices)):
+                data = jnp.where(i == j + 1, choices[j].data, data)
+            ok = (i >= 1) & (i <= len(choices))
+            v = ok if validity is None else (validity & ok)
+            return DeviceColumn(data, v, choices[0].dtype)
+        raise PlanError("elt with a non-literal index over strings is not "
+                        "supported")
+
+    # ---- datetime ----------------------------------------------------------
+    if f == "add_months":
+        d = args[0].data
+        n = args[1].data.astype(jnp.int32)
+        return DeviceColumn(DU.add_months(d, n), validity, T.DATE32)
+    if f in ("date_add", "date_sub"):
+        d = args[0].data
+        n = args[1].data.astype(jnp.int32)
+        return DeviceColumn(d + (n if f == "date_add" else -n), validity,
+                            T.DATE32)
+    if f in ("datediff", "date_diff"):
+        return DeviceColumn(
+            (args[0].data.astype(jnp.int64) - args[1].data.astype(jnp.int64)),
+            validity, T.INT64)
+    if f == "last_day":
+        d = args[0].data
+        y, m, _ = DU.civil_from_days(d)
+        nxt = DU.add_months(DU.days_from_civil(y, m, jnp.ones_like(m)), 1)
+        return DeviceColumn(nxt - 1, validity, T.DATE32)
+    if f == "next_day":
+        d = args[0].data
+        day = str(_lit(arg_exprs, 1, "mo"))[:2].lower()
+        if day not in _DOW:
+            raise PlanError(f"next_day: unknown day name {day!r}")
+        target = _DOW[day]  # 0 = Monday
+        dow = (d.astype(jnp.int64) + 3) % 7  # 1970-01-01 is a Thursday
+        delta = (target - dow + 7) % 7
+        delta = jnp.where(delta == 0, 7, delta)
+        return DeviceColumn((d.astype(jnp.int64) + delta).astype(d.dtype),
+                            validity, T.DATE32)
+    if f == "weekday":  # Monday = 0
+        d = args[0].data.astype(jnp.int64)
+        return DeviceColumn((d + 3) % 7, validity, T.INT64)
+    if f == "dayofweek":  # Sunday = 1
+        d = args[0].data.astype(jnp.int64)
+        return DeviceColumn((d + 4) % 7 + 1, validity, T.INT64)
+    if f == "dayofmonth":
+        _, _, dd = DU.civil_from_days(args[0].data)
+        return DeviceColumn(dd.astype(jnp.int64), validity, T.INT64)
+    if f == "months_between":
+        y1, m1, d1 = DU.civil_from_days(args[0].data)
+        y2, m2, d2 = DU.civil_from_days(args[1].data)
+        whole = (y1 - y2) * 12 + (m1 - m2)
+        frac = (d1 - d2).astype(jnp.float64) / 31.0
+        return DeviceColumn(whole.astype(jnp.float64) + frac, validity,
+                            T.FLOAT64)
+    if f == "unix_timestamp":
+        a = args[0]
+        if a.dtype.kind is T.TypeKind.TIMESTAMP:
+            return DeviceColumn(a.data // np.int64(1_000_000), validity, T.INT64)
+        if a.dtype.kind is T.TypeKind.DATE32:
+            return DeviceColumn(a.data.astype(jnp.int64) * 86400, validity,
+                                T.INT64)
+        raise PlanError("unix_timestamp expects a date or timestamp")
+
+    # ---- conditional / predicate / misc ------------------------------------
+    if f == "if":
+        cond, a, b = args
+        cv = cond.data.astype(bool)
+        if cond.validity is not None:
+            cv = cv & cond.validity
+        if a.dtype.is_string or b.dtype.is_string:
+            from ..physical.expr_compiler import unify_string_columns
+
+            a, b = unify_string_columns(a, b)
+        data = jnp.where(cv, a.data, b.data)
+        va = a.validity if a.validity is not None else jnp.ones_like(cv)
+        vb = b.validity if b.validity is not None else jnp.ones_like(cv)
+        return DeviceColumn(data, jnp.where(cv, va, vb), out_dtype,
+                            a.dictionary)
+    if f == "nvl2":
+        test, a, b = args
+        present = test.validity if test.validity is not None else \
+            jnp.ones(test.data.shape[0], bool)
+        if a.dtype.is_string or b.dtype.is_string:
+            from ..physical.expr_compiler import unify_string_columns
+
+            a, b = unify_string_columns(a, b)
+        data = jnp.where(present, a.data, b.data)
+        va = a.validity if a.validity is not None else jnp.ones_like(present)
+        vb = b.validity if b.validity is not None else jnp.ones_like(present)
+        return DeviceColumn(data, jnp.where(present, va, vb), out_dtype,
+                            a.dictionary)
+    if f == "isnull":
+        a = args[0]
+        v = a.validity if a.validity is not None else \
+            jnp.ones(a.data.shape[0], bool)
+        return DeviceColumn(~v, None, T.BOOL)
+    if f == "isnotnull":
+        a = args[0]
+        v = a.validity if a.validity is not None else \
+            jnp.ones(a.data.shape[0], bool)
+        return DeviceColumn(v, None, T.BOOL)
+    if f == "monotonically_increasing_id":
+        return DeviceColumn(jnp.arange(capacity, dtype=jnp.int64), None,
+                            T.INT64)
+
+    raise PlanError(f"unknown spark function {f!r}")

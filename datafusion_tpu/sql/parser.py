@@ -769,7 +769,12 @@ class Parser:
         "approx_percentile_cont", "percentile_cont", "nth_value",
         "regr_slope", "regr_intercept", "regr_count", "regr_r2", "regr_avgx",
         "regr_avgy", "regr_sxx", "regr_syy", "regr_sxy",
+        "try_sum", "try_avg", "collect_list",
     }
+
+    # spark-library aliases (reference: spark/src/function/aggregate)
+    _AGG_ALIASES = {"try_sum": "sum", "try_avg": "avg",
+                    "collect_list": "array_agg"}
     _WINDOW_FNS = {"row_number", "rank", "dense_rank", "percent_rank",
                    "cume_dist", "ntile", "lead", "lag", "nth_value"}
 
@@ -824,6 +829,7 @@ class Parser:
             return E.WindowFunction(fname, tuple(args), over[0], over[1], over[2])
 
         if fname in self._AGG_FNS:
+            fname = self._AGG_ALIASES.get(fname, fname)
             if star or (fname == "count" and not args):
                 return E.AggregateFunction("count", (), distinct, agg_filter)
             return E.AggregateFunction(fname, tuple(args), distinct, agg_filter)
