@@ -58,6 +58,63 @@ def join_phase1(
     return perm, lo, cnt, total
 
 
+def _range_compare_domain(l: DeviceColumn, r: DeviceColumn):
+    """Cast both key columns into one order-preserving comparable domain."""
+    if l.dtype.is_string or r.dtype.is_string:
+        from ..physical.expr_compiler import unify_string_columns
+
+        l, r = unify_string_columns(l, r)  # shared sorted dict: codes compare
+        return l.data.astype(jnp.int64), r.data.astype(jnp.int64), l, r
+    if l.dtype.is_decimal or r.dtype.is_decimal:
+        ls = l.dtype.scale if l.dtype.is_decimal else 0
+        rs = r.dtype.scale if r.dtype.is_decimal else 0
+        s = max(ls, rs)
+        ld = l.data.astype(jnp.int64) * (10 ** (s - ls))
+        rd = r.data.astype(jnp.int64) * (10 ** (s - rs))
+        return ld, rd, l, r
+    if l.dtype.is_float or r.dtype.is_float:
+        return (l.data.astype(jnp.float64), r.data.astype(jnp.float64), l, r)
+    return l.data.astype(jnp.int64), r.data.astype(jnp.int64), l, r
+
+
+def range_join_phase1(
+    probe_key: DeviceColumn,
+    build_key: DeviceColumn,
+    op: str,  # probe-side comparison: lt | le | gt | ge
+    probe_sel: jax.Array,
+    build_sel: jax.Array,
+):
+    """Phase 1 of the single-range-predicate join (reference:
+    PiecewiseMergeJoinExec, joins/piecewise_merge_join/exec.rs): sort the
+    build side by the range key; each probe row's match set is then a
+    contiguous prefix (probe > / >= build) or suffix (probe < / <= build) of
+    the sorted build side, described by the same (perm, lo, cnt) triple the
+    equi-join expansion consumes — no per-pair predicate evaluation, no
+    cartesian blowup beyond the true match count."""
+    pdata, bdata, pk, bk = _range_compare_domain(probe_key, build_key)
+    p_live = probe_sel if pk.validity is None else (probe_sel & pk.validity)
+    b_live = build_sel if bk.validity is None else (build_sel & bk.validity)
+    nb = bdata.shape[0]
+    bdead = ~b_live
+    iota = jnp.arange(nb, dtype=jnp.int32)
+    sbdead, sbkey, perm = jax.lax.sort(
+        [bdead.astype(jnp.int32), bdata, iota], dimension=0, is_stable=True,
+        num_keys=2)
+    nlive = jnp.sum(b_live.astype(jnp.int32))
+    side = {"lt": "right", "le": "left", "gt": "left", "ge": "right"}[op]
+    rank = K.ranks_in_sorted(sbkey, pdata, side, a_dead=sbdead > 0,
+                             q_dead=~p_live)
+    if op in ("lt", "le"):
+        lo = jnp.minimum(rank, nlive)
+        cnt = nlive - lo
+    else:
+        lo = jnp.zeros_like(rank)
+        cnt = jnp.minimum(rank, nlive)
+    cnt = jnp.where(p_live, cnt, 0).astype(jnp.int32)
+    total = jnp.sum(cnt.astype(jnp.int64))
+    return perm, lo.astype(jnp.int32), cnt, total
+
+
 def gather_columns(
     cols: Sequence[DeviceColumn],
     idx: jax.Array,

@@ -266,6 +266,7 @@ def _push_into_join(conjuncts: List[E.Expr], join: L.Join) -> L.LogicalPlan:
     to_left: List[E.Expr] = []
     to_right: List[E.Expr] = []
     new_on: List[Tuple[E.Expr, E.Expr]] = list(join.on)
+    to_filter: List[E.Expr] = []  # cross-side residuals attach to the join
     stay: List[E.Expr] = []
 
     for c in conjuncts:
@@ -281,17 +282,26 @@ def _push_into_join(conjuncts: List[E.Expr], join: L.Join) -> L.LogicalPlan:
                 new_on.append((r, l))
             else:
                 stay.append(c)
+        elif can_equi and _resolvable(c, join.schema):
+            # references both sides: make it the join's residual filter so
+            # the physical layer can pick a range-predicate (piecewise
+            # merge) phase instead of filtering a cartesian expansion
+            # (reference: push_down_filter.rs keeping join filters on
+            # INNER joins)
+            to_filter.append(c)
         else:
             stay.append(c)
 
-    if not (to_left or to_right or len(new_on) > len(join.on)):
+    if not (to_left or to_right or to_filter or len(new_on) > len(join.on)):
         pred = conjoin(conjuncts)
         return L.Filter(join, pred)
 
     left = L.Filter(join.left, conjoin(to_left)) if to_left else join.left
     right = L.Filter(join.right, conjoin(to_right)) if to_right else join.right
     njt = L.JoinType.INNER if (jt is L.JoinType.CROSS and new_on) else jt
-    new_join = L.Join(left, right, new_on, njt, join.filter)
+    jfilter = conjoin(([join.filter] if join.filter is not None else [])
+                      + to_filter)
+    new_join = L.Join(left, right, new_on, njt, jfilter)
     pred = conjoin(stay)
     return L.Filter(new_join, pred) if pred is not None else new_join
 

@@ -647,15 +647,21 @@ class AggregateExec(PhysicalPlan):
 class JoinExec(PhysicalPlan):
     """Equi-join (+ residual filter) for all join types; see ops/joinimpl.py."""
 
+    _RANGE_MIRROR = {"lt": "gt", "le": "ge", "gt": "lt", "ge": "le"}
+
     def __init__(self, left: PhysicalPlan, right: PhysicalPlan,
                  on: Sequence[Tuple[E.Expr, E.Expr]], join_type: JoinType,
-                 filter: Optional[E.Expr], schema: Schema):
+                 filter: Optional[E.Expr], schema: Schema,
+                 range_on: Optional[Tuple[E.Expr, E.Expr, str]] = None):
         self.left = left
         self.right = right
         self.on = tuple(on)
         self.join_type = join_type
         self.filter = filter
         self.schema = schema
+        # single range predicate `left_expr OP right_expr` driving the
+        # piecewise merge join path (ops/joinimpl.range_join_phase1)
+        self.range_on = range_on
         self._phase1 = jax.jit(self._p1)
         self._phase2: Dict[int, Callable] = {}
         self._semi_fn = jax.jit(self._semi_simple)
@@ -675,6 +681,10 @@ class JoinExec(PhysicalPlan):
         return lkeys, rkeys
 
     def _p1(self, lrel: DeviceRelation, rrel: DeviceRelation):
+        if self.range_on is not None:
+            le, re_, op = self.range_on
+            return J.range_join_phase1(eval_expr(le, lrel), eval_expr(re_, rrel),
+                                       op, lrel.sel, rrel.sel)
         lkeys, rkeys = self._keys(lrel, rrel)
         return J.join_phase1(lkeys, rkeys, lrel.sel, rrel.sel)
 
@@ -708,6 +718,10 @@ class JoinExec(PhysicalPlan):
             jt = {JoinType.RIGHT: JoinType.LEFT, JoinType.RIGHT_SEMI: JoinType.LEFT_SEMI,
                   JoinType.RIGHT_ANTI: JoinType.LEFT_ANTI}[jt]
         self._exec_on = tuple((r, l) for l, r in self.on) if swapped else self.on
+        self._exec_range = self.range_on
+        if swapped and self.range_on is not None:
+            le, re_, op = self.range_on
+            self._exec_range = (re_, le, self._RANGE_MIRROR[op])
 
         if jt in (JoinType.LEFT_SEMI, JoinType.LEFT_ANTI) and self.filter is None:
             out = self._run_semi(lrel, rrel, swapped)
@@ -721,14 +735,21 @@ class JoinExec(PhysicalPlan):
         fn = self._phase2.get(key)
         if fn is None:
             on = self._exec_on
+            range_on = self._exec_range
 
             def f(lr, rr):
-                lkeys = [eval_expr(l, lr) for l, _ in on]
-                rkeys = [eval_expr(r, rr) for _, r in on]
-                for i in range(len(lkeys)):
-                    if lkeys[i].dtype.is_string or rkeys[i].dtype.is_string:
-                        lkeys[i], rkeys[i] = unify_string_columns(lkeys[i], rkeys[i])
-                perm, lo, cnt, total = J.join_phase1(lkeys, rkeys, lr.sel, rr.sel)
+                if range_on is not None:
+                    le, re_, op = range_on
+                    perm, lo, cnt, total = J.range_join_phase1(
+                        eval_expr(le, lr), eval_expr(re_, rr), op,
+                        lr.sel, rr.sel)
+                else:
+                    lkeys = [eval_expr(l, lr) for l, _ in on]
+                    rkeys = [eval_expr(r, rr) for _, r in on]
+                    for i in range(len(lkeys)):
+                        if lkeys[i].dtype.is_string or rkeys[i].dtype.is_string:
+                            lkeys[i], rkeys[i] = unify_string_columns(lkeys[i], rkeys[i])
+                    perm, lo, cnt, total = J.join_phase1(lkeys, rkeys, lr.sel, rr.sel)
                 keep = (cnt > 0) if self.join_type in (JoinType.LEFT_SEMI, JoinType.RIGHT_SEMI) else (cnt == 0)
                 return DeviceRelation(self.schema, lr.columns, lr.sel & keep)
 
@@ -740,7 +761,14 @@ class JoinExec(PhysicalPlan):
         p1key = ("p1", swapped)
         p1 = self._phase2.get(p1key)
         if p1 is None:
+            range_on = self._exec_range
+
             def f1(lr, rr):
+                if range_on is not None:
+                    le, re_, op = range_on
+                    return J.range_join_phase1(
+                        eval_expr(le, lr), eval_expr(re_, rr), op,
+                        lr.sel, rr.sel)
                 lkeys = [eval_expr(l, lr) for l, _ in on]
                 rkeys = [eval_expr(r, rr) for _, r in on]
                 for i in range(len(lkeys)):
@@ -822,6 +850,11 @@ class JoinExec(PhysicalPlan):
 
     def _line(self):
         on = ", ".join(f"{l.name()}={r.name()}" for l, r in self.on)
+        if self.range_on is not None:
+            le, re_, op = self.range_on
+            sym = {"lt": "<", "le": "<=", "gt": ">", "ge": ">="}[op]
+            return (f"JoinExec: {self.join_type.value} "
+                    f"range=[{le.name()} {sym} {re_.name()}] (piecewise merge)")
         return f"JoinExec: {self.join_type.value} on=[{on}]"
 
 

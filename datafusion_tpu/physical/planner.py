@@ -162,11 +162,61 @@ def _reject_list_keys(exprs, schema, where: str):
                 f"{where}; unnest it first")
 
 
+_RANGE_OPS = {E.Op.LT: "lt", E.Op.LE: "le", E.Op.GT: "gt", E.Op.GE: "ge"}
+
+
+def _extract_range_predicate(plan: L.Join):
+    """Split the join filter into (left_expr, right_expr, op) for ONE
+    inequality comparing a left-side expression against a right-side one,
+    plus the residual conjuncts.  Returns (range_on, residual) or
+    (None, original filter)."""
+    from ..optimizer.decorrelate import conjoin, split_conjuncts
+
+    if plan.filter is None:
+        return None, None
+    lsch, rsch = plan.left.schema, plan.right.schema
+
+    def only_in(e, schema):
+        cols = E.collect_columns(e)
+        if not cols:
+            return False
+        try:
+            return all(schema.find(c.flat_name) is not None for c in cols)
+        except Exception:
+            return False
+
+    range_on = None
+    rest = []
+    for conj in split_conjuncts(plan.filter):
+        if range_on is None and isinstance(conj, E.BinaryOp) \
+                and conj.op in _RANGE_OPS:
+            l, r = conj.left, conj.right
+            if only_in(l, lsch) and only_in(r, rsch):
+                range_on = (l, r, _RANGE_OPS[conj.op])
+                continue
+            if only_in(r, lsch) and only_in(l, rsch):
+                mirror = {"lt": "gt", "le": "ge", "gt": "lt", "ge": "le"}
+                range_on = (r, l, mirror[_RANGE_OPS[conj.op]])
+                continue
+        rest.append(conj)
+    return range_on, conjoin(rest)
+
+
 def _cross_join(left: P.PhysicalPlan, right: P.PhysicalPlan, plan: L.Join) -> P.PhysicalPlan:
     """Cross join as an equi-join on a constant key (both sides key=0) --
     the expansion machinery produces the cartesian product; any filter is a
     residual (reference: CrossJoinExec / NestedLoopJoinExec,
-    physical-plan/src/joins/{cross_join.rs,nested_loop_join.rs})."""
-    one = E.lit(1)
+    physical-plan/src/joins/{cross_join.rs,nested_loop_join.rs}).
+
+    When the filter carries a single-inequality predicate between the two
+    sides, the piecewise merge join path takes over: phase 1 computes true
+    match runs over the value-sorted build side instead of expanding the
+    cartesian product (reference: PiecewiseMergeJoinExec,
+    joins/piecewise_merge_join/exec.rs)."""
     jt = plan.join_type if plan.join_type is not L.JoinType.CROSS else L.JoinType.INNER
+    range_on, residual = _extract_range_predicate(plan)
+    if range_on is not None:
+        return P.JoinExec(left, right, [], jt, residual, plan.schema,
+                          range_on=range_on)
+    one = E.lit(1)
     return P.JoinExec(left, right, [(one, one)], jt, plan.filter, plan.schema)
