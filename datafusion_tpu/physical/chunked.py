@@ -288,12 +288,18 @@ def plan_boundedness(plan: P.PhysicalPlan) -> bool:
     if isinstance(p, P.JoinExec):
         from . import fused as F
 
-        swapped, _, _ = F.join_normalize(p)
+        swapped, jt, _ = F.join_normalize(p)
         lplan, rplan = (p.right, p.left) if swapped else (p.left, p.right)
         if plan_boundedness(rplan):
+            if jt is JoinType.INNER:
+                # symmetric incremental join handles stream x stream
+                # (reference: SymmetricHashJoinExec,
+                # joins/symmetric_hash_join.rs)
+                plan_boundedness(lplan)
+                return True
             raise PlanError(
-                f"{type(p).__name__}: join build side is an unbounded "
-                f"stream; bound it (e.g. with LIMIT) first")
+                f"{type(p).__name__}: {jt.value} join build side is an "
+                f"unbounded stream; bound it (e.g. with LIMIT) first")
         return plan_boundedness(lplan)
     # pipeline breakers: need the whole input before emitting anything
     breakers = (P.SortExec, P.AggregateExec, P.DistinctExec, WindowExec,
@@ -535,6 +541,9 @@ class ChunkedQuery:
 
         swapped, jt, on = F.join_normalize(p)
         lplan, rplan = (p.right, p.left) if swapped else (p.left, p.right)
+        if jt is JoinType.INNER and scan_unbounded(rplan):
+            yield from self._symmetric_join(p, ctx, lplan, rplan)
+            return
         if jt is JoinType.FULL:
             # FULL needs globally-unmatched build rows: materialize both sides
             lrel = self._materialize(lplan, ctx)
@@ -553,6 +562,45 @@ class ChunkedQuery:
             rrel = self._materialize(rplan, ctx)  # cross join: no keys; raise
         for chunk in self._stream(lplan, ctx):
             yield p.execute_rels(ctx, chunk, rrel)
+
+    def _symmetric_join(self, p: P.JoinExec, ctx, lplan, rplan
+                        ) -> Iterator[DeviceRelation]:
+        """Symmetric incremental INNER join for stream x stream inputs
+        (reference capability: SymmetricHashJoinExec,
+        joins/symmetric_hash_join.rs): chunks are pulled from both sides
+        alternately; each new chunk joins against every chunk accumulated
+        from the OTHER side so far (including, for right chunks, the left
+        chunks that arrived earlier this round), so every (Li, Rj) pair is
+        joined exactly once — results stream out as soon as both halves of a
+        match have arrived.  The reference additionally prunes accumulated
+        state via range (interval) analysis; here both sides accumulate
+        compacted device chunks for the life of the query."""
+        lit = self._stream(lplan, ctx)
+        rit = self._stream(rplan, ctx)
+        acc_l: List[DeviceRelation] = []
+        acc_r: List[DeviceRelation] = []
+        l_done = r_done = False
+        while not (l_done and r_done):
+            ctx.check_cancelled()
+            if not l_done:
+                try:
+                    lchunk = self._compact(next(lit), ctx)
+                except StopIteration:
+                    l_done = True
+                else:
+                    for rchunk in acc_r:
+                        out = p.execute_rels(ctx, lchunk, rchunk)
+                        yield out
+                    acc_l.append(lchunk)
+            if not r_done:
+                try:
+                    rchunk = self._compact(next(rit), ctx)
+                except StopIteration:
+                    r_done = True
+                else:
+                    for lchunk in acc_l:
+                        yield p.execute_rels(ctx, lchunk, rchunk)
+                    acc_r.append(rchunk)
 
     def _try_materialize(self, p: P.PhysicalPlan, ctx) -> Optional[DeviceRelation]:
         acc = SpillableAccumulator(ctx, f"materialize:{type(p).__name__}",
