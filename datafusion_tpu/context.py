@@ -125,6 +125,17 @@ class SessionContext:
             WindowUDF(name, state, combine, identity, finalize,
                       return_type, nullable))
 
+    def register_async_udf(self, name: str, fn, return_type: T.DataType,
+                           nullable: bool = True) -> None:
+        """Register a host-side (optionally `async def`) scalar function —
+        e.g. a remote-service or model call — invoked once per batch with
+        numpy arrays; runs outside the XLA program via a host callback
+        (reference: AsyncFuncExec, physical-plan/src/async_func.rs)."""
+        from .expr.udf import make_async_scalar
+
+        self.functions.register_scalar(
+            make_async_scalar(name, fn, return_type, nullable))
+
     def enable_spark_functions(self) -> None:
         """Opt this session into the Spark-compatible function library
         (reference: datafusion-spark crate, spark/src/function/): Spark-only

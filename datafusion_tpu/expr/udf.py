@@ -194,6 +194,44 @@ def udf_output_column(out, validity, return_type: T.DataType):
     return DeviceColumn(data, validity, return_type)
 
 
+def make_async_scalar(name: str, fn, return_type: T.DataType,
+                      nullable: bool = True) -> ScalarUDF:
+    """Wrap a host (optionally async) batch function as a scalar UDF
+    (reference capability: AsyncFuncExec, physical-plan/src/async_func.rs +
+    async ScalarUDFImpl). The function receives one numpy array per argument
+    for the WHOLE batch and returns an array; coroutine functions are run to
+    completion per batch (fan out per-row work inside with asyncio.gather).
+    Evaluation escapes the XLA trace through jax.pure_callback, so remote /
+    IO-bound calls compose with jitted plans on any backend.
+
+    Note: batches are CAPACITY-padded — the function also sees dead-row
+    padding values (their results are discarded by the selection mask);
+    dedupe or cap remote fan-out inside the function if that matters."""
+    import inspect
+
+    import jax
+    import numpy as np
+
+    is_coro = inspect.iscoroutinefunction(fn)
+    np_dtype = return_type.np_dtype()
+
+    def host(*arrays):
+        arrays = [np.asarray(a) for a in arrays]
+        if is_coro:
+            import asyncio
+
+            out = asyncio.run(fn(*arrays))
+        else:
+            out = fn(*arrays)
+        return np.asarray(out, dtype=np_dtype)
+
+    def traced(*args):
+        shape = jax.ShapeDtypeStruct(args[0].shape, np_dtype)
+        return jax.pure_callback(host, shape, *args, vmap_method="sequential")
+
+    return ScalarUDF(name, traced, return_type, nullable)
+
+
 def eval_scalar_udf(udf: ScalarUDF, args) -> Any:
     """Evaluate a scalar UDF over DeviceColumns -> DeviceColumn."""
     arrays = [udf_input_array(c) for c in args]

@@ -295,14 +295,34 @@ def join_cardinality(left: PlanEst, right: PlanEst, on, join_type) -> PlanEst:
     if join_type is L.JoinType.CROSS or not on:
         return PlanEst(max(1.0, left.rows * right.rows), cols)
     semi_frac = 1.0
-    rows = left.rows * right.rows
+    dl_prod = dr_prod = 1.0
     for lk, rk in on:
         dl = _ndv(left, lk) if isinstance(lk, E.Column) else None
         dr = _ndv(right, rk) if isinstance(rk, E.Column) else None
         dl = dl or max(left.rows, 1.0)
         dr = dr or max(right.rows, 1.0)
-        rows /= max(dl, dr, 1.0)
+        dl_prod *= dl
+        dr_prod *= dr
         semi_frac = min(semi_frac, min(1.0, dr / dl))
+    # Composite keys: the independence assumption (divide by every key's ndv)
+    # wildly underestimates FK-composite joins (lineitem x partsupp: 2.4k
+    # estimated vs 6M true).  A side's per-key ndv product is only a valid
+    # composite ndv while it fits that side's row count; an overflowing
+    # product means the keys are correlated, so fall back to the other
+    # side's (or, failing both, the row counts themselves).
+    l_valid = dl_prod <= max(left.rows, 1.0)
+    r_valid = dr_prod <= max(right.rows, 1.0)
+    if l_valid and r_valid:
+        divisor = max(dl_prod, dr_prod, 1.0)
+    elif l_valid:
+        divisor = max(dl_prod, 1.0)
+    elif r_valid:
+        divisor = max(dr_prod, 1.0)
+    else:
+        # both overflow: keys correlated on both sides — the common shape is
+        # FK -> composite PK, whose key domain is the smaller side's rows
+        divisor = max(min(left.rows, right.rows), 1.0)
+    rows = left.rows * right.rows / divisor
     if join_type is L.JoinType.LEFT_SEMI:
         return PlanEst(max(1.0, left.rows * semi_frac), dict(left.cols))
     if join_type is L.JoinType.LEFT_ANTI:

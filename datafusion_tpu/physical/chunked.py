@@ -560,8 +560,67 @@ class ChunkedQuery:
                 yield from self._grace_join(p, ctx, lplan, rplan, on)
                 return
             rrel = self._materialize(rplan, ctx)  # cross join: no keys; raise
+        if on and jt in (JoinType.INNER, JoinType.LEFT_SEMI):
+            lplan = self._probe_bounds_pushdown(on, lplan, rrel)
         for chunk in self._stream(lplan, ctx):
             yield p.execute_rels(ctx, chunk, rrel)
+
+    def _probe_bounds_pushdown(self, on, lplan, rrel):
+        """Dynamic filter pushdown: build-side min/max key bounds become
+        probe-side predicates — BETWEEN filters on each streamed chunk plus
+        pruning hints on the probe's ScanExec so parquet row groups outside
+        the build key range are skipped entirely (reference:
+        joins/hash_join/shared_bounds.rs + DynamicFilterPhysicalExpr,
+        physical-expr/src/expressions/dynamic_filters/mod.rs)."""
+        import jax.numpy as jnp
+
+        from ..common import types as T
+        from .expr_compiler import eval_expr
+
+        preds = []       # qualified: exact per-chunk filter on probe schema
+        bare_preds = []  # bare column names: ScanExec pruning hints
+        for lk, rk in on:
+            base = lk.expr if isinstance(lk, E.Alias) else lk
+            if not isinstance(base, E.Column):
+                continue
+            try:
+                col = eval_expr(rk, rrel)
+            except Exception:
+                continue
+            if not col.dtype.is_integer or col.dictionary is not None:
+                continue
+            live = rrel.sel if col.validity is None else (rrel.sel & col.validity)
+            data = col.data.astype(jnp.int64)
+            info = np.iinfo(np.int64)
+            lo = int(jax.device_get(jnp.min(jnp.where(live, data, info.max))))
+            hi = int(jax.device_get(jnp.max(jnp.where(live, data, info.min))))
+            if lo > hi:
+                continue  # empty build side: leave the join to produce 0 rows
+            between = E.Between(lk, E.lit(lo), E.lit(hi), False)
+            preds.append(between)
+            bare_preds.append(E.Between(E.Column(base.cname), E.lit(lo),
+                                        E.lit(hi), False))
+        if not preds:
+            return lplan
+
+        def add_hints(plan):
+            if isinstance(plan, P.ScanExec):
+                return P.ScanExec(plan.provider, plan.schema, plan.projection,
+                                  plan.alias,
+                                  plan.filters + tuple(bare_preds))
+            if isinstance(plan, P.FilterExec):
+                inner = add_hints(plan.input)
+                return None if inner is None else P.FilterExec(inner, plan.predicate)
+            if isinstance(plan, P.CompactExec):
+                inner = add_hints(plan.input)
+                return None if inner is None else P.CompactExec(inner)
+            return None
+
+        hinted = add_hints(lplan)
+        out = hinted if hinted is not None else lplan
+        from ..optimizer.decorrelate import conjoin
+
+        return P.FilterExec(out, conjoin(preds))
 
     def _symmetric_join(self, p: P.JoinExec, ctx, lplan, rplan
                         ) -> Iterator[DeviceRelation]:

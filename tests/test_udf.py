@@ -240,3 +240,30 @@ def test_median_plus_count_distinct(ctx):
     ref = d.groupby("g").agg(mx=("x", "median"), cz=("z", "nunique"))
     assert np.allclose(out["mx"], ref.mx.values)
     assert out["cz"] == list(ref.cz)
+
+
+def test_async_udf(ctx_factory=None):
+    """Async scalar UDF through a host callback (reference: AsyncFuncExec,
+    physical-plan/src/async_func.rs)."""
+    import asyncio
+
+    import numpy as np
+
+    from datafusion_tpu.common import types as T
+    from datafusion_tpu.context import SessionContext
+
+    async def remote_score(xs):
+        async def one(v):
+            await asyncio.sleep(0)
+            return float(v) * 2 + 1
+
+        return np.array(await asyncio.gather(*[one(v) for v in xs]))
+
+    ctx = SessionContext()
+    ctx.register_table("t", {"k": [1, 2, 3, 4], "x": [1.0, 2.0, 3.0, 4.0]})
+    ctx.register_async_udf("remote_score", remote_score, T.FLOAT64)
+    out = ctx.sql("SELECT k, remote_score(x) s FROM t WHERE k > 1 "
+                  "ORDER BY k").to_pydict()
+    assert out["s"] == [5.0, 7.0, 9.0]
+    ctx.register_async_udf("twice", lambda xs: xs * 2, T.FLOAT64)
+    assert ctx.sql("SELECT sum(twice(x)) s FROM t").to_pydict()["s"] == [20.0]
