@@ -35,6 +35,9 @@ class SessionContext:
         self.device = device
         self.functions = FunctionRegistry()
         self._cancel = threading.Event()
+        # back-link for session-scoped virtual tables
+        # (information_schema.df_settings / routines)
+        self.catalog.session = self
 
     def interrupt(self):
         """Cancel queries currently executing under this session (analog of

@@ -44,6 +44,30 @@ _NUMERIC_UNARY = {
 _STRING_UNARY = {"upper", "lower", "trim", "ltrim", "rtrim", "reverse", "initcap", "btrim"}
 
 
+def builtin_function_names() -> set:
+    """Every scalar-function name the evaluator accepts (for
+    information_schema.routines; reference: all_default_functions(),
+    functions/src/lib.rs:169)."""
+    out = set(_NUMERIC_UNARY) | set(_STRING_UNARY) | set(_nested().NESTED_FNS)
+    out |= {
+        "date_part", "extract", "year", "month", "day", "date_trunc",
+        "power", "pow", "atan2", "log", "pi", "substr", "substring", "left",
+        "right", "concat", "concat_ws", "replace", "translate", "lpad",
+        "rpad", "repeat", "length", "char_length", "character_length",
+        "octet_length", "bit_length", "strpos", "position", "ascii",
+        "levenshtein", "starts_with", "ends_with", "contains", "coalesce",
+        "nullif", "isnan", "iszero", "nvl", "ifnull", "md5", "sha224",
+        "sha256", "sha384", "sha512", "regexp_replace", "regexp_like",
+        "regexp_match", "to_date", "now", "current_timestamp",
+        "current_date", "today", "random", "split_part", "overlay", "chr",
+        "char", "to_hex", "uuid", "encode", "decode", "find_in_set",
+        "factorial", "gcd", "lcm", "to_unixtime", "cot", "nanvl",
+        "make_date", "to_timestamp", "from_unixtime", "date_bin", "greatest",
+        "least", "arrow_typeof", "version",
+    }
+    return out
+
+
 def _spark_active(fname: str) -> bool:
     """True when the session opted into Spark-semantics functions
     (ctx.enable_spark_functions(); reference: datafusion-spark crate

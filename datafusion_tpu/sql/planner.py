@@ -667,6 +667,45 @@ class SqlPlanner:
                     rows["data_type"].append(repr(f.dtype))
                     rows["is_nullable"].append("YES" if f.nullable else "NO")
             t = Table.from_pydict(rows)
+        elif table == "df_settings":
+            # session config values (reference: information_schema.rs
+            # df_settings view)
+            from ..common.config import REGISTRY
+
+            session = getattr(self.catalog, "session", None)
+            names, values, descs = [], [], []
+            for k in sorted(REGISTRY):
+                names.append(k)
+                v = session.options.get(k) if session is not None \
+                    else REGISTRY[k].default
+                values.append("" if v is None else str(v))
+                descs.append(REGISTRY[k].doc)
+            t = Table.from_pydict({"name": names, "value": values,
+                                   "description": descs})
+        elif table == "routines":
+            # registered functions: built-ins + session UDFs (reference:
+            # information_schema.rs routines view)
+            from ..physical.functions import builtin_function_names
+            from ..sql.parser import Parser
+
+            session = getattr(self.catalog, "session", None)
+            rows = {"routine_name": [], "routine_type": []}
+
+            def add(names, kind):
+                for n in sorted(names):
+                    rows["routine_name"].append(n)
+                    rows["routine_type"].append(kind)
+
+            add(builtin_function_names(), "SCALAR")
+            add(Parser._AGG_FNS, "AGGREGATE")
+            add(Parser._WINDOW_FNS, "WINDOW")
+            if session is not None:
+                reg = session.functions
+                add(reg.scalars, "SCALAR")
+                add(reg.aggregates, "AGGREGATE")
+                add(reg.windows, "WINDOW")
+                add(reg.tables, "TABLE")
+            t = Table.from_pydict(rows)
         else:
             raise PlanError(f"unknown information_schema table {table!r}")
         return L.TableScan(f"information_schema.{table}", MemTable(t),

@@ -45,3 +45,26 @@ def test_drop_qualified():
     assert "s.t" in ctx.catalog
     ctx.sql("DROP TABLE s.t")
     assert "s.t" not in ctx.catalog
+
+
+def test_information_schema_df_settings_and_routines():
+    """Session-scoped virtual tables (reference: information_schema.rs
+    df_settings + routines views)."""
+    from datafusion_tpu.context import SessionContext
+
+    ctx = SessionContext()
+    ctx.register_table("t", {"x": [1]})
+    s = ctx.sql("SELECT name, value FROM information_schema.df_settings "
+                "WHERE name LIKE 'execution%'").to_pydict()
+    assert len(s["name"]) >= 3
+    ctx.sql("SET execution.chunk_rows = 4096")
+    s2 = ctx.sql("SELECT value FROM information_schema.df_settings "
+                 "WHERE name = 'execution.chunk_rows'").to_pydict()
+    assert s2["value"] == ["4096"]
+    r = ctx.sql("SELECT count(*) c FROM information_schema.routines "
+                "WHERE routine_type = 'AGGREGATE'").to_pydict()
+    assert r["c"][0] > 20
+    ctx.register_udtf("myfunc", lambda: {"a": [1]})
+    r2 = ctx.sql("SELECT routine_type FROM information_schema.routines "
+                 "WHERE routine_name = 'myfunc'").to_pydict()
+    assert r2["routine_type"] == ["TABLE"]
