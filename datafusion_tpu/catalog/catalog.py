@@ -359,6 +359,20 @@ class JsonTable(FileTable):
         return Table.from_arrow(at)
 
 
+class ArrowTable(FileTable):
+    """Arrow IPC (feather v2) files (reference: datasource-arrow crate,
+    features.md Arrow-IPC read+write)."""
+
+    def _read(self) -> Table:
+        import pyarrow as pa
+        import pyarrow.ipc as pipc
+
+        paths = _expand_files(self.path, (".arrow", ".feather", ".ipc"))
+        tables = [pipc.open_file(p).read_all() for p in paths]
+        at = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+        return Table.from_arrow(at)
+
+
 class CsvTable(FileTable):
     def __init__(self, path: str, has_header: bool = True, delimiter: str = ","):
         super().__init__(path)

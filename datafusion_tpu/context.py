@@ -208,6 +208,10 @@ class SessionContext:
                 self.register_csv(stmt.name, stmt.location, stmt.has_header, stmt.delimiter)
             elif stmt.format == "json":
                 self.register_json(stmt.name, stmt.location)
+            elif stmt.format in ("arrow", "ipc", "feather"):
+                from .catalog.catalog import ArrowTable
+
+                self.catalog.register(stmt.name, ArrowTable(stmt.location))
             else:
                 raise PlanError(f"unsupported format {stmt.format!r}")
             return None
@@ -244,6 +248,22 @@ class SessionContext:
                 table.write_parquet(stmt.path)
             elif stmt.format == "csv":
                 table.write_csv(stmt.path)
+            elif stmt.format == "json":
+                import json as _json
+
+                cols = table.to_pydict()
+                names = list(cols)
+                with open(stmt.path, "w") as fh:
+                    for i in range(table.num_rows):
+                        _json.dump({n: cols[n][i] for n in names}, fh,
+                                   default=str)
+                        fh.write("\n")
+            elif stmt.format in ("arrow", "ipc", "feather"):
+                import pyarrow.ipc as pipc
+
+                at = table.to_arrow()
+                with pipc.new_file(stmt.path, at.schema) as w:
+                    w.write_table(at)
             else:
                 raise PlanError(f"unsupported COPY format {stmt.format!r}")
             return DataFrame(self, L.Values(

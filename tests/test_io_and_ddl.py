@@ -102,3 +102,23 @@ def test_json_source(ctx, tmp_path):
     assert out["a"] == [1, 2] and out["s"] == ["x", "y"]
     ctx.sql(f"CREATE EXTERNAL TABLE j2 STORED AS JSON LOCATION '{p}'")
     assert ctx.sql("SELECT count(*) AS n FROM j2").to_pydict()["n"] == [2]
+
+
+def test_arrow_ipc_and_json_copy_roundtrip(tmp_path):
+    """Arrow IPC read/write + COPY TO JSON (reference: datasource-arrow,
+    features.md Arrow-IPC read+write)."""
+    from datafusion_tpu.context import SessionContext
+
+    ctx = SessionContext()
+    ctx.register_table("t", {"k": [1, 2, 3], "s": ["a", "b", None],
+                             "v": [1.5, 2.5, 3.5]})
+    ctx.sql(f"COPY t TO '{tmp_path}/t.arrow' STORED AS ARROW")
+    ctx.sql(f"COPY (SELECT k, v FROM t WHERE k > 1) TO '{tmp_path}/t2.json' "
+            "STORED AS JSON")
+    ctx.sql(f"CREATE EXTERNAL TABLE ta STORED AS ARROW LOCATION "
+            f"'{tmp_path}/t.arrow'")
+    out = ctx.sql("SELECT * FROM ta ORDER BY k").to_pydict()
+    assert out == {"k": [1, 2, 3], "s": ["a", "b", None], "v": [1.5, 2.5, 3.5]}
+    ctx.sql(f"CREATE EXTERNAL TABLE tj STORED AS JSON LOCATION "
+            f"'{tmp_path}/t2.json'")
+    assert ctx.sql("SELECT sum(v) sv FROM tj").to_pydict()["sv"] == [6.0]
