@@ -252,12 +252,16 @@ class ParquetTable(TableProvider):
         return stats
 
     def scan_device(self, ctx, filters=(), projection=None) -> DeviceRelation:
+        use_bloom = bool(ctx.opt("execution.parquet_bloom_pruning", True)) \
+            if ctx is not None else True
         units = tuple((p, tuple(rgs))
-                      for p, rgs in self._ds.plan_units(list(filters)))
+                      for p, rgs in self._ds.plan_units(list(filters),
+                                                        use_bloom=use_bloom))
         proj = tuple(projection) if projection is not None else None
         key = (_device_key(ctx), units, proj)
         if key not in self._device:
-            at = self._ds.read(filters, projection)
+            at = self._ds.read_units([(p, list(rgs)) for p, rgs in units],
+                                     projection)
             self._device[key] = to_device(Table.from_arrow(at),
                                           device=ctx.device if ctx else None)
         return self._device[key]

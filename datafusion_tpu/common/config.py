@@ -72,6 +72,10 @@ _opt("execution.chunk_rows", 1 << 21,
      "padded to the enclosing power of two).")
 _opt("execution.collect_metrics", True,
      "Record per-operator elapsed/memory metrics (EXPLAIN ANALYZE).")
+_opt("execution.parquet_bloom_pruning", True,
+     "Prune parquet row groups via split-block bloom filters for equality "
+     "and IN-list predicates (footer parsed natively; pyarrow does not "
+     "expose bloom reading).")
 
 # ---- optimizer ------------------------------------------------------------
 _opt("optimizer.filter_pushdown", True,

@@ -234,8 +234,12 @@ class SessionContext:
                 [[E.lit(n)] for n in names],
             ))
         if isinstance(stmt, A.SetVariable):
-            self.config[stmt.key] = stmt.value
+            # parse through the typed registry first; storing the raw string
+            # in self.config would override the parsed value in exec_context
+            # (and e.g. "false" is truthy)
             self.options.set(stmt.key, stmt.value)
+            self.config[stmt.key] = self.options.to_dict().get(
+                stmt.key, stmt.value)
             return None
         if isinstance(stmt, A.InsertInto):
             return self._insert_into(stmt, SqlPlanner)

@@ -242,6 +242,27 @@ class ScanFile:
     partitions: Dict[str, object]
 
 
+def _equality_constraints(filters: Sequence[E.Expr]) -> List[Tuple[str, List[object]]]:
+    """Per-conjunct `column ∈ {values}` constraints usable for bloom pruning:
+    `col = lit` and `col IN (lits)` (reference: bloom-filter candidate
+    extraction in datasource-parquet/src/row_group_filter.rs)."""
+    out: List[Tuple[str, List[object]]] = []
+    for p in filters:
+        if isinstance(p, E.BinaryOp) and p.op is E.Op.EQ:
+            l, r = p.left, p.right
+            if isinstance(r, E.Column) and isinstance(l, E.Literal):
+                l, r = r, l
+            if (isinstance(l, E.Column) and isinstance(r, E.Literal)
+                    and r.value is not None):
+                out.append((l.cname, [r.value]))
+        elif isinstance(p, E.InList) and not p.negated and isinstance(p.expr, E.Column):
+            vals = [v.value for v in p.values
+                    if isinstance(v, E.Literal) and v.value is not None]
+            if vals and len(vals) == len(p.values):
+                out.append((p.expr.cname, vals))
+    return out
+
+
 def discover(path: str, exts=(".parquet",)) -> Tuple[List[ScanFile], List[str]]:
     """Expand a file/dir into scan files, extracting hive `key=value` path
     segments as partition columns (reference: hive partition discovery in
@@ -279,7 +300,40 @@ class ParquetDataset:
         self.files, self.partition_keys = discover(path)
         self._meta: Dict[str, object] = {}   # path -> pq.ParquetFile
         self._global_dicts: Dict[str, object] = {}
+        self._bloom: Dict[str, object] = {}  # path -> BloomIndex
+        self._phys_types: Optional[Dict[str, str]] = None
         self.last_scan: Dict[str, int] = {}
+
+    def _bloom_index(self, path: str):
+        if path not in self._bloom:
+            from .bloom import BloomIndex
+
+            self._bloom[path] = BloomIndex(path)
+        return self._bloom[path]
+
+    def _physical_types(self) -> Dict[str, str]:
+        """column name -> parquet physical type (from the first file)."""
+        if self._phys_types is None:
+            out: Dict[str, str] = {}
+            md = self._pf(self.files[0].path).metadata
+            if md.num_row_groups:
+                g = md.row_group(0)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    if "." not in col.path_in_schema:
+                        out[col.path_in_schema] = col.physical_type
+            self._phys_types = out
+        return self._phys_types
+
+    def _bloom_pruned(self, path: str, rg: int,
+                      constraints: Sequence[Tuple[str, List[bytes]]]) -> bool:
+        """True if any equality constraint's values are all provably absent
+        from this row group per its bloom filter."""
+        idx = self._bloom_index(path)
+        for col, encoded in constraints:
+            if idx.might_contain_any(rg, col, encoded) is FALSE:
+                return True
+        return False
 
     def _pf(self, path: str):
         if path not in self._meta:
@@ -345,11 +399,25 @@ class ParquetDataset:
                       else ColStats(v, v, 0, nrows))
         return out
 
-    def plan_units(self, filters: Sequence[E.Expr]) -> List[Tuple[str, List[int]]]:
-        """(path, surviving row-group ids) per file, after file-level then
-        row-group-level pruning (reference: opener/mod.rs:388-593 stages)."""
+    def plan_units(self, filters: Sequence[E.Expr],
+                   use_bloom: bool = True) -> List[Tuple[str, List[int]]]:
+        """(path, surviving row-group ids) per file, after file-level,
+        row-group statistics, then bloom-filter pruning
+        (reference: opener/mod.rs:388-593 stages)."""
         units: List[Tuple[str, List[int]]] = []
-        files_pruned = rgs_pruned = rgs_total = 0
+        files_pruned = rgs_pruned = rgs_total = bloom_pruned = 0
+        bloom_constraints: List[Tuple[str, List[bytes]]] = []
+        if use_bloom and filters:
+            from .bloom import encode_plain
+
+            ptypes = self._physical_types()
+            for col, values in _equality_constraints(filters):
+                pt = ptypes.get(col)
+                if pt is None:
+                    continue
+                encoded = [encode_plain(v, pt) for v in values]
+                if all(e is not None for e in encoded):
+                    bloom_constraints.append((col, encoded))
         for f in self.files:
             md = self._pf(f.path).metadata
             rgs_total += md.num_row_groups
@@ -366,12 +434,18 @@ class ParquetDataset:
                     if any(eval_predicate(p, gstats) is FALSE for p in filters):
                         rgs_pruned += 1
                         continue
+                if bloom_constraints and self._bloom_pruned(f.path, g,
+                                                            bloom_constraints):
+                    rgs_pruned += 1
+                    bloom_pruned += 1
+                    continue
                 keep.append(g)
             if keep:
                 units.append((f.path, keep))
         self.last_scan = {
             "files_total": len(self.files), "files_pruned": files_pruned,
             "row_groups_total": rgs_total, "row_groups_pruned": rgs_pruned,
+            "row_groups_bloom_pruned": bloom_pruned,
         }
         return units
 
