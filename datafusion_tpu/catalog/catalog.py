@@ -377,6 +377,21 @@ class ArrowTable(FileTable):
         return Table.from_arrow(at)
 
 
+class AvroTable(FileTable):
+    """Avro object container files via the native decoder (reference:
+    datasource-avro crate, read-only Avro per features.md)."""
+
+    def _read(self) -> Table:
+        import pyarrow as pa
+
+        from ..io.avro import read_avro
+
+        paths = _expand_files(self.path, (".avro",))
+        tables = [read_avro(p) for p in paths]
+        at = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+        return Table.from_arrow(at)
+
+
 class CsvTable(FileTable):
     def __init__(self, path: str, has_header: bool = True, delimiter: str = ","):
         super().__init__(path)

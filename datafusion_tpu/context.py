@@ -212,6 +212,10 @@ class SessionContext:
                 from .catalog.catalog import ArrowTable
 
                 self.catalog.register(stmt.name, ArrowTable(stmt.location))
+            elif stmt.format == "avro":
+                from .catalog.catalog import AvroTable
+
+                self.catalog.register(stmt.name, AvroTable(stmt.location))
             else:
                 raise PlanError(f"unsupported format {stmt.format!r}")
             return None
@@ -268,6 +272,10 @@ class SessionContext:
                 at = table.to_arrow()
                 with pipc.new_file(stmt.path, at.schema) as w:
                     w.write_table(at)
+            elif stmt.format == "avro":
+                from .io.avro import write_avro
+
+                write_avro(table.to_arrow(), stmt.path)
             else:
                 raise PlanError(f"unsupported COPY format {stmt.format!r}")
             return DataFrame(self, L.Values(
