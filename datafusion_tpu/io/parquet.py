@@ -266,9 +266,18 @@ def _equality_constraints(filters: Sequence[E.Expr]) -> List[Tuple[str, List[obj
 def discover(path: str, exts=(".parquet",)) -> Tuple[List[ScanFile], List[str]]:
     """Expand a file/dir into scan files, extracting hive `key=value` path
     segments as partition columns (reference: hive partition discovery in
-    datasource/src/url.rs + listing table)."""
+    datasource/src/url.rs + listing table). Directory walks go through the
+    session list-files cache (reference: CacheManager list-files cache),
+    keyed by the top directory's mtime."""
     if not os.path.isdir(path):
         return [ScanFile(path, {})], []
+    from ..runtime.cache import default_cache_manager
+
+    return default_cache_manager().listing(
+        path, tuple(exts), lambda: _walk(path, tuple(exts)))
+
+
+def _walk(path: str, exts: Tuple[str, ...]) -> Tuple[List[ScanFile], List[str]]:
     files: List[ScanFile] = []
     pkeys: List[str] = []
     for root, _dirs, names in sorted(os.walk(path)):
@@ -337,9 +346,11 @@ class ParquetDataset:
 
     def _pf(self, path: str):
         if path not in self._meta:
-            import pyarrow.parquet as pq
+            from ..runtime.cache import default_cache_manager
 
-            self._meta[path] = pq.ParquetFile(path)
+            # footers parse once per process (reference: CacheManager's
+            # parquet-metadata cache), not once per dataset/session
+            self._meta[path] = default_cache_manager().parquet_file(path)
         return self._meta[path]
 
     def arrow_schema(self):
@@ -365,7 +376,14 @@ class ParquetDataset:
     def column_stats(self) -> Dict[str, ColStats]:
         """Dataset-wide per-column min/max/null-count statistics from footers
         only (reference: Statistics in common/src/stats.rs:368; consumed by
-        the cost-based join planner)."""
+        the cost-based join planner). Cached in the session file-statistics
+        cache keyed by the file set."""
+        from ..runtime.cache import default_cache_manager
+
+        key = tuple(f.path for f in self.files)
+        return default_cache_manager().stats(key, self._column_stats)
+
+    def _column_stats(self) -> Dict[str, ColStats]:
         merged: Dict[str, ColStats] = {}
         total = 0
         for f in self.files:
