@@ -147,6 +147,16 @@ class SessionContext:
         negative positions) switch to the Spark behavior."""
         self.functions.spark = True
 
+    def register_plugin(self, path: str) -> dict:
+        """Load a native plugin shared library (see native/plugin.h): its
+        table providers join the catalog (rows cross the boundary as Arrow
+        record batches over the Arrow C Data Interface) and its scalar
+        functions become SQL-callable (reference: datafusion-ffi crate,
+        ffi/src/lib.rs:28-55)."""
+        from .interchange.ffi import load_plugin
+
+        return load_plugin(self, path)
+
     def register_udtf(self, name: str, fn) -> None:
         """Register a table function usable in FROM position:
         `fn(*literal_args)` runs host-side and returns a dict of columns or a
