@@ -51,9 +51,10 @@ def main():
     ap.add_argument("--settle", type=float, default=0.5,
                     help="seconds to pause after compile before timing "
                          "(the remote compile helper contends with execution)")
-    ap.add_argument("--suite", choices=["tpch", "clickbench"], default="tpch")
+    ap.add_argument("--suite", choices=["tpch", "clickbench", "h2o"],
+                    default="tpch")
     ap.add_argument("--rows", type=int, default=1_000_000,
-                    help="clickbench: synthetic hits row count")
+                    help="clickbench/h2o: synthetic row count")
     args = ap.parse_args()
 
     import jax
@@ -71,6 +72,8 @@ def main():
 
     if args.suite == "clickbench":
         return clickbench_main(args)
+    if args.suite == "h2o":
+        return h2o_main(args)
 
     qids = [int(x) for x in args.queries.split(",") if x] or ALL_QUERY_IDS
 
@@ -249,6 +252,91 @@ def clickbench_main(args):
     }
     if check_failed:
         out["check_failed"] = {str(k): v for k, v in check_failed.items()}
+    if failed:
+        out["failed"] = failed
+    print(json.dumps(out))
+
+
+def h2o_main(args):
+    """h2o db-benchmark groupby (10) + join (5) queries on synthetic data
+    (reference: benchmarks/src/h2o.rs). No in-repo baseline; metric is the
+    suite geomean, correctness via CPU-backend differential on TPU."""
+    import jax
+
+    from datafusion_tpu.context import SessionContext
+    from datafusion_tpu.data.device import to_host
+    from datafusion_tpu.models.h2o.datagen import generate_groupby, generate_join
+    from datafusion_tpu.models.h2o.queries import GROUPBY_QUERIES, JOIN_QUERIES
+    from datafusion_tpu.models.tpch.compare import frames_diff
+    from datafusion_tpu.physical.fused import FusedQuery
+    from datafusion_tpu.runtime.context import ExecContext
+
+    t0 = time.time()
+    ctx = SessionContext()
+    ctx.register_table("x", generate_groupby(args.rows))
+    jn = generate_join(max(args.rows // 10, 1000))
+    for name, t in jn.items():
+        ctx.register_table(name if name != "x" else "jx", t)
+    if args.verbose:
+        print(f"# generated h2o rows={args.rows} in {time.time()-t0:.1f}s, "
+              f"backend={jax.devices()[0].platform}", file=sys.stderr)
+    # the join fact table registers as jx (x is the groupby table); alias it
+    queries = ([(f"groupby_q{i+1}", q) for i, q in enumerate(GROUPBY_QUERIES)]
+               + [(f"join_q{i+1}", q.replace("FROM x ", "FROM jx AS x "))
+                  for i, q in enumerate(JOIN_QUERIES)])
+    try:
+        cpu_dev = jax.devices("cpu")[0]
+    except Exception:
+        cpu_dev = None
+    on_tpu = jax.devices()[0].platform == "tpu"
+    per_query_ms = {}
+    failed = {}
+    check_failed = {}
+    checked = 0
+    for name, sql in queries:
+      try:
+        phys = FusedQuery(ctx.sql(sql).physical_plan())
+        ectx = ctx.exec_context()
+        t0 = time.time()
+        rel = phys.execute(ectx)
+        jax.block_until_ready(rel.sel)
+        compile_s = time.time() - t0
+        if args.settle and compile_s > 2:
+            time.sleep(min(args.settle * compile_s, 30.0))
+        times = []
+        for _ in range(args.repeat):
+            t0 = time.perf_counter()
+            rel = phys.execute(ectx)
+            jax.block_until_ready(rel.sel)
+            times.append((time.perf_counter() - t0) * 1000)
+        per_query_ms[name] = min(times)
+        if args.verbose:
+            print(f"# {name}: {per_query_ms[name]:9.2f} ms  "
+                  f"(compile+first {compile_s*1000:8.0f} ms)", file=sys.stderr)
+        if args.check and on_tpu and cpu_dev is not None:
+            cpu_rel = phys.execute(ExecContext(ectx.config, device=cpu_dev))
+            diff = frames_diff(to_host(rel).to_pandas(),
+                               to_host(cpu_rel).to_pandas(), ordered=False)
+            if diff is None:
+                checked += 1
+            else:
+                check_failed[name] = diff
+      except Exception as exc:  # noqa: BLE001
+        failed[name] = f"{type(exc).__name__}: {exc}"
+        print(f"# {name} FAILED: {failed[name][:200]}", file=sys.stderr)
+    gm = geomean(list(per_query_ms.values())) if per_query_ms else float("nan")
+    out = {
+        "metric": f"h2o_{args.rows}rows_geomean_ms",
+        "value": round(gm, 2),
+        "unit": "ms",
+        "vs_baseline": 0.0,  # no in-repo reference baseline
+        "queries": {k: round(v, 2) for k, v in per_query_ms.items()},
+        "backend": jax.devices()[0].platform,
+        "checked": bool(args.check and on_tpu and not check_failed
+                        and checked == len(per_query_ms) and per_query_ms),
+    }
+    if check_failed:
+        out["check_failed"] = check_failed
     if failed:
         out["failed"] = failed
     print(json.dumps(out))

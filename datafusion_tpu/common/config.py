@@ -54,6 +54,12 @@ _opt("execution.memory_limit_bytes", 0,
      "naming the top consumers.")
 _opt("execution.spill_dir", "",
      "Directory for host->disk spill files (empty = host RAM only).")
+_opt("execution.spill_max_host_bytes", 0,
+     "Host-RAM budget for spilled relations; beyond it the oldest spills "
+     "demote to .npz files under execution.spill_dir (0 = unlimited).")
+_opt("execution.spill_compression", False,
+     "Compress disk spill files (zlib; reference: spill_compression with "
+     "lz4/zstd IPC writers, physical-plan/src/spill/mod.rs:240).")
 _opt("execution.timeout_seconds", 0.0,
      "Cooperative per-query deadline; 0 = none. Checked at every operator "
      "dispatch, scan chunk, and recursion step (a fused single-XLA-program "
@@ -88,9 +94,28 @@ _opt("optimizer.decorrelate_subqueries", True,
      "Rewrite EXISTS/IN/scalar subqueries into joins.")
 _opt("optimizer.max_passes", 3,
      "Fixpoint iteration bound for rule application.")
+_opt("optimizer.simplify_expressions", True,
+     "Constant-fold and simplify expressions before and after decorrelation.")
+_opt("optimizer.join_reorder", True,
+     "Cost-based join reordering and semi/anti join placement "
+     "(statistics-driven; reference: EliminateCrossJoin + JoinSelection).")
+_opt("optimizer.eliminate_outer_joins", True,
+     "Convert LEFT/RIGHT/FULL joins to INNER under null-rejecting filters.")
+_opt("optimizer.common_subplan_dedup", True,
+     "Unify structurally identical sub-plans so shared CTEs/subqueries "
+     "compute once (CommonSubexprEliminate analog at plan granularity).")
+_opt("optimizer.limit_into_sort", True,
+     "Fuse LIMIT into an adjacent ORDER BY as a top-k sort.")
+_opt("optimizer.dynamic_filter_pushdown", True,
+     "In chunked joins, push build-side min/max key bounds into the probe "
+     "side as per-chunk BETWEEN filters and parquet pruning hints "
+     "(DynamicFilterPhysicalExpr analog).")
 
 # ---- sql ------------------------------------------------------------------
 _opt("sql_parser.dialect", "generic", "Accepted SQL dialect (informational).")
+_opt("sql_parser.recursion_limit", 64,
+     "Maximum expression-nesting depth; deeper queries raise ParseError "
+     "(reference: recursion limit in session_state.rs:458).")
 _opt("sql_parser.parse_float_as_decimal", True,
      "Numeric literals with a decimal point parse as exact decimals "
      "(matches the reference's decimal literal behavior).")

@@ -192,7 +192,8 @@ class SessionContext:
         from .sql.parser import parse_sql
         from .sql.planner import SqlPlanner
 
-        stmts = parse_sql(query)
+        stmts = parse_sql(query, recursion_limit=int(
+            self.options.to_dict().get("sql_parser.recursion_limit", 64)))
         out: Optional[DataFrame] = None
         for stmt in stmts:
             out = self._run_statement(stmt, A, SqlPlanner)
@@ -414,7 +415,9 @@ class DataFrame:
     def optimized_plan(self) -> L.LogicalPlan:
         from .optimizer.optimizer import optimize
 
-        return optimize(self._plan, self._ctx.catalog)
+        merged = self._ctx.options.to_dict()
+        merged.update(self._ctx.config)
+        return optimize(self._plan, self._ctx.catalog, merged)
 
     @with_registry
     def physical_plan(self):

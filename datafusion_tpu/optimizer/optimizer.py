@@ -44,27 +44,48 @@ def simplify_rule(plan: L.LogicalPlan) -> L.LogicalPlan:
     return L.transform_up(plan, lambda p: rewrite_exprs(p, fold_expr))
 
 
-def optimize(plan: L.LogicalPlan, catalog=None) -> L.LogicalPlan:
+def optimize(plan: L.LogicalPlan, catalog=None, options=None) -> L.LogicalPlan:
+    """Run the rule sequence; each rule group is gated by its config flag
+    (reference: OptimizerRule list in optimizer.rs:291-318; rules are
+    individually skippable there by replacing the rule set)."""
     from .decorrelate import decorrelate_rule
     from .dedup import dedup_rule
     from .pushdown import (eliminate_outer_joins_rule, limit_into_sort_rule,
                            or_implication_rule, projection_pruning_rule,
                            push_filters_rule, reorder_joins_rule)
 
-    rules: List[Callable] = [
-        simplify_rule,
-        decorrelate_rule,
-        simplify_rule,
-        dedup_rule,  # unify sub-plans duplicated by subquery lifting (Q15)
-        eliminate_outer_joins_rule,  # LEFT/RIGHT/FULL -> INNER under strict filters
-        or_implication_rule,  # derive pushable per-column predicates (Q7/Q19)
-        push_filters_rule,
-        reorder_joins_rule,
-        push_filters_rule,
-        projection_pruning_rule,
-        limit_into_sort_rule,
-        dedup_rule,
-    ]
+    opts = options or {}
+
+    def on(key: str) -> bool:
+        return bool(opts.get(key, True))
+
+    rules: List[Callable] = []
+    simplify = on("optimizer.simplify_expressions")
+    pushdown = on("optimizer.filter_pushdown")
+    dedup = on("optimizer.common_subplan_dedup")
+    if simplify:
+        rules.append(simplify_rule)
+    if on("optimizer.decorrelate_subqueries"):
+        rules.append(decorrelate_rule)
+        if simplify:
+            rules.append(simplify_rule)
+    if dedup:
+        rules.append(dedup_rule)  # unify sub-plans duplicated by subquery lifting
+    if on("optimizer.eliminate_outer_joins"):
+        rules.append(eliminate_outer_joins_rule)  # LEFT/RIGHT/FULL -> INNER
+    if pushdown:
+        rules.append(or_implication_rule)  # pushable per-column preds (Q7/Q19)
+        rules.append(push_filters_rule)
+    if on("optimizer.join_reorder"):
+        rules.append(reorder_joins_rule)
+    if pushdown:
+        rules.append(push_filters_rule)
+    if on("optimizer.projection_pruning"):
+        rules.append(projection_pruning_rule)
+    if on("optimizer.limit_into_sort"):
+        rules.append(limit_into_sort_rule)
+    if dedup:
+        rules.append(dedup_rule)
     for rule in rules:
         plan = rule(plan)
     return plan

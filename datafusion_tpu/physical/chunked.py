@@ -560,7 +560,8 @@ class ChunkedQuery:
                 yield from self._grace_join(p, ctx, lplan, rplan, on)
                 return
             rrel = self._materialize(rplan, ctx)  # cross join: no keys; raise
-        if on and jt in (JoinType.INNER, JoinType.LEFT_SEMI):
+        if (on and jt in (JoinType.INNER, JoinType.LEFT_SEMI)
+                and ctx.opt("optimizer.dynamic_filter_pushdown", True)):
             lplan = self._probe_bounds_pushdown(on, lplan, rrel)
         for chunk in self._stream(lplan, ctx):
             yield p.execute_rels(ctx, chunk, rrel)

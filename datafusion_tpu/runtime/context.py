@@ -37,8 +37,11 @@ class ExecContext:
         self.memory_pool = GreedyMemoryPool(int(limit)) if limit else MemoryPool()
         from .spill import SpillManager
 
-        self.spill_manager = SpillManager(self.config.get("spill_dir")
-                                          or self.config.get("execution.spill_dir") or None)
+        self.spill_manager = SpillManager(
+            self.config.get("spill_dir")
+            or self.config.get("execution.spill_dir") or None,
+            max_host_bytes=self.config.get("execution.spill_max_host_bytes", 0),
+            compress=self.config.get("execution.spill_compression", False))
         # cooperative cancellation: checked between operator dispatches /
         # chunks / recursion steps.  A fused single-program execution is
         # uninterruptible once dispatched (one XLA call), like a single

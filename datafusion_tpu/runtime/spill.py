@@ -34,10 +34,13 @@ class SpilledRelation:
     def nbytes(self) -> int:
         return sum(a.nbytes for a in self.arrays.values())
 
-    def to_disk(self, directory: Optional[str] = None) -> str:
+    def to_disk(self, directory: Optional[str] = None,
+                compress: bool = False) -> str:
         fd, path = tempfile.mkstemp(suffix=".npz", dir=directory)
         os.close(fd)
-        np.savez(path, **self.arrays)
+        # compression trades CPU for disk bandwidth (reference:
+        # spill_compression, spill/mod.rs:240-256 lz4/zstd IPC writers)
+        (np.savez_compressed if compress else np.savez)(path, **self.arrays)
         self.arrays = {}
         self.path = path
         return path
@@ -67,11 +70,31 @@ class SpilledRelation:
 
 
 class SpillManager:
-    def __init__(self, directory: Optional[str] = None):
+    def __init__(self, directory: Optional[str] = None,
+                 max_host_bytes: int = 0, compress: bool = False):
         self.directory = directory
+        self.max_host_bytes = int(max_host_bytes or 0)
+        self.compress = bool(compress)
         self.spilled: List[SpilledRelation] = []
         self.spill_count = 0
         self.spilled_bytes = 0
+        self.disk_spill_count = 0
+
+    def _enforce_host_budget(self) -> None:
+        """Demote the oldest host-RAM spills to disk once the host tier
+        exceeds its budget (the disk rung of the HBM->host->disk ladder;
+        reference: DiskManager temp files, execution/src/disk_manager.rs:192)."""
+        if not self.max_host_bytes or not self.directory:
+            return
+        host = sum(s.nbytes for s in self.spilled if s.path is None)
+        for s in self.spilled:
+            if host <= self.max_host_bytes:
+                break
+            if s.path is None:
+                n = s.nbytes
+                s.to_disk(self.directory, compress=self.compress)
+                self.disk_spill_count += 1
+                host -= n
 
     def record_offload(self, nbytes: int) -> None:
         """Account a device->host offload whose host copy is managed by the
@@ -93,4 +116,5 @@ class SpillManager:
         self.spilled.append(s)
         self.spill_count += 1
         self.spilled_bytes += s.nbytes
+        self._enforce_host_budget()
         return s

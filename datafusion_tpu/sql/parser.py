@@ -16,8 +16,8 @@ from . import ast as A
 from .lexer import Token, tokenize
 
 
-def parse_sql(sql: str) -> List[object]:
-    p = Parser(tokenize(sql))
+def parse_sql(sql: str, recursion_limit: int = 64) -> List[object]:
+    p = Parser(tokenize(sql), recursion_limit=recursion_limit)
     out = []
     while not p.at("eof"):
         out.append(p.statement())
@@ -27,9 +27,11 @@ def parse_sql(sql: str) -> List[object]:
 
 
 class Parser:
-    def __init__(self, tokens: List[Token]):
+    def __init__(self, tokens: List[Token], recursion_limit: int = 64):
         self.toks = tokens
         self.i = 0
+        self.depth = 0
+        self.recursion_limit = recursion_limit
 
     # ---- token helpers ---------------------------------------------------
     def peek(self, k: int = 0) -> Token:
@@ -449,7 +451,18 @@ class Parser:
 
     # ---- expressions -----------------------------------------------------
     def expr(self) -> E.Expr:
-        return self.or_expr()
+        # bounded nesting, like the reference's sql_parser.recursion_limit
+        # (session_state.rs:458): deep expressions error cleanly instead of
+        # exhausting the interpreter stack
+        self.depth += 1
+        if self.depth > self.recursion_limit:
+            raise ParseError(
+                f"expression nesting exceeds sql_parser.recursion_limit "
+                f"({self.recursion_limit})")
+        try:
+            return self.or_expr()
+        finally:
+            self.depth -= 1
 
     def or_expr(self) -> E.Expr:
         left = self.and_expr()
