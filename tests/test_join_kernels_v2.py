@@ -1,0 +1,111 @@
+"""Single-sort join phase-1 and scatter-fill phase-2 vs a numpy oracle
+(reference behavior contract: joins/hash_join lookup + expansion)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from datafusion_tpu.ops.kernels import join_expand, join_match_counts
+
+
+def _oracle(build_ids, build_live, probe_ids, probe_live):
+    """Brute force: per live probe, positions of equal live build keys in
+    (key, original index) sorted order."""
+    order = sorted((k, i) for i, k in enumerate(build_ids) if build_live[i])
+    skeys = [k for k, _ in order]
+    perm = [i for _, i in order]
+    lo, cnt = [], []
+    for p, k in enumerate(probe_ids):
+        if not probe_live[p]:
+            lo.append(None)
+            cnt.append(0)
+            continue
+        first = np.searchsorted(skeys, k, side="left")
+        last = np.searchsorted(skeys, k, side="right")
+        lo.append(int(first))
+        cnt.append(int(last - first))
+    return perm, lo, cnt
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("dup", [1, 4, 50])
+def test_match_counts_random(seed, dup):
+    rng = np.random.default_rng(seed)
+    nb, npr = 257, 389
+    build = rng.integers(0, max(nb // dup, 2), nb).astype(np.int64)
+    probe = rng.integers(0, max(nb // dup, 2), npr).astype(np.int64)
+    blive = rng.random(nb) > 0.2
+    plive = rng.random(npr) > 0.2
+    perm, lo, cnt, total = join_match_counts(
+        jnp.asarray(build), jnp.asarray(blive),
+        jnp.asarray(probe), jnp.asarray(plive))
+    operm, olo, ocnt = _oracle(build, blive, probe, plive)
+    perm, lo, cnt = np.asarray(perm), np.asarray(lo), np.asarray(cnt)
+    assert cnt.tolist() == ocnt
+    assert int(total) == sum(ocnt)
+    # where matches exist, the window [lo, lo+cnt) in OUR sorted build must
+    # hold exactly the oracle's matching original rows (as a set)
+    for p in range(npr):
+        if ocnt[p]:
+            ours = set(perm[lo[p]:lo[p] + cnt[p]].tolist())
+            ref = set(operm[olo[p]:olo[p] + ocnt[p]])
+            assert ours == ref, p
+
+
+def test_match_counts_extreme_keys():
+    """INT64_MAX/MIN are ordinary key values (no in-band sentinels)."""
+    M = np.iinfo(np.int64).max
+    m = np.iinfo(np.int64).min
+    build = np.array([M, m, 0, M, 7], dtype=np.int64)
+    blive = np.array([True, True, True, True, False])
+    probe = np.array([M, m, 7, 1], dtype=np.int64)
+    plive = np.array([True, True, True, True])
+    perm, lo, cnt, total = join_match_counts(
+        jnp.asarray(build), jnp.asarray(blive),
+        jnp.asarray(probe), jnp.asarray(plive))
+    assert np.asarray(cnt).tolist() == [2, 1, 0, 0]  # dead 7 not matched
+    assert int(total) == 3
+
+
+def test_match_counts_all_dead_build():
+    build = np.array([1, 2, 3], dtype=np.int64)
+    perm, lo, cnt, total = join_match_counts(
+        jnp.asarray(build), jnp.zeros(3, bool),
+        jnp.asarray(build), jnp.ones(3, bool))
+    assert np.asarray(cnt).tolist() == [0, 0, 0] and int(total) == 0
+
+
+def test_expand_matches_counts():
+    rng = np.random.default_rng(7)
+    nb, npr = 64, 100
+    build = rng.integers(0, 20, nb).astype(np.int64)
+    probe = rng.integers(0, 20, npr).astype(np.int64)
+    blive = rng.random(nb) > 0.3
+    plive = rng.random(npr) > 0.3
+    perm, lo, cnt, total = join_match_counts(
+        jnp.asarray(build), jnp.asarray(blive),
+        jnp.asarray(probe), jnp.asarray(plive))
+    cap = 1 << int(np.ceil(np.log2(max(int(total), 1))))
+    probe_row, build_row, out_valid = join_expand(perm, lo, cnt, cap)
+    probe_row = np.asarray(probe_row)
+    build_row = np.asarray(build_row)
+    out_valid = np.asarray(out_valid)
+    assert out_valid.sum() == int(total)
+    # every valid output pair joins equal live keys
+    for j in np.flatnonzero(out_valid):
+        p, b = probe_row[j], build_row[j]
+        assert plive[p] and blive[b] and probe[p] == build[b]
+    # pair multiset matches the cross product per key
+    pairs = {(int(probe_row[j]), int(build_row[j]))
+             for j in np.flatnonzero(out_valid)}
+    expect = {(p, b) for p in range(npr) if plive[p]
+              for b in range(nb) if blive[b] and probe[p] == build[b]}
+    assert pairs == expect
+
+
+def test_expand_zero_total():
+    perm = jnp.arange(4, dtype=jnp.int32)
+    lo = jnp.zeros(5, jnp.int32)
+    cnt = jnp.zeros(5, jnp.int32)
+    probe_row, build_row, out_valid = join_expand(perm, lo, cnt, 8)
+    assert not np.asarray(out_valid).any()
