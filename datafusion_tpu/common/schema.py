@@ -31,22 +31,32 @@ class Field:
 class Schema:
     """Ordered collection of fields with (optionally qualified) name lookup."""
 
-    __slots__ = ("fields", "_index")
+    __slots__ = ("fields", "_index", "_ci_index")
 
     def __init__(self, fields: Sequence[Field]):
         object.__setattr__(self, "fields", tuple(fields))
         index = {}
+        ci = {}
         for i, f in enumerate(self.fields):
             index.setdefault(f.name, []).append(i)
+            ci.setdefault(f.name.lower(), []).append(i)
             if f.qualifier:
                 index.setdefault(f.qualified_name, []).append(i)
+                ci.setdefault(f.qualified_name.lower(), []).append(i)
         object.__setattr__(self, "_index", index)
+        object.__setattr__(self, "_ci_index", ci)
 
     # ---- lookup ---------------------------------------------------------
     def find(self, name: str) -> Optional[int]:
         """Index of field by bare or qualified name; None if absent,
-        PlanError if ambiguous."""
+        PlanError if ambiguous. Exact-case match wins; otherwise SQL's
+        case-insensitive identifier folding applies (the reference lowercases
+        unquoted idents at parse time — sql/src/planner.rs ident
+        normalization; we fold at lookup so case-sensitive registrations
+        keep working, e.g. ClickBench's CamelCase columns)."""
         hits = self._index.get(name)
+        if not hits:
+            hits = self._ci_index.get(name.lower())
         if not hits:
             return None
         if len(hits) > 1:

@@ -405,7 +405,7 @@ def transform_up(plan: LogicalPlan, fn, _memo=None) -> LogicalPlan:
         _memo = {}
     hit = _memo.get(id(plan))
     if hit is not None:
-        return hit
+        return hit[1]
     out = plan
     children = plan.children()
     if children:
@@ -413,7 +413,11 @@ def transform_up(plan: LogicalPlan, fn, _memo=None) -> LogicalPlan:
         if any(n is not o for n, o in zip(new_children, children)):
             out = plan.with_children(new_children)
     out = fn(out)
-    _memo[id(plan)] = out
+    # the memo value pins the keyed node: id() keys are only unique while
+    # the object is alive, and rewrites can drop intermediate nodes whose
+    # ids the allocator then reuses (observed as nondeterministic plan
+    # corruption on TPC-DS q88's eight shared sub-plans)
+    _memo[id(plan)] = (plan, out)
     return out
 
 
@@ -422,12 +426,13 @@ def transform_down(plan: LogicalPlan, fn, _memo=None) -> LogicalPlan:
         _memo = {}
     hit = _memo.get(id(plan))
     if hit is not None:
-        return hit
+        return hit[1]
     out = fn(plan)
+    mid = out  # pin fn's output: its children are this call's memo keys
     children = out.children()
     if children:
         new_children = [transform_down(c, fn, _memo) for c in children]
         if any(n is not o for n, o in zip(new_children, children)):
             out = out.with_children(new_children)
-    _memo[id(plan)] = out
+    _memo[id(plan)] = (plan, out, mid)
     return out

@@ -23,6 +23,7 @@ from __future__ import annotations
 import itertools
 from typing import List, Optional, Tuple
 
+from ..common import types as T
 from ..common.errors import PlanError
 from ..expr import nodes as E
 from ..logical import plan as L
@@ -59,6 +60,18 @@ def _outer_refs(e: E.Expr, inner_schema) -> List[E.Column]:
         except PlanError:
             pass  # ambiguous -> resolvable
     return out
+
+
+def _simplify_plan(plan: L.LogicalPlan) -> L.LogicalPlan:
+    """Run expression simplification over a lifted subquery plan. Plans
+    embedded in expressions are unreachable by the top-level simplify pass,
+    but correlation-equality extraction needs folded predicates — TPC-DS
+    q41's subquery filter is `(corr AND X) OR (corr AND Y)`, which only
+    becomes `corr AND (X OR Y)` after OR factoring (reference: ExprSimplifier
+    runs inside ScalarSubqueryToJoin's rewrites as part of Analyzer)."""
+    from .optimizer import simplify_rule
+
+    return simplify_rule(plan)
 
 
 def _extract_correlated(plan: L.LogicalPlan):
@@ -155,8 +168,144 @@ def _rewrite_conjunct(conj: E.Expr, input_plan: L.LogicalPlan):
         inner = conj.expr
         return _rewrite_in(E.InSubquery(inner.expr, inner.plan, not inner.negated), input_plan), True
     if _has_subquery(conj):
-        return _rewrite_scalar_cmp(conj, input_plan), True
+        if _only_scalar_subqueries(conj):
+            return _rewrite_scalar_cmp(conj, input_plan), True
+        # EXISTS / IN under OR (or other boolean combinations): replace each
+        # subquery with a mark column computed by a LEFT-joined grouped
+        # aggregate — the capability analog of the reference's mark joins
+        # (JoinType::LeftMark, physical-plan/src/joins/mod.rs; used by
+        # DecorrelatePredicateSubquery for disjunctive subqueries).
+        return _rewrite_disjunctive(conj, input_plan), True
     return input_plan, False
+
+
+def _only_scalar_subqueries(e: E.Expr) -> bool:
+    if isinstance(e, (E.Exists, E.InSubquery)):
+        return False
+    return all(_only_scalar_subqueries(c) for c in e.children())
+
+
+def _rewrite_disjunctive(conj: E.Expr, input_plan: L.LogicalPlan) -> L.LogicalPlan:
+    plan_box = [input_plan]
+
+    def repl(e: E.Expr) -> E.Expr:
+        if isinstance(e, E.Exists):
+            mark = _exists_mark(e, plan_box)
+            return E.Not(mark) if e.negated else mark
+        if isinstance(e, E.InSubquery):
+            mark = _in_mark(e, plan_box)
+            return E.Not(mark) if e.negated else mark
+        import dataclasses
+
+        if not dataclasses.is_dataclass(e):
+            return e
+        changes = {}
+        for f in dataclasses.fields(e):
+            v = getattr(e, f.name)
+            if isinstance(v, E.Expr):
+                nv = repl(v)
+                if nv is not v:
+                    changes[f.name] = nv
+            elif isinstance(v, tuple):
+                nv = tuple(repl(x) if isinstance(x, E.Expr) else x for x in v)
+                if any(a is not b for a, b in zip(nv, v)):
+                    changes[f.name] = nv
+        return dataclasses.replace(e, **changes) if changes else e
+
+    pred = repl(conj)
+    return L.Filter(plan_box[0], pred)
+
+
+def _mark_join_keys(pairs, nid: int):
+    """Group exprs + join keys for the correlation columns of a mark
+    aggregate. Returns (group_exprs, [(outer, inner_ref)], alias)."""
+    alias = f"__mark_{nid}"
+    gexprs, on = [], []
+    for i, (outer, inner) in enumerate(pairs):
+        if isinstance(inner, E.Column):
+            gexprs.append(inner)
+            on.append((outer, E.Column(inner.cname, alias)))
+        else:
+            kname = f"__mk{i}_{nid}"
+            gexprs.append(E.Alias(inner, kname))
+            on.append((outer, E.Column(kname, alias)))
+    return gexprs, on, alias
+
+
+def _exists_mark(e: E.Exists, plan_box) -> E.Expr:
+    """LEFT-join a per-correlation-group COUNT(*) and return the boolean
+    existence mark (never NULL)."""
+    sub, pairs, residual = _extract_correlated(decorrelate_rule(e.plan))
+    if residual:
+        # push non-equality correlated predicates back: unsupported here
+        raise PlanError(
+            "unsupported: non-equality correlated EXISTS under OR")
+    nid = next(_COUNTER)
+    gexprs, on, alias = _mark_join_keys(pairs, nid)
+    cname = f"__mc_{nid}"
+    agg = L.SubqueryAlias(
+        L.Aggregate(sub, gexprs,
+                    [E.Alias(E.AggregateFunction("count", ()), cname)]),
+        alias)
+    c = E.Column(cname, alias)
+    if pairs:
+        plan_box[0] = L.Join(plan_box[0], agg, on, L.JoinType.LEFT, None)
+        return E.Not(E.IsNull(c))
+    plan_box[0] = L.Join(plan_box[0], agg, [], L.JoinType.INNER, None)
+    return E.BinaryOp(E.Op.GT, c, E.lit(0))
+
+
+def _in_mark(e: E.InSubquery, plan_box) -> E.Expr:
+    """3VL mark for `expr IN (subquery)` under OR:
+      TRUE  if some subquery row (of this correlation group) equals expr,
+      FALSE if the group is empty, or no match and no NULLs anywhere,
+      NULL  if no match but expr IS NULL or the group contains NULLs."""
+    sub0 = decorrelate_rule(e.plan)
+    if len(sub0.schema) != 1:
+        raise PlanError("IN subquery must produce exactly one column")
+    first = sub0.schema.fields[0]
+    sub, pairs, residual = _extract_correlated(sub0)
+    if residual:
+        raise PlanError("unsupported: non-equality correlated IN under OR")
+    if pairs and isinstance(sub, L.Projection):
+        sub = L.Projection(sub.input, list(sub.proj_exprs) + [p[1] for p in pairs])
+    inner_col = E.Column(first.name, first.qualifier)
+    nid = next(_COUNTER)
+
+    # match mark: group by (correlation keys, value), join on both
+    mg, mon, malias = _mark_join_keys(
+        pairs + [(e.expr, inner_col)], nid)
+    mc = f"__mm_{nid}"
+    magg = L.SubqueryAlias(
+        L.Aggregate(sub, mg,
+                    [E.Alias(E.AggregateFunction("count", ()), mc)]),
+        malias)
+    plan_box[0] = L.Join(plan_box[0], magg, mon, L.JoinType.LEFT, None)
+    matched = E.Not(E.IsNull(E.Column(mc, malias)))
+
+    # group info: total count + non-null count per correlation group
+    nid2 = next(_COUNTER)
+    gg, gon, galias = _mark_join_keys(pairs, nid2)
+    tot_n, nn_n = f"__mt_{nid2}", f"__mn_{nid2}"
+    gagg = L.SubqueryAlias(
+        L.Aggregate(sub, gg,
+                    [E.Alias(E.AggregateFunction("count", ()), tot_n),
+                     E.Alias(E.AggregateFunction("count", (inner_col,)), nn_n)]),
+        galias)
+    jt = L.JoinType.LEFT if pairs else L.JoinType.INNER
+    plan_box[0] = L.Join(plan_box[0], gagg, gon, jt, None)
+    tot = E.Column(tot_n, galias)
+    nn = E.Column(nn_n, galias)
+    empty = E.BinaryOp(E.Op.OR, E.IsNull(tot),
+                       E.BinaryOp(E.Op.EQ, tot, E.lit(0)))
+    uncertain = E.BinaryOp(E.Op.OR, E.IsNull(e.expr),
+                           E.BinaryOp(E.Op.LT, nn, tot))
+    null_lit = E.Literal(None, T.BOOL)
+    return E.Case(None,
+                  ((matched, E.lit(True)),
+                   (empty, E.lit(False)),
+                   (uncertain, null_lit)),
+                  E.lit(False))
 
 
 def _rewrite_exists(e: E.Exists, input_plan: L.LogicalPlan) -> L.LogicalPlan:
@@ -257,7 +406,7 @@ def _rewrite_scalar_cmp(conj: E.Expr, input_plan: L.LogicalPlan) -> L.LogicalPla
 def _scalar_subquery_join(sq: E.ScalarSubquery, input_plan: L.LogicalPlan):
     """Join `sq` against input_plan; returns (joined_plan, expr standing in
     for the subquery's scalar value over the joined schema)."""
-    sub, pairs, residual = _extract_correlated(decorrelate_rule(sq.plan))
+    sub, pairs, residual = _extract_correlated(_simplify_plan(decorrelate_rule(sq.plan)))
     if residual:
         raise PlanError("non-equality correlated predicate in scalar subquery")
     alias = f"__sq_{next(_COUNTER)}"

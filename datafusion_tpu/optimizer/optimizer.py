@@ -13,15 +13,32 @@ from ..logical import plan as L
 from .simplify import fold_expr
 
 
+def _name_preserving(fn: Callable[[E.Expr], E.Expr]) -> Callable[[E.Expr], E.Expr]:
+    """Wrap a rewrite so output-defining exprs keep their original column
+    name (the reference's rule invariant: optimizer rules must not change a
+    plan's output schema — optimizer/src/optimizer.rs name preservation;
+    rewritten exprs get re-aliased to the old name)."""
+
+    def wrapped(e: E.Expr) -> E.Expr:
+        ne = fn(e)
+        if ne is not e and ne.name() != e.name():
+            return E.Alias(ne, e.name())
+        return ne
+
+    return wrapped
+
+
 def rewrite_exprs(plan: L.LogicalPlan, fn: Callable[[E.Expr], E.Expr]) -> L.LogicalPlan:
     """Apply an expression rewrite to every expression of one plan node."""
     if isinstance(plan, L.Projection):
-        return L.Projection(plan.input, [fn(e) for e in plan.proj_exprs])
+        nfn = _name_preserving(fn)
+        return L.Projection(plan.input, [nfn(e) for e in plan.proj_exprs])
     if isinstance(plan, L.Filter):
         return L.Filter(plan.input, fn(plan.predicate))
     if isinstance(plan, L.Aggregate):
-        return L.Aggregate(plan.input, [fn(e) for e in plan.group_exprs],
-                           [fn(e) for e in plan.aggr_exprs])
+        nfn = _name_preserving(fn)
+        return L.Aggregate(plan.input, [nfn(e) for e in plan.group_exprs],
+                           [nfn(e) for e in plan.aggr_exprs])
     if isinstance(plan, L.Sort):
         specs = []
         for s in plan.sort_specs:
@@ -33,7 +50,8 @@ def rewrite_exprs(plan: L.LogicalPlan, fn: Callable[[E.Expr], E.Expr]) -> L.Logi
         filt = fn(plan.filter) if plan.filter is not None else None
         return L.Join(plan.left, plan.right, on, plan.join_type, filt)
     if isinstance(plan, L.Window):
-        return L.Window(plan.input, [fn(e) for e in plan.window_exprs])
+        nfn = _name_preserving(fn)
+        return L.Window(plan.input, [nfn(e) for e in plan.window_exprs])
     if isinstance(plan, L.TableScan) and plan.filters:
         return L.TableScan(plan.name, plan.source, plan.projection,
                            [fn(f) for f in plan.filters], plan.alias)

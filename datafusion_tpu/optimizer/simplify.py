@@ -24,6 +24,48 @@ def fold_expr(e: E.Expr) -> E.Expr:
     return E.map_expr(e, _fold_node)
 
 
+def _split(e: E.Expr, op: E.Op) -> list:
+    if isinstance(e, E.BinaryOp) and e.op is op:
+        return _split(e.left, op) + _split(e.right, op)
+    return [e]
+
+
+def _join(parts: list, op: E.Op) -> E.Expr:
+    out = parts[0]
+    for p in parts[1:]:
+        out = E.BinaryOp(op, out, p)
+    return out
+
+
+def _factor_or(e: E.BinaryOp):
+    """(A AND X) OR (A AND Y) -> A AND (X OR Y). Sound in Kleene 3VL
+    (AND/OR distribute). The reference does the same common-factor
+    extraction in ExprSimplifier (simplify_expressions/); it is what lets
+    disjunctive correlated predicates (TPC-DS q41) decorrelate."""
+    disjuncts = [_split(d, E.Op.AND) for d in _split(e, E.Op.OR)]
+    if len(disjuncts) < 2:
+        return None
+    common = [c for c in disjuncts[0]
+              if all(c in d for d in disjuncts[1:])]
+    if not common:
+        return None
+    rests = []
+    for d in disjuncts:
+        seen = list(common)
+        rest = []
+        for c in d:
+            if c in seen:
+                seen.remove(c)
+            else:
+                rest.append(c)
+        if not rest:
+            # this disjunct is exactly the common factor: A OR (A AND Y) = A
+            return _join(common, E.Op.AND)
+        rests.append(_join(rest, E.Op.AND))
+    return E.BinaryOp(E.Op.AND, _join(common, E.Op.AND),
+                      _join(rests, E.Op.OR))
+
+
 def _fold_node(e: E.Expr) -> E.Expr:
     if isinstance(e, E.BinaryOp) and isinstance(e.left, E.Literal) and isinstance(e.right, E.Literal):
         l, r = e.left, e.right
@@ -66,6 +108,10 @@ def _fold_node(e: E.Expr) -> E.Expr:
                 return e
     if isinstance(e, E.Not) and isinstance(e.expr, E.Not):
         return e.expr.expr
+    if isinstance(e, E.BinaryOp) and e.op is E.Op.OR:
+        out = _factor_or(e)
+        if out is not None:
+            return out
     if isinstance(e, E.Cast) and isinstance(e.expr, E.Literal):
         l = e.expr
         if e.dtype.kind is T.TypeKind.DATE32 and l.dtype.is_string:

@@ -166,7 +166,7 @@ def cast_column(col: DeviceColumn, dtype: T.DataType, capacity: int) -> DeviceCo
         d = col.dictionary
         vals = np.asarray(d.values, dtype="U") if d and len(d.values) else np.array([], "U1")
         if dtype.kind is T.TypeKind.DATE32:
-            lut = vals.astype("datetime64[D]").astype(np.int32) if len(vals) else np.zeros(1, np.int32)
+            lut = DU.dates_from_strings(vals) if len(vals) else np.zeros(1, np.int32)
         elif dtype.kind is T.TypeKind.TIMESTAMP:
             lut = vals.astype("datetime64[us]").astype(np.int64) if len(vals) else np.zeros(1, np.int64)
         elif dtype.is_numeric:

@@ -284,7 +284,12 @@ class Parser:
                 e = self.expr()
                 alias = None
                 if self.eat_kw("as"):
-                    alias = self.ident()
+                    # single-quoted aliases are accepted like the reference's
+                    # generic dialect (TPC-DS writes `... as '30 days'`)
+                    if self.peek().kind == "string":
+                        alias = self.next().value
+                    else:
+                        alias = self.ident()
                 elif self.peek().kind == "ident":
                     alias = self.next().value
                 items.append(A.SelectItem(e, alias))

@@ -736,9 +736,16 @@ class SqlPlanner:
         try:
             return self.resolve(e, schema)
         except PlanError:
-            for pe, al in items:
-                if al == e.cname if isinstance(e, E.Column) else False:
-                    return pe
+            # SQL resolves ORDER BY names against the SELECT output list
+            # before the FROM scope: a unique output column (aliased or the
+            # expr's derived name, e.g. `ss_items.item_id` -> item_id) wins
+            # even when the name is ambiguous among input relations
+            # (reference: order_by resolution in sql/src/select.rs).
+            if isinstance(e, E.Column) and e.qualifier is None:
+                hits = [pe for pe, al in items
+                        if (al or pe.name()) == e.cname]
+                if len(hits) == 1:
+                    return hits[0]
             raise
 
     def resolve(self, e: E.Expr, schema: Schema) -> E.Expr:

@@ -52,5 +52,20 @@ def add_months(days, months):
     return days_from_civil(ny, nm, nd)
 
 
+def dates_from_strings(vals: np.ndarray) -> np.ndarray:
+    """Vector of 'y-m-d' strings -> epoch days (int32), tolerating
+    non-ISO-padded components ('1999-5-01')."""
+    try:
+        return vals.astype("datetime64[D]").astype(np.int32)
+    except ValueError:
+        return np.array([date_str_to_days(str(s)) for s in vals], np.int32)
+
+
 def date_str_to_days(s: str) -> int:
-    return int(np.datetime64(s, "D").astype(np.int32))
+    try:
+        return int(np.datetime64(s, "D").astype(np.int32))
+    except ValueError:
+        # non-padded components ('1999-5-01') are valid SQL date literals;
+        # numpy insists on ISO padding, so normalize y-m-d by hand
+        y, m, d = (int(p) for p in s.strip().split("-"))
+        return int(np.datetime64(f"{y:04d}-{m:02d}-{d:02d}", "D").astype(np.int32))
