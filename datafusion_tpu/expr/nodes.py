@@ -224,6 +224,15 @@ class ScalarFunction(Expr):
 
 
 @_d
+class Lambda(Expr):
+    """`x -> body` / `(x, i) -> body` argument of a higher-order nested
+    function (reference: lambda Expr variant + functions-nested
+    array_transform/filter/any_match)."""
+    params: Tuple[str, ...]
+    body: Expr
+
+
+@_d
 class AggregateFunction(Expr):
     fname: str  # lowercase: count, sum, avg, min, max, ...
     args: Tuple[Expr, ...]
@@ -338,6 +347,9 @@ def _display(e: Expr) -> str:
         return f"{e.fname}({d}{inner})"
     if isinstance(e, ScalarFunction):
         return f"{e.fname}({', '.join(_display(a) for a in e.args)})"
+    if isinstance(e, Lambda):
+        ps = e.params[0] if len(e.params) == 1 else "(" + ", ".join(e.params) + ")"
+        return f"{ps} -> {_display(e.body)}"
     if isinstance(e, WindowFunction):
         args = ", ".join(_display(a) for a in e.args)
         pb = " PARTITION BY " + ", ".join(_display(p) for p in e.partition_by) if e.partition_by else ""
@@ -447,13 +459,19 @@ def map_expr(e: Expr, fn) -> Expr:
 
 
 def collect_columns(e: Expr) -> set:
+    """Free column references (lambda parameters are bound, not free)."""
     out = set()
 
-    def visit(x: Expr):
+    def visit(x: Expr, bound=frozenset()):
         if isinstance(x, Column):
-            out.add(x)
+            if not (x.qualifier is None and x.cname in bound):
+                out.add(x)
+            return
+        if isinstance(x, Lambda):
+            visit(x.body, bound | frozenset(x.params))
+            return
         for c in x.children():
-            visit(c)
+            visit(c, bound)
 
     visit(e)
     return out

@@ -406,11 +406,12 @@ def join_match_counts(
     prev_diff = jnp.concatenate([
         jnp.ones(1, jnp.bool_),
         (sbkey[1:] != sbkey[:-1]) | (sbdead[1:] != sbdead[:-1])])
-    start = jax.lax.associative_scan(jnp.maximum,
-                                     jnp.where(prev_diff, bidx, 0))
+    # lax.cummax/cummin are single HLO ops; a generic associative_scan
+    # unrolls into a log-depth slice/concat graph that doubles the whole
+    # phase's TPU compile time (measured 219s -> 114s at 10M rows)
+    start = jax.lax.cummax(jnp.where(prev_diff, bidx, 0), axis=0)
     is_end = jnp.concatenate([prev_diff[1:], jnp.ones(1, jnp.bool_)])
-    end = jnp.flip(jax.lax.associative_scan(
-        jnp.minimum, jnp.flip(jnp.where(is_end, bidx, nb - 1))))
+    end = jax.lax.cummin(jnp.where(is_end, bidx, nb - 1), axis=0, reverse=True)
     runlen = end - start + 1
     # matched iff the build slot just below hi carries exactly the probe key
     k = jnp.clip(hi - 1, 0, max(nb - 1, 0))
@@ -448,7 +449,7 @@ def join_expand(
     p1 = jnp.arange(1, cnt.shape[0] + 1, dtype=jnp.int64)
     tgt = jnp.where(cnt > 0, offsets, out_capacity)
     seed = jnp.zeros(out_capacity, jnp.int64).at[tgt].max(p1, mode="drop")
-    probe_row = jax.lax.associative_scan(jnp.maximum, seed) - 1
+    probe_row = jax.lax.cummax(seed, axis=0) - 1
     probe_row = jnp.clip(probe_row, 0, cnt.shape[0] - 1)
     match_idx = (j - offsets[probe_row]).astype(jnp.int32)
     out_valid = j < total

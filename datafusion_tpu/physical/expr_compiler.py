@@ -422,6 +422,11 @@ def eval_expr(e: E.Expr, rel: DeviceRelation) -> DeviceColumn:
     if isinstance(e, E.Case):
         return _eval_case(e, rel)
     if isinstance(e, E.ScalarFunction):
+        if any(isinstance(a, E.Lambda) for a in e.args):
+            from . import nested
+
+            out_t, _ = infer(e, schema)
+            return nested.eval_lambda_function(e.fname, e.args, rel, out_t)
         args = [eval_expr(a, rel) for a in e.args]
         from ..expr.udf import active_registry, eval_scalar_udf
 

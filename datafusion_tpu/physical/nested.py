@@ -17,8 +17,15 @@ into the same fused query programs as scalar expressions:
   string_to_array     host-side split of the (static) dictionary, device
                       gather by code -- zero string work on device
 
+Lambda higher-order functions (array_transform/array_filter/
+array_any_match/array_all_match; reference: functions-nested lambda fns)
+evaluate the lambda body over the FLATTENED [capacity*width] element axis as
+an ordinary vectorized expression -- outer-column captures broadcast by
+jnp.repeat -- then reshape back; array_filter compacts per row by a stable
+within-row argsort on the keep mask.
+
 Out of scope (documented): nested list-of-list (flatten/array_ndims beyond
-depth 1), map/struct types, lambda higher-order functions.
+depth 1), map/struct types.
 """
 from __future__ import annotations
 
@@ -60,7 +67,16 @@ NESTED_FNS = {
     "array_any_value", "array_max", "array_min", "array_sum", "array_mean",
     "range", "generate_series",
     "string_to_array", "string_to_list", "split_part_list",
+    "array_transform", "list_transform", "array_map",
+    "array_filter", "list_filter",
+    "array_any_match", "any_match", "list_any_match",
+    "array_all_match", "all_match", "list_all_match",
 }
+
+# higher-order functions: arg1 is a Lambda, evaluated by
+# eval_lambda_function (not through the column-args path)
+LAMBDA_FNS = {"array_transform", "array_filter",
+              "array_any_match", "array_all_match"}
 
 _CANON = {
     "make_list": "make_array", "array": "make_array", "list": "make_array",
@@ -78,6 +94,10 @@ _CANON = {
     "array_cat": "array_concat", "list_concat": "array_concat",
     "list_cat": "array_concat",
     "list_slice": "array_slice",
+    "list_transform": "array_transform", "array_map": "array_transform",
+    "list_filter": "array_filter",
+    "any_match": "array_any_match", "list_any_match": "array_any_match",
+    "all_match": "array_all_match", "list_all_match": "array_all_match",
     "list_reverse": "array_reverse",
     "list_distinct": "array_distinct",
     "list_sort": "array_sort",
@@ -99,10 +119,34 @@ def canon(fname: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+def _lambda_body_schema(lam: E.Lambda, elem: T.DataType, schema):
+    """Schema for typing/evaluating a lambda body: (value, index) params
+    shadow, outer columns remain visible (captures)."""
+    from ..common.schema import Field, Schema
+
+    fields = [Field(lam.params[0], elem, nullable=True)]
+    if len(lam.params) > 1:
+        fields.append(Field(lam.params[1], T.INT64, nullable=False))
+    return Schema(fields + [fld for fld in schema.fields
+                            if fld.name not in lam.params])
+
+
 def nested_function_type(e: E.ScalarFunction, schema) -> Tuple[T.DataType, bool]:
     from ..expr.typing import infer
 
     f = canon(e.fname)
+    if f in LAMBDA_FNS:
+        lt, ln = infer(e.args[0], schema)
+        _need_list(lt, f)
+        lam = e.args[1]
+        if not isinstance(lam, E.Lambda):
+            raise PlanError(f"{e.fname} expects a lambda as 2nd argument")
+        if f in ("array_any_match", "array_all_match"):
+            return T.BOOL, True
+        if f == "array_filter":
+            return lt, ln
+        body_t, _ = infer(lam.body, _lambda_body_schema(lam, lt.elem, schema))
+        return T.list_of(body_t), ln
     argt = [infer(a, schema) for a in e.args]
     nullable = any(n for _, n in argt)
     if f == "make_array":
@@ -622,3 +666,85 @@ def _string_to_array(col: DeviceColumn, arg_exprs, out_dtype: T.DataType,
     lengths = jnp.asarray(lens)[codes]
     ev = _iota(cap, w) < lengths[:, None]
     return DeviceColumn(data, col.validity, out_dtype, d, None, lengths, ev)
+
+
+# ---------------------------------------------------------------------------
+# lambda higher-order functions
+# ---------------------------------------------------------------------------
+
+
+def eval_lambda_function(fname: str, arg_exprs, rel, out_dtype: T.DataType
+                         ) -> DeviceColumn:
+    """array_transform / array_filter / array_any_match / array_all_match
+    (reference: functions-nested lambda functions). The lambda body runs as a
+    plain vectorized expression over the flattened [capacity*width] element
+    axis; outer columns are visible as captures (broadcast per element)."""
+    from ..common.schema import Field, Schema
+    from ..data.device import DeviceRelation
+    from .expr_compiler import cast_column, eval_expr
+
+    f = canon(fname)
+    lam = arg_exprs[1]
+    if not isinstance(lam, E.Lambda):
+        raise PlanError(f"{fname} expects a lambda as 2nd argument")
+    col = eval_expr(arg_exprs[0], rel)
+    _need_list(col.dtype, f)
+    cap, w = col.capacity, col.width
+    elem = col.dtype.elem
+
+    flat = col.data.reshape(cap * w)
+    # `present`: the slot exists (within the list length); `value_ok`: it
+    # exists AND holds a non-NULL value. A present-but-NULL element must
+    # reach the body as NULL (not vanish) for 3VL any/all to see it.
+    present = (_iota(cap, w) < col.list_lengths()[:, None]).reshape(cap * w)
+    value_ok = col.slot_valid().reshape(cap * w) & present
+    fields = [Field(lam.params[0], elem, nullable=True)]
+    cols = [DeviceColumn(flat, value_ok, elem, col.dictionary)]
+    if len(lam.params) > 1:  # (value, index): 1-based element index
+        fields.append(Field(lam.params[1], T.INT64, nullable=False))
+        cols.append(DeviceColumn(
+            jnp.tile(jnp.arange(1, w + 1, dtype=jnp.int64), cap), None, T.INT64))
+    for fld, c in zip(rel.schema.fields, rel.columns):
+        if fld.name in lam.params:
+            continue  # shadowed capture
+        fields.append(fld)
+        cols.append(DeviceColumn(
+            jnp.repeat(c.data, w, axis=0),
+            jnp.repeat(c.validity, w) if c.validity is not None else None,
+            c.dtype, c.dictionary, c.bounds,
+            jnp.repeat(c.lengths, w) if c.lengths is not None else None,
+            jnp.repeat(c.elem_valid, w, axis=0) if c.elem_valid is not None else None))
+    synth = DeviceRelation(Schema(fields), cols,
+                           jnp.repeat(rel.sel, w) & present)
+    body = eval_expr(lam.body, synth)
+
+    lengths = col.list_lengths()
+    if f == "array_transform":
+        out_elem = out_dtype.elem
+        b = body if body.dtype == out_elem else cast_column(body, out_elem,
+                                                            cap * w)
+        ev = (b.valid() & present).reshape(cap, w)
+        return DeviceColumn(b.data.reshape((cap, w) + b.data.shape[1:]),
+                            col.validity, out_dtype, b.dictionary, None,
+                            lengths, ev)
+    mask2 = (body.data & body.valid() & present).reshape(cap, w)
+    if f == "array_filter":
+        order = jnp.argsort(~mask2, axis=1, stable=True)
+        data = jnp.take_along_axis(col.data, order, axis=1)
+        new_len = jnp.sum(mask2, axis=1, dtype=jnp.int32)
+        ev = _iota(cap, w) < new_len[:, None]
+        return DeviceColumn(data, col.validity, out_dtype, col.dictionary,
+                            None, new_len, ev)
+    # any/all with SQL 3VL: a NULL body over a present slot makes the
+    # reduction NULL unless decided by a TRUE (any) / FALSE (all)
+    null2 = (~body.valid() & present).reshape(cap, w)
+    any_null = jnp.any(null2, axis=1)
+    if f == "array_any_match":
+        any_true = jnp.any(mask2, axis=1)
+        validity = col.valid() & (any_true | ~any_null)
+        return DeviceColumn(any_true, validity, T.BOOL)
+    false2 = ((~body.data) & body.valid() & present).reshape(cap, w)
+    any_false = jnp.any(false2, axis=1)
+    all_true = ~any_false & ~any_null
+    validity = col.valid() & (any_false | ~any_null)
+    return DeviceColumn(all_true, validity, T.BOOL)

@@ -33,7 +33,7 @@ class Token:
         return f"{self.kind}:{self.value}"
 
 
-_TWO_CHAR_OPS = {"<>", "!=", ">=", "<=", "||", "::"}
+_TWO_CHAR_OPS = {"<>", "!=", ">=", "<=", "||", "::", "->"}
 _ONE_CHAR_OPS = set("+-*/%(),.;=<>[]")
 
 

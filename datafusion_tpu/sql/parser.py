@@ -796,6 +796,51 @@ class Parser:
     _WINDOW_FNS = {"row_number", "rank", "dense_rank", "percent_rank",
                    "cume_dist", "ntile", "lead", "lag", "nth_value"}
 
+    def _arg_expr(self) -> E.Expr:
+        """Function argument: a lambda `x -> body` / `(x, i) -> body` or a
+        plain expression (reference: Expr::Lambda for higher-order nested
+        functions, expr/src/expr.rs lambda variant)."""
+        t = self.peek()
+        if t.kind == "ident" and self.peek(1).kind == "op" \
+                and self.peek(1).value == "->":
+            p = self.ident()
+            self.next()  # ->
+            return E.Lambda((p,), self.expr())
+        if t.kind == "op" and t.value == "(" and self.peek(1).kind == "ident":
+            # lookahead for "(a, b) ->"
+            save = self.i
+            self.next()
+            params = [self.peek().value]
+            j = 1
+            ok = True
+            while True:
+                nxt = self.peek(j)
+                if nxt.kind == "op" and nxt.value == ",":
+                    pn = self.peek(j + 1)
+                    if pn.kind != "ident":
+                        ok = False
+                        break
+                    params.append(pn.value)
+                    j += 2
+                elif nxt.kind == "op" and nxt.value == ")":
+                    after = self.peek(j + 1)
+                    ok = after.kind == "op" and after.value == "->"
+                    break
+                else:
+                    ok = False
+                    break
+            self.i = save
+            if ok:
+                self.next()  # (
+                for k in range(len(params)):
+                    self.ident()
+                    if k < len(params) - 1:
+                        self.expect_op(",")
+                self.expect_op(")")
+                self.next()  # ->
+                return E.Lambda(tuple(params), self.expr())
+        return self.expr()
+
     def _function_call(self, name: str) -> E.Expr:
         fname = name.lower()
         self.expect_op("(")
@@ -806,9 +851,9 @@ class Parser:
             self.next()
             star = True
         elif not self.at("op", ")"):
-            args.append(self.expr())
+            args.append(self._arg_expr())
             while self.eat_op(","):
-                args.append(self.expr())
+                args.append(self._arg_expr())
         self.expect_op(")")
 
         # FILTER (WHERE pred) -- aggregate filter clause (reference:

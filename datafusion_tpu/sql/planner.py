@@ -752,9 +752,16 @@ class SqlPlanner:
         """Resolve columns against schema (then outer scopes) and plan
         subquery expressions."""
 
-        def rec(x: E.Expr) -> E.Expr:
+        def rec(x: E.Expr, bound=frozenset()) -> E.Expr:
             if isinstance(x, E.Column):
+                if x.qualifier is None and x.cname in bound:
+                    return x  # lambda parameter: bound, not a scope column
                 return self._resolve_column(x, schema)
+            if isinstance(x, E.Lambda):
+                import dataclasses
+
+                return dataclasses.replace(
+                    x, body=rec(x.body, bound | frozenset(x.params)))
             if isinstance(x, E.ScalarFunction):
                 # a registered UDAF name parses as a generic function call;
                 # promote it here so aggregate extraction sees it (reference:
@@ -764,7 +771,7 @@ class SqlPlanner:
 
                 if active_registry().aggregate(x.fname) is not None:
                     return E.AggregateFunction(
-                        x.fname, tuple(rec(a) for a in x.args), False)
+                        x.fname, tuple(rec(a, bound) for a in x.args), False)
             if isinstance(x, A.SqlScalarSubquery):
                 sub = self._plan_subquery(x.query, schema)
                 return E.ScalarSubquery(sub)
@@ -773,7 +780,7 @@ class SqlPlanner:
                 return E.Exists(sub, x.negated)
             if isinstance(x, A.SqlInSubquery):
                 sub = self._plan_subquery(x.query, schema)
-                return E.InSubquery(rec(x.expr), sub, x.negated)
+                return E.InSubquery(rec(x.expr, bound), sub, x.negated)
             # descend
             import dataclasses
 
@@ -783,17 +790,17 @@ class SqlPlanner:
             for f in dataclasses.fields(x):
                 v = getattr(x, f.name)
                 if isinstance(v, E.Expr):
-                    changes[f.name] = rec(v)
+                    changes[f.name] = rec(v, bound)
                 elif isinstance(v, tuple):
                     new = []
                     dirty = False
                     for i in v:
                         if isinstance(i, E.Expr):
-                            ni = rec(i)
+                            ni = rec(i, bound)
                             dirty = dirty or (ni is not i)
                             new.append(ni)
                         elif isinstance(i, tuple):
-                            ni = tuple(rec(j) if isinstance(j, E.Expr) else j for j in i)
+                            ni = tuple(rec(j, bound) if isinstance(j, E.Expr) else j for j in i)
                             dirty = True
                             new.append(ni)
                         else:

@@ -207,3 +207,67 @@ def test_array_agg_global_and_roundtrip():
     # empty input -> NULL (Postgres/reference semantics)
     assert c.sql("SELECT array_agg(v) e FROM g WHERE k > 99").collect().to_pydict() == {"e": [None]}
     assert c.sql("SELECT sum(u) su FROM (SELECT unnest(array_agg(v)) u FROM g)").collect().to_pydict() == {"su": [60]}
+
+
+# ---------------------------------------------------------------------------
+# lambda higher-order functions (reference: functions-nested lambda fns)
+# ---------------------------------------------------------------------------
+
+
+class TestLambdaFunctions:
+    def _q(self, ctx, sql):
+        return ctx.sql(sql).collect().to_pydict()
+
+    def test_transform(self, ctx):
+        r = self._q(ctx, "SELECT array_transform(make_array(1,2,3), x -> x * 2) a")
+        assert r["a"] == [[2, 4, 6]]
+
+    def test_transform_index_param(self, ctx):
+        r = self._q(ctx, "SELECT array_transform(make_array(10,20), (x, i) -> x + i) a")
+        assert r["a"] == [[11, 22]]
+
+    def test_transform_capture(self, ctx):
+        ctx.register_table("lam_t", {"id": [1, 2], "m": [5, 10]})
+        r = self._q(ctx, "SELECT array_transform(make_array(1,2), x -> x * m) a "
+                         "FROM lam_t ORDER BY id")
+        assert r["a"] == [[5, 10], [10, 20]]
+
+    def test_transform_string(self, ctx):
+        r = self._q(ctx, "SELECT list_transform(string_to_array('a,b', ','), "
+                         "s -> upper(s)) a")
+        assert r["a"] == [["A", "B"]]
+
+    def test_filter(self, ctx):
+        r = self._q(ctx, "SELECT array_filter(make_array(1,2,3,4), x -> x % 2 = 0) a")
+        assert r["a"] == [[2, 4]]
+
+    def test_filter_strings(self, ctx):
+        r = self._q(ctx, "SELECT array_filter(make_array('aa','b','cc'), "
+                         "s -> length(s) = 2) a")
+        assert r["a"] == [["aa", "cc"]]
+
+    def test_any_all_match(self, ctx):
+        r = self._q(ctx, "SELECT array_any_match(make_array(1,2,3), x -> x > 2) a, "
+                         "array_all_match(make_array(1,2,3), x -> x > 0) b, "
+                         "array_any_match(make_array(1,2), x -> x > 5) c, "
+                         "array_all_match(make_array(1,2), x -> x > 1) d")
+        assert (r["a"], r["b"], r["c"], r["d"]) == ([True], [True], [False], [False])
+
+    def test_lambda_param_shadows_column(self, ctx):
+        ctx.register_table("lam_s", {"x": [100], "arr_src": [1]})
+        r = self._q(ctx, "SELECT array_transform(make_array(1,2), x -> x + 1) a "
+                         "FROM lam_s")
+        assert r["a"] == [[2, 3]]
+
+    def test_lambda_null_3vl(self, ctx):
+        r = self._q(ctx, "SELECT array_any_match(make_array(1, NULL), x -> x > 5) a, "
+                         "array_any_match(make_array(1, NULL), x -> x > 0) b, "
+                         "array_all_match(make_array(1, NULL), x -> x > 0) c, "
+                         "array_all_match(make_array(1, NULL), x -> x > 5) d")
+        assert (r["a"], r["b"], r["c"], r["d"]) == ([None], [True], [None], [False])
+
+    def test_lambda_null_elements(self, ctx):
+        r = self._q(ctx, "SELECT array_transform(make_array(1, NULL, 3), x -> x + 1) a, "
+                         "array_filter(make_array(1, NULL, 3), x -> x > 0) b")
+        assert r["a"] == [[2, None, 4]]
+        assert r["b"] == [[1, 3]]
