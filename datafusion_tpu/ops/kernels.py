@@ -362,63 +362,28 @@ def join_match_counts(
     probe_ids: jax.Array,
     probe_live: jax.Array,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Phase 1 of the equi-join in ONE co-sort.
+    """Phase 1 of the equi-join: sort build side by id, binary-search probes.
 
-    Both sides sort together on (dead, key, side) — build rows before probe
-    rows on key ties, dead rows last regardless of key (liveness as a leading
-    sort key, never an in-band sentinel, so the full int64 domain stays
-    usable). From that single sorted sequence:
-
-      build_rank  = prefix count of build elements  -> scatter recovers the
-                    sorted-build permutation and its key array
-      hi[p]       = prefix count at probe p's slot  = #build keys <= key[p]
-      runlen      = equal-key run lengths on the sorted build (two scans)
-      cnt[p]      = runlen at hi-1 if that key matches, else 0;  lo = hi-cnt
-
-    Replaces the previous build-sort + two merge-rank sorts (3 large sorts)
-    with one sort plus linear scans/scatters — the sorts dominate join cost
-    on TPU (reference contrast: JoinHashMap chained-hash build + row-at-a-time
-    probe, joins/join_hash_map.rs:144).
-    Returns (sorted_build_perm, lo, cnt, total); total = sum(cnt), traced.
+    ids are int64 spanning the FULL domain; dead/null rows are excluded via
+    the live masks carried as leading sort keys (not in-band sentinels, which
+    would silently drop matches for keys colliding with the sentinel value).
+    Returns (sorted_build_perm, lo, cnt, total):
+      sorted_build_perm: row index into build relation, sorted by id (dead last)
+      lo[i]:   first position in sorted build matching probe row i
+      cnt[i]:  number of matches for probe row i (0 for dead/null probes)
+      total:   sum(cnt) (traced scalar)
     """
     nb = build_ids.shape[0]
-    npr = probe_ids.shape[0]
-    keys = jnp.concatenate([build_ids.astype(jnp.int64),
-                            probe_ids.astype(jnp.int64)])
-    dead = jnp.concatenate([~build_live, ~probe_live]).astype(jnp.int32)
-    side = jnp.concatenate([jnp.zeros(nb, jnp.int32), jnp.ones(npr, jnp.int32)])
-    iota = jnp.arange(nb + npr, dtype=jnp.int32)
-    sdead, skey, _, sperm = jax.lax.sort([dead, keys, side, iota],
-                                         dimension=0, is_stable=True,
-                                         num_keys=3)
-    is_b = sperm < nb
-    before_b = jnp.cumsum(is_b.astype(jnp.int32)) - is_b  # builds strictly before
-    # sorted-build permutation/keys/deadness via scatter to build_rank slots
-    brank = jnp.where(is_b, before_b, nb)
-    perm = jnp.zeros(nb, jnp.int32).at[brank].set(sperm, mode="drop")
-    sbkey = jnp.zeros(nb, jnp.int64).at[brank].set(skey, mode="drop")
-    sbdead = jnp.ones(nb, jnp.int32).at[brank].set(sdead, mode="drop")
-    # per-probe hi = #build keys <= probe key (builds sort before equal probes)
-    qidx = jnp.where(is_b, nb + npr, sperm - nb)
-    hi = jnp.zeros(npr, jnp.int32).at[qidx].set(before_b, mode="drop")
-    # equal-key run lengths on the sorted build (dead/live change = boundary)
-    bidx = jnp.arange(nb, dtype=jnp.int32)
-    prev_diff = jnp.concatenate([
-        jnp.ones(1, jnp.bool_),
-        (sbkey[1:] != sbkey[:-1]) | (sbdead[1:] != sbdead[:-1])])
-    # lax.cummax/cummin are single HLO ops; a generic associative_scan
-    # unrolls into a log-depth slice/concat graph that doubles the whole
-    # phase's TPU compile time (measured 219s -> 114s at 10M rows)
-    start = jax.lax.cummax(jnp.where(prev_diff, bidx, 0), axis=0)
-    is_end = jnp.concatenate([prev_diff[1:], jnp.ones(1, jnp.bool_)])
-    end = jax.lax.cummin(jnp.where(is_end, bidx, nb - 1), axis=0, reverse=True)
-    runlen = end - start + 1
-    # matched iff the build slot just below hi carries exactly the probe key
-    k = jnp.clip(hi - 1, 0, max(nb - 1, 0))
+    bdead = ~build_live
+    iota = jnp.arange(nb, dtype=jnp.int32)
+    sbdead, sbkey, perm = jax.lax.sort(
+        [bdead.astype(jnp.int32), build_ids.astype(jnp.int64), iota],
+        dimension=0, is_stable=True, num_keys=2)
+    pdead = ~probe_live
     pid = probe_ids.astype(jnp.int64)
-    matched = probe_live & (hi > 0) & (sbkey[k] == pid) & (sbdead[k] == 0)
-    cnt = jnp.where(matched, runlen[k], 0).astype(jnp.int32)
-    lo = (hi - cnt).astype(jnp.int32)
+    lo = ranks_in_sorted(sbkey, pid, "left", a_dead=sbdead > 0, q_dead=pdead)
+    hi = ranks_in_sorted(sbkey, pid, "right", a_dead=sbdead > 0, q_dead=pdead)
+    cnt = jnp.where(probe_live, hi - lo, 0).astype(jnp.int32)
     total = jnp.sum(cnt.astype(jnp.int64))
     return perm, lo, cnt, total
 
@@ -442,14 +407,7 @@ def join_expand(
     offsets = jnp.cumsum(cnt.astype(jnp.int64)) - cnt.astype(jnp.int64)
     total = offsets[-1] + cnt[-1].astype(jnp.int64) if cnt.shape[0] else jnp.int64(0)
     j = jnp.arange(out_capacity, dtype=jnp.int64)
-    # probe_row[j] = max{p : cnt[p] > 0, offsets[p] <= j}: scatter p+1 at each
-    # non-empty probe's offset (offsets are unique there) and forward-fill
-    # with a running max — linear, replacing a merge-rank sort over
-    # (num_probes + out_capacity) rows
-    p1 = jnp.arange(1, cnt.shape[0] + 1, dtype=jnp.int64)
-    tgt = jnp.where(cnt > 0, offsets, out_capacity)
-    seed = jnp.zeros(out_capacity, jnp.int64).at[tgt].max(p1, mode="drop")
-    probe_row = jax.lax.cummax(seed, axis=0) - 1
+    probe_row = ranks_in_sorted(offsets, j, "right") - 1
     probe_row = jnp.clip(probe_row, 0, cnt.shape[0] - 1)
     match_idx = (j - offsets[probe_row]).astype(jnp.int32)
     out_valid = j < total

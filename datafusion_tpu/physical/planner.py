@@ -215,8 +215,29 @@ def _cross_join(left: P.PhysicalPlan, right: P.PhysicalPlan, plan: L.Join) -> P.
     joins/piecewise_merge_join/exec.rs)."""
     jt = plan.join_type if plan.join_type is not L.JoinType.CROSS else L.JoinType.INNER
     range_on, residual = _extract_range_predicate(plan)
-    if range_on is not None:
+    if range_on is not None and not (_single_row(plan.left) or
+                                     _single_row(plan.right)):
         return P.JoinExec(left, right, [], jt, residual, plan.schema,
                           range_on=range_on)
     one = E.lit(1)
     return P.JoinExec(left, right, [(one, one)], jt, plan.filter, plan.schema)
+
+
+def _single_row(p: L.LogicalPlan) -> bool:
+    """Provably exactly-one-row input (ungrouped aggregate / 1-row VALUES):
+    a constant-key join + residual filter beats the piecewise merge phase
+    there — the sort-based range machinery is pure overhead against one row
+    (and the reference keeps PiecewiseMergeJoin off by default,
+    config.rs enable_piecewise_merge_join). TPC-H q11's HAVING-vs-scalar
+    comparison is the canonical case."""
+    while isinstance(p, (L.Projection, L.SubqueryAlias)):
+        p = p.input
+    if isinstance(p, L.Aggregate):
+        return len(p.group_exprs) == 0
+    if isinstance(p, L.Values):
+        return len(p.rows) == 1
+    if isinstance(p, L.EmptyRelation):
+        return bool(getattr(p, "produce_one_row", False))
+    if isinstance(p, L.Limit):
+        return p.fetch is not None and p.fetch <= 1
+    return False
