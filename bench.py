@@ -63,6 +63,12 @@ def main():
                          "(the remote compile helper contends with execution)")
     ap.add_argument("--suite", choices=["tpch", "clickbench", "h2o"],
                     default="tpch")
+    ap.add_argument("--parquet", type=str, default="",
+                    help="TPC-H from a parquet directory (written on first "
+                         "use) through the native parquet scan path")
+    ap.add_argument("--cold", action="store_true",
+                    help="drop scan caches between repeats: timed runs pay "
+                         "parquet scan + decode + device upload")
     ap.add_argument("--rows", type=int, default=1_000_000,
                     help="clickbench/h2o: synthetic row count")
     args = ap.parse_args()
@@ -87,23 +93,62 @@ def main():
 
     qids = [int(x) for x in args.queries.split(",") if x] or ALL_QUERY_IDS
 
-    t0 = time.time()
-    tables = generate_tpch(args.sf)
-    gen_s = time.time() - t0
-    ctx = SessionContext()
-    for name, t in tables.items():
-        ctx.register_table(name, t)
-    if args.verbose:
-        print(f"# generated sf={args.sf} in {gen_s:.1f}s "
-              f"(lineitem={tables['lineitem'].num_rows} rows), backend={jax.devices()[0].platform}",
-              file=sys.stderr)
+    providers = {}
+    if args.parquet:
+        # parquet-directory run (the reference's default TPC-H config,
+        # benchmarks/README.md:189-210): data lives in <dir>/<table>.parquet
+        # and is scanned through the native parquet path. With --cold the
+        # host/device caches are dropped between repeats so every timed run
+        # pays scan + decode + upload.
+        import os
 
-    pdt_cache = {}
+        from datafusion_tpu.catalog.catalog import ParquetTable
 
-    def pdt_factory():
-        if not pdt_cache:
-            pdt_cache.update({name: t.to_pandas() for name, t in tables.items()})
-        return pdt_cache
+        os.makedirs(args.parquet, exist_ok=True)
+        names = ["lineitem", "orders", "customer", "part", "partsupp",
+                 "supplier", "nation", "region"]
+        missing = [n for n in names
+                   if not os.path.exists(os.path.join(args.parquet, f"{n}.parquet"))]
+        t0 = time.time()
+        if missing:
+            gen = generate_tpch(args.sf)
+            for n in missing:
+                gen[n].write_parquet(os.path.join(args.parquet, f"{n}.parquet"))
+        ctx = SessionContext()
+        for n in names:
+            providers[n] = ParquetTable(os.path.join(args.parquet, f"{n}.parquet"))
+            ctx.register_table(n, providers[n])
+        gen_s = time.time() - t0
+        if args.verbose:
+            print(f"# parquet dir {args.parquet} ready in {gen_s:.1f}s "
+                  f"(wrote {len(missing)} tables), backend={jax.devices()[0].platform}",
+                  file=sys.stderr)
+
+        def pdt_factory():
+            return {n: providers[n].host_table().to_pandas() for n in names}
+    else:
+        t0 = time.time()
+        tables = generate_tpch(args.sf)
+        gen_s = time.time() - t0
+        ctx = SessionContext()
+        for name, t in tables.items():
+            ctx.register_table(name, t)
+        if args.verbose:
+            print(f"# generated sf={args.sf} in {gen_s:.1f}s "
+                  f"(lineitem={tables['lineitem'].num_rows} rows), backend={jax.devices()[0].platform}",
+                  file=sys.stderr)
+
+        pdt_cache = {}
+
+        def pdt_factory():
+            if not pdt_cache:
+                pdt_cache.update({name: t.to_pandas() for name, t in tables.items()})
+            return pdt_cache
+
+    def drop_scan_caches():
+        for p in providers.values():
+            p._device.clear()
+            p._table = None
 
     per_query_ms = {}
     failed = {}
@@ -126,6 +171,8 @@ def main():
             time.sleep(min(args.settle * compile_s, 30.0))
         times = []
         for _ in range(args.repeat):
+            if args.cold:
+                drop_scan_caches()
             t0 = time.perf_counter()
             rel = phys.execute(ectx)
             jax.block_until_ready(rel.sel)

@@ -246,10 +246,28 @@ class ParquetTable(TableProvider):
             self._table = Table.from_arrow(self._ds.read())
         return self._table
 
-    def statistics(self) -> Dict:
-        stats = {"num_rows": self._ds.num_rows()}
-        stats["columns"] = self._ds.column_stats()
-        return stats
+    def statistics(self):
+        """Footer-derived Statistics (no data read) in the cost model's
+        shape (reference: ListingTable statistics collection,
+        catalog-listing/src/table.rs; Statistics common/src/stats.rs:368)."""
+        cached = getattr(self, "_stats", None)
+        if cached is None:
+            from ..common.stats import ColumnStatistics, Statistics
+            from ..common.stats import _ordinal
+
+            rows = float(self._ds.num_rows())
+            cols = {}
+            for name, s in self._ds.column_stats().items():
+                lo, hi = _ordinal(s.lo), _ordinal(s.hi)
+                ndv = None
+                if lo is not None and hi is not None:
+                    # near-dense key heuristic shared with table_statistics
+                    ndv = max(1.0, min(hi - lo + 1.0, rows))
+                cols[name] = ColumnStatistics(float(s.null_count or 0),
+                                              lo, hi, ndv)
+            cached = Statistics(rows, cols)
+            self._stats = cached
+        return cached
 
     def scan_device(self, ctx, filters=(), projection=None) -> DeviceRelation:
         use_bloom = bool(ctx.opt("execution.parquet_bloom_pruning", True)) \
