@@ -78,6 +78,11 @@ _opt("execution.chunk_rows", 1 << 21,
      "padded to the enclosing power of two).")
 _opt("execution.collect_metrics", True,
      "Record per-operator elapsed/memory metrics (EXPLAIN ANALYZE).")
+_opt("execution.approx_distinct_hll", False,
+     "Distributed approx_distinct via a HyperLogLog register plane "
+     "(4096 registers, ~1.6% error): shards merge sketches with one pmax "
+     "collective instead of exchanging every distinct value (reference: "
+     "approx_distinct.rs HyperLogLog accumulator). Off = exact everywhere.")
 _opt("execution.parquet_bloom_pruning", True,
      "Prune parquet row groups via split-block bloom filters for equality "
      "and IN-list predicates (footer parsed natively; pyarrow does not "

@@ -278,17 +278,35 @@ def finalize(sp: StatePlan, merged: Sequence[DeviceColumn],
 # ---------------------------------------------------------------------------
 
 def dense_partial_final(p, rel: DeviceRelation, axis: str, sizes,
-                        ngroups: int) -> Optional[DeviceRelation]:
+                        ngroups: int, options=None) -> Optional[DeviceRelation]:
     """Small-domain keys: local dense partial states + psum/pmin/pmax merge
-    (PartialReduce). Returns a REPLICATED relation, or None if not
-    decomposable."""
+    (PartialReduce). approx_distinct joins the split as a HyperLogLog
+    register plane merged by pmax when execution.approx_distinct_hll is on
+    (reference: approx_distinct.rs HLL accumulator merge_batch). Returns a
+    REPLICATED relation, or None if not decomposable."""
     from ..physical.expr_compiler import eval_expr
 
     group_cols = [eval_expr(g, rel) for g in p.group_exprs]
     _, arg_cols, filter_cols, specs = p._prepare(rel)
-    if not decomposable(specs):
-        return None
-    sp = build_state_plan(specs, arg_cols)
+    hll_pos = [i for i, s in enumerate(specs)
+               if s.fname == "approx_distinct" and not s.distinct
+               and s.arg is not None]
+    hll_on = bool((options or {}).get("execution.approx_distinct_hll", False))
+    if hll_pos:
+        from ..ops import hll
+
+        # plane budget: G * 4096 registers * 4B per sketch
+        if (not hll_on or not decomposable(
+                [s for i, s in enumerate(specs) if i not in hll_pos])
+                or ngroups * hll.M * 4 > (1 << 28)):
+            return None
+        specs_nh = [s for i, s in enumerate(specs) if i not in hll_pos]
+    else:
+        if not decomposable(specs):
+            return None
+        specs_nh = list(specs)
+    # spec.arg indexes into the FULL arg_cols list; pass it unfiltered
+    sp = build_state_plan(specs_nh, arg_cols)
     if "bitop" in sp.merge_kinds:
         return None  # no bitwise mesh collective; use the exchange path
     seg, strides = p.dense_seg(group_cols, rel.sel, sizes, ngroups)
@@ -319,6 +337,25 @@ def dense_partial_final(p, rel: DeviceRelation, axis: str, sizes,
     out_sel = total_count > 0
     out_keys = p.dense_keys(group_cols, sizes, strides, ngroups)
     out_aggs = finalize(sp, merged, out_sel)
+    if hll_pos:
+        from ..ops import hll
+
+        ests = {}
+        for i in hll_pos:
+            spec = specs[i]
+            col = arg_cols[i]
+            mask = rel.sel & col.valid()
+            if spec.filter is not None:
+                mask = mask & filter_cols[spec.filter]
+            h, _ = hll.hashes_for_column(col)
+            regs = hll.build_registers(h, seg, mask, ngroups)
+            regs = jax.lax.pmax(regs, axis)  # sketch union = register max
+            ests[i] = DeviceColumn(hll.estimate(regs), None, T.INT64)
+        full = []
+        it = iter(out_aggs)
+        for i in range(len(specs)):
+            full.append(ests[i] if i in ests else next(it))
+        out_aggs = full
     # The psum-merged result is replicated on every shard, but the engine's
     # static distribution analysis (engine.dist_of) cannot see dense-ness, so
     # emit it PARTITIONED: shard i owns groups with id % n == i (round-robin
@@ -332,7 +369,7 @@ def dense_partial_final(p, rel: DeviceRelation, axis: str, sizes,
     return DeviceRelation(p.schema, tuple(cols), out_sel)
 
 
-def sorted_partial_final(p, rel: DeviceRelation, axis: str) -> Optional[DeviceRelation]:
+def sorted_partial_final(p, rel: DeviceRelation, axis: str, options=None) -> Optional[DeviceRelation]:
     """Arbitrary keys: local sorted partial states -> hash exchange of
     (keys, states) -> local merge reduce. Returns a PARTITIONED relation, or
     None if not decomposable / capacity undiscovered."""
@@ -340,15 +377,44 @@ def sorted_partial_final(p, rel: DeviceRelation, axis: str) -> Optional[DeviceRe
     if cap is None:
         return None
     group_cols, arg_cols, filter_cols, specs = p._prepare(rel)
-    if not decomposable(specs):
-        return None
-    sp = build_state_plan(specs, arg_cols)
+    hll_pos = [i for i, s in enumerate(specs)
+               if s.fname == "approx_distinct" and not s.distinct
+               and s.arg is not None]
+    hll_on = bool((options or {}).get("execution.approx_distinct_hll", False))
+    if hll_pos:
+        from ..ops import hll
 
-    # Partial: per-shard sorted aggregation into state columns
+        # register-plane budget: cap groups x M registers x 4B per sketch
+        if (not hll_on or cap * hll.M * 4 > (1 << 28) or not decomposable(
+                [s for i, s in enumerate(specs) if i not in hll_pos])):
+            return None
+        sp = build_state_plan(
+            [s for i, s in enumerate(specs) if i not in hll_pos], arg_cols)
+    else:
+        if not decomposable(specs):
+            return None
+        sp = build_state_plan(specs, arg_cols)
+
+    # Partial: per-shard sorted aggregation into state columns; HLL args
+    # ride the same sort so register building reuses this phase's segments
+    extra = [arg_cols[i] for i in hll_pos]
     sg, sa, sf, ssel, seg, is_start, _, _ = G.phase_sort(
-        group_cols, sp.state_args, filter_cols, rel.sel, None)
+        group_cols, list(sp.state_args) + extra, filter_cols, rel.sel, None)
+    sorted_extra = sa[len(sp.state_args):]
+    sa = sa[:len(sp.state_args)]
     out_keys, out_states, out_sel = G.phase_reduce(
         sg, sa, sf, ssel, seg, is_start, None, sp.state_specs, cap)
+    planes = []
+    if hll_pos:
+        from ..ops import hll
+
+        for i, col in zip(hll_pos, sorted_extra):
+            spec = specs[i]
+            mask = ssel & col.valid()
+            if spec.filter is not None:
+                mask = mask & sf[spec.filter]
+            h, _ = hll.hashes_for_column(col)
+            planes.append(hll.build_registers(h, seg, mask, cap))
 
     # Exchange partial (keys, states) rows by group-key hash; slot_cap = cap
     # is overflow-proof (a shard holds at most cap partial groups)
@@ -359,16 +425,36 @@ def sorted_partial_final(p, rel: DeviceRelation, axis: str) -> Optional[DeviceRe
             hs.append(k.validity)
     h = K.hash64(hs)
     leaves, treedef = jax.tree.flatten((tuple(out_keys), tuple(out_states)))
-    outs, new_sel, _dropped = exchange_by_key(leaves, h, out_sel, axis,
-                                              slot_cap=cap)
-    rkeys, rstates = jax.tree.unflatten(treedef, outs)
+    nleaves = len(leaves)
+    outs, new_sel, _dropped = exchange_by_key(leaves + planes, h, out_sel,
+                                              axis, slot_cap=cap)
+    rkeys, rstates = jax.tree.unflatten(treedef, outs[:nleaves])
+    rplanes = outs[nleaves:]
 
-    # Final: merge received states per group
+    # Final: merge received states per group (HLL planes ride the sort as
+    # 2-D payload rows, then union by a per-group scatter-max)
+    plane_cols = [DeviceColumn(pl, None, T.list_of(T.INT32)) for pl in rplanes]
     sg2, sa2, sf2, ssel2, seg2, is_start2, _, _ = G.phase_sort(
-        list(rkeys), list(rstates), [], new_sel, None)
+        list(rkeys), list(rstates) + plane_cols, [], new_sel, None)
+    sorted_planes = sa2[len(rstates):]
+    sa2 = sa2[:len(rstates)]
     mkeys, mstates, msel = G.phase_reduce(
         sg2, sa2, sf2, ssel2, seg2, is_start2, None, sp.merge_specs, cap)
     out_aggs = finalize(sp, mstates, msel)
+    if hll_pos:
+        from ..ops import hll
+
+        g = jnp.where(ssel2, seg2, cap)
+        ests = {}
+        for i, pc in zip(hll_pos, sorted_planes):
+            merged_regs = jnp.zeros((cap, hll.M), jnp.int32) \
+                .at[g].max(pc.data, mode="drop")
+            ests[i] = DeviceColumn(hll.estimate(merged_regs), None, T.INT64)
+        full = []
+        it = iter(out_aggs)
+        for i in range(len(specs)):
+            full.append(ests[i] if i in ests else next(it))
+        out_aggs = full
     cols = [p._coerce_out(c, f)
             for c, f in zip(list(mkeys) + out_aggs, p.schema.fields)]
     return DeviceRelation(p.schema, tuple(cols), msel)

@@ -108,10 +108,13 @@ def exchange_by_key(arrays: Sequence[jax.Array], key_hash: jax.Array,
 
     outs = []
     for a in arrays:
-        buf = jnp.zeros((n * slot_cap,), a.dtype).at[slot].set(a[order], mode="drop")
-        buf = buf.reshape(n, slot_cap)
+        # trailing dims (e.g. list widths, HLL register planes) ride along:
+        # rows shuffle, the per-row payload shape is preserved
+        buf = jnp.zeros((n * slot_cap,) + a.shape[1:], a.dtype) \
+            .at[slot].set(a[order], mode="drop")
+        buf = buf.reshape((n, slot_cap) + a.shape[1:])
         got = jax.lax.all_to_all(buf, axis, split_axis=0, concat_axis=0, tiled=False)
-        outs.append(got.reshape(n * slot_cap))
+        outs.append(got.reshape((n * slot_cap,) + a.shape[1:]))
     selbuf = jnp.zeros((n * slot_cap,), jnp.bool_).at[slot].set(ok, mode="drop")
     selbuf = selbuf.reshape(n, slot_cap)
     new_sel = jax.lax.all_to_all(selbuf, axis, split_axis=0, concat_axis=0, tiled=False)

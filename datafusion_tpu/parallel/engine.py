@@ -119,8 +119,9 @@ def _exchange_by_group(p: PP.AggregateExec, rel: DeviceRelation,
 
 
 class _DCtx:
-    def __init__(self, axis: str):
+    def __init__(self, axis: str, options: Optional[dict] = None):
         self.axis = axis
+        self.options = options or {}
         self.memo: Dict[int, Tuple[DeviceRelation, str]] = {}
 
 
@@ -177,11 +178,13 @@ def _dtrace_inner(p, inputs, leaf_index, dctx) -> Tuple[DeviceRelation, str]:
         # aggregate is decomposable; dense keys merge by psum (PartialReduce)
         dense = p._dense_sizes(rel)
         if dense is not None:
-            out = aggsplit.dense_partial_final(p, rel, axis, *dense)
+            out = aggsplit.dense_partial_final(p, rel, axis, *dense,
+                                               options=dctx.options)
             if out is not None:
                 return out, PART
         else:
-            out = aggsplit.sorted_partial_final(p, rel, axis)
+            out = aggsplit.sorted_partial_final(p, rel, axis,
+                                                options=dctx.options)
             if out is not None:
                 return out, PART
         # fallback (DISTINCT / order statistics): exchange the rows, then
@@ -211,10 +214,11 @@ class DistributedQuery:
     collectives ride the mesh axis."""
 
     def __init__(self, plan: PP.PhysicalPlan, mesh: Optional[Mesh] = None,
-                 axis: str = "dp"):
+                 axis: str = "dp", options: Optional[dict] = None):
         self.plan = plan
         self.mesh = mesh if mesh is not None else make_mesh()
         self.axis = axis
+        self.options = dict(options or {})
         self.leaves: List[PP.PhysicalPlan] = []
         self._collect_leaves(plan)
         self._fn = None
@@ -250,8 +254,10 @@ class DistributedQuery:
         axis = self.axis
         plan = self.plan
 
+        options = self.options
+
         def fn(inputs):
-            dctx = _DCtx(axis)
+            dctx = _DCtx(axis, options)
             rel, _dist = _dtrace(plan, inputs, leaf_index, dctx)
             return rel
 
