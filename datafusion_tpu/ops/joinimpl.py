@@ -41,6 +41,10 @@ def join_phase1(
     Fast path: integer keys (incl. dictionary codes and <=2 packed 32-bit
     keys) join on raw values -- one build-side sort total.  Fallback:
     exact dense-id canonicalization for arbitrary composite keys."""
+    bounded = _bounded_ids(left_keys, right_keys, left_sel, right_sel)
+    if bounded is not None:
+        lids, l_live, rids, r_live, domain = bounded
+        return K.join_match_counts_small(rids, r_live, lids, l_live, domain)
     lpairs = [(c.data, c.validity) for c in left_keys]
     rpairs = [(c.data, c.validity) for c in right_keys]
     lpacked = K.pack_join_keys(lpairs, left_sel)
@@ -56,6 +60,127 @@ def join_phase1(
         rids = rids.astype(jnp.int64)
     perm, lo, cnt, total = K.join_match_counts(rids, r_live, lids, l_live)
     return perm, lo, cnt, total
+
+
+def direct_domain(left_keys, right_keys, limit: int) -> Optional[Tuple]:
+    """Spans/domain for the direct-address join table when the composite key
+    domain is proven dense and small enough (DeviceColumn.bounds /
+    dictionary sizes). Works on eval_shape abstract columns (bounds and
+    dictionaries are static metadata)."""
+    spans = []
+    domain = 1
+    for lc, rc in zip(left_keys, right_keys):
+        lb, rb = _key_bounds(lc), _key_bounds(rc)
+        if lb is None or rb is None:
+            return None
+        lo = min(lb[0], rb[0])
+        hi = max(lb[1], rb[1])
+        span = hi - lo + 1
+        if span <= 0:
+            return None
+        spans.append((lo, span))
+        domain *= span
+        if domain > limit:
+            return None
+    return tuple(spans), domain
+
+
+def _make_ids(keys, sel, spans):
+    ids = None
+    live = sel
+    for c, (lo, span) in zip(keys, spans):
+        if c.validity is not None:
+            live = live & c.validity
+        v = c.data.astype(jnp.int64) - lo
+        ids = v if ids is None else ids * span + v
+    return ids, live
+
+
+def join_direct_lookup(probe_keys, build_keys, probe_sel, build_sel,
+                       spans, domain: int):
+    """Direct-address join phase for a proven-dense key domain (the
+    TPU-native answer to a hash-table build+probe, reference:
+    JoinHashMapU32 chained map, joins/join_hash_map.rs:144): one scatter
+    builds table[key] -> build row, one gather probes it. No sorts, no
+    expansion. Returns (build_row, matched, dup) where dup flags a
+    duplicate-keyed build side (the caller must fall back: with duplicates
+    the row mapping is last-wins, not the full match set)."""
+    pids, p_live = _make_ids(probe_keys, probe_sel, spans)
+    bids, b_live = _make_ids(build_keys, build_sel, spans)
+    nb = bids.shape[0]
+    bslot = jnp.where(b_live, jnp.clip(bids, 0, domain - 1), domain)
+    iota = jnp.arange(nb, dtype=jnp.int32)
+    table = jnp.full(domain, -1, jnp.int32).at[bslot].set(iota, mode="drop")
+    counts = jnp.zeros(domain, jnp.int32).at[bslot].add(1, mode="drop")
+    dup = jnp.any(counts > 1)
+    pslot = jnp.clip(pids, 0, domain - 1)
+    brow = table[jax.lax.optimization_barrier(pslot)]
+    matched = p_live & (brow >= 0)
+    return jnp.maximum(brow, 0), matched, dup
+
+
+def join_direct_exists(probe_keys, build_keys, probe_sel, build_sel,
+                       spans, domain: int) -> jax.Array:
+    """Existence bitmap for semi/anti joins over a dense key domain: correct
+    for ANY build-side multiplicity (only membership matters)."""
+    pids, p_live = _make_ids(probe_keys, probe_sel, spans)
+    bids, b_live = _make_ids(build_keys, build_sel, spans)
+    bslot = jnp.where(b_live, jnp.clip(bids, 0, domain - 1), domain)
+    exists = jnp.zeros(domain, jnp.bool_).at[bslot].set(True, mode="drop")
+    pslot = jnp.clip(pids, 0, domain - 1)
+    return p_live & exists[jax.lax.optimization_barrier(pslot)]
+
+
+def _key_bounds(c: DeviceColumn) -> Optional[Tuple[int, int]]:
+    """Integer-comparable bounds of one join-key column: value bounds from
+    interval metadata, or [0, size) for dictionary codes (both sides of a
+    string join share one unified sorted dictionary)."""
+    if c.dtype.is_string:
+        if c.dictionary is None:
+            return None
+        return (0, max(len(c.dictionary.values) - 1, 0))
+    if not jnp.issubdtype(c.data.dtype, jnp.integer) \
+            or c.data.dtype == jnp.bool_:
+        return None
+    if c.bounds is None:
+        return None
+    return (int(c.bounds[0]), int(c.bounds[1]))
+
+
+def _bounded_ids(left_keys, right_keys, left_sel, right_sel):
+    """Mixed-radix-pack composite keys into one PROVEN-dense int64 domain
+    when bounds metadata allows (DeviceColumn.bounds intervals / dictionary
+    sizes). Enables the 2-operand single-key join sorts
+    (kernels.join_match_counts_small)."""
+    spans = []
+    domain = 1
+    for lc, rc in zip(left_keys, right_keys):
+        lb, rb = _key_bounds(lc), _key_bounds(rc)
+        if lb is None or rb is None:
+            return None
+        lo = min(lb[0], rb[0])
+        hi = max(lb[1], rb[1])
+        span = hi - lo + 1
+        if span <= 0:
+            return None
+        spans.append((lo, span))
+        domain *= span
+        if 4 * domain >= (1 << 62):
+            return None
+
+    def make(keys, sel):
+        ids = None
+        live = sel
+        for c, (lo, span) in zip(keys, spans):
+            if c.validity is not None:
+                live = live & c.validity
+            v = c.data.astype(jnp.int64) - lo
+            ids = v if ids is None else ids * span + v
+        return ids, live
+
+    lids, l_live = make(left_keys, left_sel)
+    rids, r_live = make(right_keys, right_sel)
+    return lids, l_live, rids, r_live, domain
 
 
 def _range_compare_domain(l: DeviceColumn, r: DeviceColumn):

@@ -356,6 +356,57 @@ def ranks_in_sorted(sorted_a: jax.Array, queries: jax.Array, side: str,
     return jnp.zeros(nq, jnp.int32).at[qidx].set(cum_a.astype(jnp.int32), mode="drop")
 
 
+def join_match_counts_small(
+    build_ids: jax.Array,
+    build_live: jax.Array,
+    probe_ids: jax.Array,
+    probe_live: jax.Array,
+    domain: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """join_match_counts for ids in a PROVEN dense domain [0, domain) with
+    4*domain < 2^62 (from DeviceColumn.bounds / dictionary sizes).
+
+    Liveness and the build/probe tie-break pack INTO the single int64 sort
+    key (dead rows bias by +domain, the side tag is the low bit), so every
+    sort is a 2-operand single-key (key, iota) sort — the cheapest shape the
+    TPU sort network lowers to — instead of the generic path's 3-4-operand
+    multi-key sorts. Same contract as join_match_counts. (Reference analog:
+    JoinHashMapU32's narrow-key specialization, joins/join_hash_map.rs:144.)
+    """
+    D = jnp.int64(domain)
+    nb = build_ids.shape[0]
+    npr = probe_ids.shape[0]
+    # ids on dead rows are padding garbage: clamp into-domain, then bias dead
+    bid = jnp.clip(build_ids.astype(jnp.int64), 0, D - 1)
+    pid = jnp.clip(probe_ids.astype(jnp.int64), 0, D - 1)
+    bkey = bid + jnp.where(build_live, 0, D)
+    qkey = pid + jnp.where(probe_live, 0, D)
+    biota = jnp.arange(nb, dtype=jnp.int32)
+    sbkey2, perm = jax.lax.sort([bkey, biota], dimension=0, is_stable=True,
+                                num_keys=1)
+
+    iota = jnp.arange(nb + npr, dtype=jnp.int32)
+
+    def rank(q_tag: int) -> jax.Array:
+        # q_tag=0: probes before equal builds -> #build < probe (lo)
+        # q_tag=1: probes after  equal builds -> #build <= probe (hi)
+        keys2 = jnp.concatenate([sbkey2 * 2 + (1 - q_tag),
+                                 qkey * 2 + q_tag])
+        _, perm2 = jax.lax.sort([keys2, iota], dimension=0, is_stable=True,
+                                num_keys=1)
+        is_b = (perm2 < nb).astype(jnp.int32)
+        before_b = jnp.cumsum(is_b) - is_b
+        qidx = jnp.where(perm2 >= nb, perm2 - nb, nb + npr)
+        return jnp.zeros(npr, jnp.int32).at[qidx].set(
+            before_b.astype(jnp.int32), mode="drop")
+
+    lo = rank(0)
+    hi = rank(1)
+    cnt = jnp.where(probe_live, hi - lo, 0).astype(jnp.int32)
+    total = jnp.sum(cnt.astype(jnp.int64))
+    return perm, lo, cnt, total
+
+
 def join_match_counts(
     build_ids: jax.Array,
     build_live: jax.Array,

@@ -564,7 +564,7 @@ class ChunkedQuery:
                 and ctx.opt("optimizer.dynamic_filter_pushdown", True)):
             lplan = self._probe_bounds_pushdown(on, lplan, rrel)
         for chunk in self._stream(lplan, ctx):
-            yield p.execute_rels(ctx, chunk, rrel)
+            yield p.execute_rels(ctx, chunk, rrel, allow_direct=False)
 
     def _probe_bounds_pushdown(self, on, lplan, rrel):
         """Dynamic filter pushdown: build-side min/max key bounds become
@@ -649,7 +649,8 @@ class ChunkedQuery:
                     l_done = True
                 else:
                     for rchunk in acc_r:
-                        out = p.execute_rels(ctx, lchunk, rchunk)
+                        out = p.execute_rels(ctx, lchunk, rchunk,
+                                          allow_direct=False)
                         yield out
                     acc_l.append(lchunk)
             if not r_done:
@@ -659,7 +660,8 @@ class ChunkedQuery:
                     r_done = True
                 else:
                     for lchunk in acc_l:
-                        yield p.execute_rels(ctx, lchunk, rchunk)
+                        yield p.execute_rels(ctx, lchunk, rchunk,
+                                         allow_direct=False)
                     acc_r.append(rchunk)
 
     def _try_materialize(self, p: P.PhysicalPlan, ctx) -> Optional[DeviceRelation]:
@@ -753,7 +755,7 @@ class ChunkedQuery:
             for start in range(0, max(ptab.num_rows, 1), step):
                 prel = to_device(ptab, device=getattr(ctx, "device", None),
                                  row_range=(start, min(start + step, ptab.num_rows)))
-                yield p.execute_rels(ctx, prel, brel)
+                yield p.execute_rels(ctx, prel, brel, allow_direct=False)
                 emitted = True
         if not emitted:
             yield empty_relation(p.schema)

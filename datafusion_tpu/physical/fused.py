@@ -220,6 +220,17 @@ def join_normalize(p: P.JoinExec):
     return swapped, jt, on
 
 
+def _unified_keys(on, lrel, rrel):
+    from .expr_compiler import eval_expr, unify_string_columns
+
+    lkeys = [eval_expr(l, lrel) for l, _ in on]
+    rkeys = [eval_expr(r, rrel) for _, r in on]
+    for i in range(len(lkeys)):
+        if lkeys[i].dtype.is_string or rkeys[i].dtype.is_string:
+            lkeys[i], rkeys[i] = unify_string_columns(lkeys[i], rkeys[i])
+    return lkeys, rkeys
+
+
 def apply_join(p: P.JoinExec, lrel: DeviceRelation, rrel: DeviceRelation,
                tctx: Optional[_TraceCtx] = None) -> DeviceRelation:
     """Trace p's join over already-traced (normalized probe, build) relations
@@ -229,11 +240,33 @@ def apply_join(p: P.JoinExec, lrel: DeviceRelation, rrel: DeviceRelation,
     from .expr_compiler import eval_expr, unify_string_columns
 
     swapped, jt, on = join_normalize(p)
-    lkeys = [eval_expr(l, lrel) for l, _ in on]
-    rkeys = [eval_expr(r, rrel) for _, r in on]
-    for i in range(len(lkeys)):
-        if lkeys[i].dtype.is_string or rkeys[i].dtype.is_string:
-            lkeys[i], rkeys[i] = unify_string_columns(lkeys[i], rkeys[i])
+    p._exec_on = on
+    p._exec_range = p.range_on
+
+    if jt in (JoinType.LEFT_SEMI, JoinType.LEFT_ANTI) and p.filter is None \
+            and p.range_on is None:
+        info = p._direct_info(swapped, lrel, rrel)
+        if info is not None:
+            spans, domain = info
+            ex = J.join_direct_exists(
+                *_unified_keys(on, lrel, rrel), lrel.sel, rrel.sel,
+                spans, domain)
+            keep = ex if jt is JoinType.LEFT_SEMI else ~ex
+            return DeviceRelation(p.schema, lrel.columns, lrel.sel & keep)
+
+    if jt in (JoinType.INNER, JoinType.LEFT) and p.range_on is None:
+        info = p._direct_info(swapped, lrel, rrel)
+        if info is not None and p._direct_ok.get((swapped, jt, info)):
+            spans, domain = info
+            out, dup = p._direct_impl(lrel, rrel, jt, swapped, spans, domain)
+            if tctx is not None:
+                # duplicate build keys appearing post-discovery invalidate
+                # the unique-build assumption: re-discover (same machinery
+                # as capacity overflow)
+                tctx.flags.append(dup)
+            return out
+
+    lkeys, rkeys = _unified_keys(on, lrel, rrel)
     perm, lo, cnt, total = J.join_phase1(lkeys, rkeys, lrel.sel, rrel.sel)
 
     if jt in (JoinType.LEFT_SEMI, JoinType.LEFT_ANTI) and p.filter is None:

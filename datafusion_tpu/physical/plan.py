@@ -666,6 +666,80 @@ class JoinExec(PhysicalPlan):
         self._phase2: Dict[int, Callable] = {}
         self._semi_fn = jax.jit(self._semi_simple)
         self._last_co: Dict = {}
+        # direct-address join state: (swapped, jt, info) -> build side proved
+        # duplicate-free at discovery (None = undecided)
+        self._direct_ok: Dict = {}
+
+    # -- direct-address fast path -------------------------------------------
+    DIRECT_DOMAIN_LIMIT = 1 << 26  # max table entries (64M x 4B = 256MB)
+
+    def _direct_info(self, swapped: bool, lrel, rrel):
+        """(spans, domain) when the (normalized) join keys pack into a dense
+        domain small enough for a direct-address table; None otherwise.
+        Bounds/dictionaries are static metadata, so this evaluates
+        abstractly (eval_shape). NOT memoized on orientation alone: the
+        chunked/streaming executor reuses one JoinExec across relations with
+        different bounds, so spans must be derived from the relations at
+        hand (stale spans would clip out-of-domain probes onto boundary
+        keys = false matches). Downstream jit caches key on the info value."""
+        info = None
+        on = self._exec_on
+        if self.range_on is None and on:
+            def keys_of(lr, rr):
+                lkeys = [eval_expr(l, lr) for l, _ in on]
+                rkeys = [eval_expr(r, rr) for _, r in on]
+                for i in range(len(lkeys)):
+                    if lkeys[i].dtype.is_string or rkeys[i].dtype.is_string:
+                        lkeys[i], rkeys[i] = unify_string_columns(
+                            lkeys[i], rkeys[i])
+                return tuple(lkeys), tuple(rkeys)
+
+            try:
+                lk, rk = jax.eval_shape(keys_of, lrel, rrel)
+                info = J.direct_domain(lk, rk, self.DIRECT_DOMAIN_LIMIT)
+            except Exception:
+                info = None
+        return info
+
+    def _direct_impl(self, lrel, rrel, jt, swapped, spans, domain):
+        """Direct-address inner/left join: table[key] -> build row (unique
+        build side), probe by one gather; output capacity == probe capacity,
+        no expansion phase. Returns (relation, dup_flag)."""
+        on = self._exec_on
+        lkeys = [eval_expr(l, lrel) for l, _ in on]
+        rkeys = [eval_expr(r, rrel) for _, r in on]
+        for i in range(len(lkeys)):
+            if lkeys[i].dtype.is_string or rkeys[i].dtype.is_string:
+                lkeys[i], rkeys[i] = unify_string_columns(lkeys[i], rkeys[i])
+        brow, matched, dup = J.join_direct_lookup(
+            lkeys, rkeys, lrel.sel, rrel.sel, spans, domain)
+        lcols = list(lrel.columns)
+        rcols = J.gather_columns(list(rrel.columns), brow, matched,
+                                 null_extend=~matched)
+        block = DeviceRelation(
+            self._block_schema(lrel, rrel, swapped),
+            tuple(rcols + lcols) if swapped else tuple(lcols + rcols),
+            matched)
+        final = matched
+        if self.filter is not None:
+            final = final & eval_predicate(self.filter, block)
+        if jt is JoinType.INNER:
+            out = DeviceRelation(self.schema, block.columns, final)
+            return out, dup
+        # LEFT: every live probe row survives; match (or residual) failure
+        # null-extends the build columns
+        dead_b = ~final
+        rcols2 = []
+        for c in rcols:
+            v = c.validity if c.validity is not None \
+                else jnp.ones(lrel.capacity, jnp.bool_)
+            rcols2.append(DeviceColumn(
+                jnp.where((dead_b[:, None] if c.data.ndim == 2 else dead_b),
+                          jnp.zeros_like(c.data), c.data),
+                v & ~dead_b, c.dtype, c.dictionary, None, c.lengths,
+                c.elem_valid))
+        cols = tuple(rcols2 + lcols) if swapped else tuple(lcols + rcols2)
+        return DeviceRelation(self.schema, cols, lrel.sel), dup
 
     def children(self):
         return (self.left, self.right)
@@ -706,10 +780,15 @@ class JoinExec(PhysicalPlan):
         return self.execute_rels(ctx, lrel, rrel)
 
     def execute_rels(self, ctx: ExecContext, lrel: DeviceRelation,
-                     rrel: DeviceRelation) -> DeviceRelation:
+                     rrel: DeviceRelation,
+                     allow_direct: bool = True) -> DeviceRelation:
         """Run the join over already-normalized (probe, build) relations
         (probe = left side after RIGHT-flavor mirroring). Shared by execute()
-        and the chunked out-of-core executor, which streams probe chunks."""
+        and the chunked out-of-core executor, which streams probe chunks.
+        allow_direct=False disables the direct-address fast path: chunk
+        relations carry per-chunk bounds, so its domain-specialized programs
+        would recompile every chunk."""
+        self._allow_direct = allow_direct
         t0 = time.perf_counter()
         jt = self.join_type
         swapped = jt in (JoinType.RIGHT, JoinType.RIGHT_SEMI, JoinType.RIGHT_ANTI)
@@ -731,8 +810,30 @@ class JoinExec(PhysicalPlan):
         return out
 
     def _run_semi(self, lrel, rrel, swapped):
-        key = ("semi", swapped)
+        info = None
+        if self._exec_range is None and getattr(self, "_allow_direct", True):
+            info = self._direct_info(swapped, lrel, rrel)
+        key = ("semi", swapped, info)
         fn = self._phase2.get(key)
+        if fn is None and info is not None:
+            # existence bitmap over the dense key domain: correct for any
+            # build multiplicity, no sorts
+            on = self._exec_on
+            spans, domain = info
+            anti = self.join_type in (JoinType.LEFT_ANTI, JoinType.RIGHT_ANTI)
+
+            def f_direct(lr, rr):
+                lkeys = [eval_expr(l, lr) for l, _ in on]
+                rkeys = [eval_expr(r, rr) for _, r in on]
+                for i in range(len(lkeys)):
+                    if lkeys[i].dtype.is_string or rkeys[i].dtype.is_string:
+                        lkeys[i], rkeys[i] = unify_string_columns(lkeys[i], rkeys[i])
+                ex = J.join_direct_exists(lkeys, rkeys, lr.sel, rr.sel,
+                                          spans, domain)
+                keep = ~ex if anti else ex
+                return DeviceRelation(self.schema, lr.columns, lr.sel & keep)
+
+            fn = self._phase2[key] = jax.jit(f_direct)
         if fn is None:
             on = self._exec_on
             range_on = self._exec_range
@@ -757,6 +858,23 @@ class JoinExec(PhysicalPlan):
         return fn(lrel, rrel)
 
     def _run_expand(self, ctx, lrel, rrel, jt, swapped):
+        if jt in (JoinType.INNER, JoinType.LEFT) and self._exec_range is None \
+                and getattr(self, "_allow_direct", True):
+            info = self._direct_info(swapped, lrel, rrel)
+            if info is not None \
+                    and self._direct_ok.get((swapped, jt, info)) is not False:
+                spans, domain = info
+                dkey = ("direct", swapped, jt, info)
+                fn = self._phase2.get(dkey)
+                if fn is None:
+                    fn = self._phase2[dkey] = jax.jit(
+                        lambda lr, rr: self._direct_impl(lr, rr, jt, swapped,
+                                                         spans, domain))
+                out, dup = fn(lrel, rrel)
+                ok = not bool(dup)  # host sync (per-op path syncs anyway)
+                self._direct_ok[(swapped, jt, info)] = ok
+                if ok:
+                    return out
         on = self._exec_on
         p1key = ("p1", swapped)
         p1 = self._phase2.get(p1key)
