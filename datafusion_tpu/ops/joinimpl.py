@@ -131,6 +131,104 @@ def join_direct_exists(probe_keys, build_keys, probe_sel, build_sel,
     return p_live & exists[jax.lax.optimization_barrier(pslot)]
 
 
+def bucket_domain(left_keys, right_keys, prefix_limit: int) -> Optional[Tuple]:
+    """Bucketed direct-address plan for composite keys whose FULL dense
+    domain exceeds the direct-table limit: pick the key permutation whose
+    largest-span prefix packs into a table of <= prefix_limit slots, and
+    compare the remaining keys inside small per-slot buckets. Returns
+    (order, spans, nprefix, d1) with spans already permuted by order, or
+    None (single-key joins, unbounded keys, no useful split)."""
+    n = len(left_keys)
+    if n < 2:
+        return None
+    raw = []
+    for lc, rc in zip(left_keys, right_keys):
+        lb, rb = _key_bounds(lc), _key_bounds(rc)
+        if lb is None or rb is None:
+            return None
+        lo = min(lb[0], rb[0])
+        hi = max(lb[1], rb[1])
+        span = hi - lo + 1
+        if span <= 0:
+            return None
+        raw.append((lo, span))
+    by_span = sorted(range(n), key=lambda i: raw[i][1], reverse=True)
+    order, d1 = [], 1
+    for i in by_span:
+        if d1 * raw[i][1] <= prefix_limit:
+            order.append(i)
+            d1 *= raw[i][1]
+    if not order or len(order) == n:
+        return None  # nothing fits / full domain fits (direct path's case)
+    nprefix = len(order)
+    rest = [i for i in by_span if i not in order]
+    order = tuple(order + rest)
+    domain = d1
+    for i in rest:
+        domain *= raw[i][1]
+        if 4 * domain >= (1 << 62):
+            return None
+    spans = tuple(raw[i] for i in order)
+    return order, spans, nprefix, d1
+
+
+def _suffix_domain(spans, nprefix: int) -> int:
+    sdom = 1
+    for _, span in spans[nprefix:]:
+        sdom *= span
+    return sdom
+
+
+def bucket_max_count(build_keys, build_sel, spans, nprefix: int,
+                     d1: int) -> jax.Array:
+    """Discovery probe: the largest bucket population (live build rows per
+    prefix slot) -- sizes the bucket width B of join_bucket_lookup."""
+    bid, b_live = _make_ids(build_keys, build_sel, spans)
+    bid1 = bid // _suffix_domain(spans, nprefix)
+    slot = jnp.where(b_live, jnp.clip(bid1, 0, d1 - 1), d1)
+    counts = jnp.zeros(d1, jnp.int32).at[slot].add(1, mode="drop")
+    return jnp.max(counts)
+
+
+def join_bucket_lookup(probe_keys, build_keys, probe_sel, build_sel,
+                       spans, nprefix: int, d1: int, B: int):
+    """Bucketed direct-address join: table[prefix_slot * B + rank] holds the
+    build row and its full packed key; each probe gathers its B candidate
+    slots and matches the full key by compare -- B gathers instead of the
+    generic path's multi-million-row probe sorts. Keys/spans arrive already
+    permuted so the dense prefix leads. One small build-side sort assigns
+    in-bucket ranks. Returns (build_row, matched, bad) where bad = a bucket
+    overflowed B or the full key is duplicated (caller must fall back)."""
+    pid, p_live = _make_ids(probe_keys, probe_sel, spans)
+    bid, b_live = _make_ids(build_keys, build_sel, spans)
+    sdom = _suffix_domain(spans, nprefix)
+    full = jnp.int64(d1) * sdom
+    nb = bid.shape[0]
+    iota = jnp.arange(nb, dtype=jnp.int32)
+    skey = jnp.where(b_live, jnp.clip(bid, 0, full - 1), full)
+    sid, sperm = jax.lax.sort([skey, iota], dimension=0, is_stable=True,
+                              num_keys=1)
+    slive = sid < full
+    sprefix = sid // sdom
+    newrun = jnp.concatenate(
+        [jnp.ones(1, jnp.bool_), sprefix[1:] != sprefix[:-1]])
+    run_start = jax.lax.cummax(jnp.where(newrun, iota, 0))
+    rank = iota - run_start
+    dup = jnp.any((sid[1:] == sid[:-1]) & slive[1:])
+    over = jnp.any(slive & (rank >= B))
+    slot = jnp.where(slive & (rank < B), sprefix * B + rank,
+                     jnp.int64(d1) * B)
+    table_row = jnp.zeros(d1 * B, jnp.int32).at[slot].set(sperm, mode="drop")
+    table_key = jnp.full(d1 * B, -1, jnp.int64).at[slot].set(sid, mode="drop")
+    pid1 = jnp.clip(pid // sdom, 0, d1 - 1)
+    idx = jax.lax.optimization_barrier(
+        pid1[:, None] * B + jnp.arange(B, dtype=jnp.int64)[None, :])
+    hit = (table_key[idx] == pid[:, None]) & p_live[:, None]
+    matched = jnp.any(hit, axis=1)
+    brow = jnp.max(jnp.where(hit, table_row[idx], 0), axis=1)
+    return brow, matched, dup | over
+
+
 def _key_bounds(c: DeviceColumn) -> Optional[Tuple[int, int]]:
     """Integer-comparable bounds of one join-key column: value bounds from
     interval metadata, or [0, size) for dictionary codes (both sides of a

@@ -265,6 +265,19 @@ def apply_join(p: P.JoinExec, lrel: DeviceRelation, rrel: DeviceRelation,
                 # as capacity overflow)
                 tctx.flags.append(dup)
             return out
+        if info is None:
+            binfo = p._bucket_info(swapped, lrel, rrel)
+            B = p._bucket_B.get(binfo) if binfo is not None else None
+            if B is not None \
+                    and p._direct_ok.get((swapped, jt, "bucket", binfo)):
+                order, spans, nprefix, d1 = binfo
+                out, bad = p._direct_impl(
+                    lrel, rrel, jt, swapped, spans, 0,
+                    bucket=(order, nprefix, d1, B))
+                if tctx is not None:
+                    # bucket overflow / duplicate full key post-discovery
+                    tctx.flags.append(bad)
+                return out
 
     lkeys, rkeys = _unified_keys(on, lrel, rrel)
     perm, lo, cnt, total = J.join_phase1(lkeys, rkeys, lrel.sel, rrel.sel)

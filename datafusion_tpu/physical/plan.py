@@ -669,9 +669,13 @@ class JoinExec(PhysicalPlan):
         # direct-address join state: (swapped, jt, info) -> build side proved
         # duplicate-free at discovery (None = undecided)
         self._direct_ok: Dict = {}
+        # bucketed-direct state: binfo -> discovered bucket width B
+        self._bucket_B: Dict = {}
 
     # -- direct-address fast path -------------------------------------------
     DIRECT_DOMAIN_LIMIT = 1 << 26  # max table entries (64M x 4B = 256MB)
+    BUCKET_PREFIX_LIMIT = 1 << 24  # bucketed variant: prefix-table slots
+    MAX_BUCKET = 16                # widest bucket before falling back
 
     def _direct_info(self, swapped: bool, lrel, rrel):
         """(spans, domain) when the (normalized) join keys pack into a dense
@@ -701,18 +705,51 @@ class JoinExec(PhysicalPlan):
                 info = None
         return info
 
-    def _direct_impl(self, lrel, rrel, jt, swapped, spans, domain):
+    def _bucket_info(self, swapped: bool, lrel, rrel):
+        """(order, spans, nprefix, d1) for the bucketed direct-address join
+        when the full dense domain is too large for one table but a key
+        prefix's is not (ops/joinimpl.bucket_domain); None otherwise. Like
+        _direct_info, recomputed per execution from the relations' bounds."""
+        on = self._exec_on
+        if self.range_on is not None or len(on) < 2:
+            return None
+
+        def keys_of(lr, rr):
+            lkeys = [eval_expr(l, lr) for l, _ in on]
+            rkeys = [eval_expr(r, rr) for _, r in on]
+            for i in range(len(lkeys)):
+                if lkeys[i].dtype.is_string or rkeys[i].dtype.is_string:
+                    lkeys[i], rkeys[i] = unify_string_columns(
+                        lkeys[i], rkeys[i])
+            return tuple(lkeys), tuple(rkeys)
+
+        try:
+            lk, rk = jax.eval_shape(keys_of, lrel, rrel)
+            return J.bucket_domain(lk, rk, self.BUCKET_PREFIX_LIMIT)
+        except Exception:
+            return None
+
+    def _direct_impl(self, lrel, rrel, jt, swapped, spans, domain,
+                     bucket=None):
         """Direct-address inner/left join: table[key] -> build row (unique
         build side), probe by one gather; output capacity == probe capacity,
-        no expansion phase. Returns (relation, dup_flag)."""
+        no expansion phase. bucket=(order, nprefix, d1, B) switches to the
+        bucketed variant for oversized composite domains (spans then arrive
+        pre-permuted). Returns (relation, bad_flag)."""
         on = self._exec_on
         lkeys = [eval_expr(l, lrel) for l, _ in on]
         rkeys = [eval_expr(r, rrel) for _, r in on]
         for i in range(len(lkeys)):
             if lkeys[i].dtype.is_string or rkeys[i].dtype.is_string:
                 lkeys[i], rkeys[i] = unify_string_columns(lkeys[i], rkeys[i])
-        brow, matched, dup = J.join_direct_lookup(
-            lkeys, rkeys, lrel.sel, rrel.sel, spans, domain)
+        if bucket is not None:
+            order, nprefix, d1, B = bucket
+            brow, matched, dup = J.join_bucket_lookup(
+                [lkeys[i] for i in order], [rkeys[i] for i in order],
+                lrel.sel, rrel.sel, spans, nprefix, d1, B)
+        else:
+            brow, matched, dup = J.join_direct_lookup(
+                lkeys, rkeys, lrel.sel, rrel.sel, spans, domain)
         lcols = list(lrel.columns)
         rcols = J.gather_columns(list(rrel.columns), brow, matched,
                                  null_extend=~matched)
@@ -875,6 +912,10 @@ class JoinExec(PhysicalPlan):
                 self._direct_ok[(swapped, jt, info)] = ok
                 if ok:
                     return out
+            elif info is None:
+                out = self._run_bucket(lrel, rrel, jt, swapped)
+                if out is not None:
+                    return out
         on = self._exec_on
         p1key = ("p1", swapped)
         p1 = self._phase2.get(p1key)
@@ -906,6 +947,53 @@ class JoinExec(PhysicalPlan):
                 lambda lr, rr, pm, l, c: self._expand_impl(lr, rr, pm, l, c, jt, swapped, co)
             )
         return fn(lrel, rrel, perm, lo, cnt)
+
+    def _run_bucket(self, lrel, rrel, jt, swapped):
+        """Bucketed direct-address attempt (discovery side): probe the max
+        bucket population once, bake B, run; None = not applicable or the
+        build side violated the assumptions (caller falls back)."""
+        binfo = self._bucket_info(swapped, lrel, rrel)
+        if binfo is None:
+            return None
+        okkey = (swapped, jt, "bucket", binfo)
+        if self._direct_ok.get(okkey) is False:
+            return None
+        order, spans, nprefix, d1 = binfo
+        B = self._bucket_B.get(binfo)
+        if B is None:
+            on = self._exec_on
+
+            def stats(rr):
+                # string keys: raw (un-unified) codes are fine here -- dict
+                # merging is injective, so bucket populations are invariant
+                # under the relabeling and raw codes stay within the spans
+                rkeys = [eval_expr(r, rr) for _, r in on]
+                return J.bucket_max_count([rkeys[i] for i in order],
+                                          rr.sel, spans, nprefix, d1)
+
+            skey = ("bstats", swapped, binfo)
+            sfn = self._phase2.get(skey)
+            if sfn is None:
+                sfn = self._phase2[skey] = jax.jit(stats)
+            maxb = int(sfn(rrel))
+            B = 1
+            while B < maxb:
+                B *= 2
+            self._bucket_B[binfo] = B
+        if B > self.MAX_BUCKET or d1 * B > self.DIRECT_DOMAIN_LIMIT:
+            self._direct_ok[okkey] = False
+            return None
+        dkey = ("bucket", swapped, jt, binfo, B)
+        fn = self._phase2.get(dkey)
+        if fn is None:
+            fn = self._phase2[dkey] = jax.jit(
+                lambda lr, rr: self._direct_impl(
+                    lr, rr, jt, swapped, spans, 0,
+                    bucket=(order, nprefix, d1, B)))
+        out, bad = fn(lrel, rrel)
+        ok = not bool(bad)
+        self._direct_ok[okkey] = ok
+        return out if ok else None
 
     def _expand_impl(self, lrel, rrel, perm, lo, cnt, jt, swapped, co):
         probe_row, build_row, out_valid = K.join_expand(perm, lo, cnt, co)

@@ -109,3 +109,84 @@ def test_expand_zero_total():
     cnt = jnp.zeros(5, jnp.int32)
     probe_row, build_row, out_valid = join_expand(perm, lo, cnt, 8)
     assert not np.asarray(out_valid).any()
+
+
+# -- bucketed direct-address join ------------------------------------------
+
+def _mkcol(vals, bounds=None):
+    from datafusion_tpu.common import types as T
+    from datafusion_tpu.data.device import DeviceColumn
+    data = jnp.asarray(np.asarray(vals, np.int64))
+    b = bounds or (int(np.min(vals)), int(np.max(vals)))
+    return DeviceColumn(data, None, T.INT64, None, b)
+
+
+def test_bucket_domain_prefers_largest_span():
+    from datafusion_tpu.ops.joinimpl import bucket_domain
+    a = _mkcol([0], bounds=(0, 199))      # span 200
+    b = _mkcol([0], bounds=(0, 999))      # span 1000 > limit alone? no: fits
+    info = bucket_domain([a, b], [a, b], prefix_limit=1000)
+    assert info is not None
+    order, spans, nprefix, d1 = info
+    assert order[0] == 1 and nprefix == 1 and d1 == 1000
+
+
+def test_bucket_lookup_matches_bruteforce():
+    from datafusion_tpu.ops.joinimpl import (bucket_domain, bucket_max_count,
+                                             join_bucket_lookup)
+    rng = np.random.default_rng(3)
+    nb, npr = 128, 256
+    bk1 = rng.integers(0, 40, nb)
+    bk2 = rng.integers(0, 37, nb)
+    # dedupe composite keys (unique build required for the lookup path)
+    seen, keep = set(), []
+    for i, kv in enumerate(zip(bk1.tolist(), bk2.tolist())):
+        keep.append(kv not in seen)
+        seen.add(kv)
+    blive = np.asarray(keep) & (rng.random(nb) > 0.2)
+    pk1 = rng.integers(0, 40, npr)
+    pk2 = rng.integers(0, 37, npr)
+    plive = rng.random(npr) > 0.2
+    bounds1, bounds2 = (0, 39), (0, 36)
+    lk = [_mkcol(pk1, bounds1), _mkcol(pk2, bounds2)]
+    rk = [_mkcol(bk1, bounds1), _mkcol(bk2, bounds2)]
+    info = bucket_domain(lk, rk, prefix_limit=64)
+    assert info is not None
+    order, spans, nprefix, d1 = info
+    maxb = int(bucket_max_count([rk[i] for i in order], jnp.asarray(blive),
+                                spans, nprefix, d1))
+    B = 1
+    while B < maxb:
+        B *= 2
+    brow, matched, bad = join_bucket_lookup(
+        [lk[i] for i in order], [rk[i] for i in order],
+        jnp.asarray(plive), jnp.asarray(blive), spans, nprefix, d1, B)
+    assert not bool(bad)
+    brow, matched = np.asarray(brow), np.asarray(matched)
+    for p in range(npr):
+        ref = [b for b in range(nb) if blive[b] and plive[p]
+               and bk1[b] == pk1[p] and bk2[b] == pk2[p]]
+        if ref:
+            assert matched[p] and brow[p] == ref[0], p
+        else:
+            assert not matched[p], p
+
+
+def test_bucket_lookup_flags_duplicates_and_overflow():
+    from datafusion_tpu.ops.joinimpl import join_bucket_lookup
+    spans = ((0, 8), (0, 8))
+    k1 = _mkcol([1, 1, 2], bounds=(0, 7))
+    k2 = _mkcol([3, 3, 4], bounds=(0, 7))
+    live = jnp.ones(3, bool)
+    _, _, bad = join_bucket_lookup([k1, k2], [k1, k2], live, live,
+                                   spans, 1, 8, 4)
+    assert bool(bad)  # duplicate (1,3) build key
+    # overflow: 3 rows share prefix 1 with B=2
+    k1o = _mkcol([1, 1, 1], bounds=(0, 7))
+    k2o = _mkcol([0, 1, 2], bounds=(0, 7))
+    _, _, bad2 = join_bucket_lookup([k1o, k2o], [k1o, k2o], live, live,
+                                    spans, 1, 8, 2)
+    assert bool(bad2)
+    _, m, bad3 = join_bucket_lookup([k1o, k2o], [k1o, k2o], live, live,
+                                    spans, 1, 8, 4)
+    assert not bool(bad3) and np.asarray(m).all()
