@@ -111,6 +111,18 @@ _opt("optimizer.common_subplan_dedup", True,
      "compute once (CommonSubexprEliminate analog at plan granularity).")
 _opt("optimizer.limit_into_sort", True,
      "Fuse LIMIT into an adjacent ORDER BY as a top-k sort.")
+_opt("optimizer.plan_cleanup", True,
+     "Erase degenerate operators: constant filters, empty-relation "
+     "propagation, zero/identity limits, duplicated sort/group keys, "
+     "constant GROUP BY keys (EliminateFilter/PropagateEmptyRelation/"
+     "EliminateLimit/EliminateDuplicatedExpr/EliminateGroupByConstant "
+     "analogs).")
+_opt("optimizer.filter_null_join_keys", False,
+     "Filter NULL keys below INNER equi-joins with nullable keys "
+     "(FilterNullJoinKeys analog). Off by default: the join kernels "
+     "already AND key validity into the live masks, so NULL keys are "
+     "dead rows at zero extra cost; the explicit filters only change "
+     "plan shapes (= fresh XLA compiles).")
 _opt("optimizer.dynamic_filter_pushdown", True,
      "In chunked joins, push build-side min/max key bounds into the probe "
      "side as per-chunk BETWEEN filters and parquet pruning hints "

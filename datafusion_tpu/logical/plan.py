@@ -79,11 +79,14 @@ class TableScan(LogicalPlan):
 
 
 class EmptyRelation(LogicalPlan):
-    """Zero or one row with no columns (SELECT 1)."""
+    """Zero or one row; carries a schema when standing in for a pruned
+    relation (reference: EmptyRelation with schema, used by
+    PropagateEmptyRelation -- optimizer/src/propagate_empty_relation.rs)."""
 
-    def __init__(self, produce_one_row: bool = True):
+    def __init__(self, produce_one_row: bool = True,
+                 schema: Optional[Schema] = None):
         self.produce_one_row = produce_one_row
-        self.schema = Schema([])
+        self.schema = schema if schema is not None else Schema([])
 
 
 class Values(LogicalPlan):

@@ -66,6 +66,7 @@ def optimize(plan: L.LogicalPlan, catalog=None, options=None) -> L.LogicalPlan:
     """Run the rule sequence; each rule group is gated by its config flag
     (reference: OptimizerRule list in optimizer.rs:291-318; rules are
     individually skippable there by replacing the rule set)."""
+    from .cleanup import cleanup_rules, filter_null_join_keys_rule
     from .decorrelate import decorrelate_rule
     from .dedup import dedup_rule
     from .pushdown import (eliminate_outer_joins_rule, limit_into_sort_rule,
@@ -89,8 +90,12 @@ def optimize(plan: L.LogicalPlan, catalog=None, options=None) -> L.LogicalPlan:
             rules.append(simplify_rule)
     if dedup:
         rules.append(dedup_rule)  # unify sub-plans duplicated by subquery lifting
+    if on("optimizer.plan_cleanup"):
+        rules.append(cleanup_rules)  # constant filters/limits, empties, dups
     if on("optimizer.eliminate_outer_joins"):
         rules.append(eliminate_outer_joins_rule)  # LEFT/RIGHT/FULL -> INNER
+    if on("optimizer.filter_null_join_keys"):
+        rules.append(filter_null_join_keys_rule)
     if pushdown:
         rules.append(or_implication_rule)  # pushable per-column preds (Q7/Q19)
         rules.append(push_filters_rule)

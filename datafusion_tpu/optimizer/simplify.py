@@ -67,6 +67,25 @@ def _factor_or(e: E.BinaryOp):
 
 
 def _fold_node(e: E.Expr) -> E.Expr:
+    if isinstance(e, E.BinaryOp) and e.op.is_comparison \
+            and isinstance(e.left, E.Literal) and isinstance(e.right, E.Literal):
+        l, r = e.left, e.right
+        if l.value is None or r.value is None:
+            return E.Literal(None, T.BOOL)  # 3VL: NULL cmp x = NULL
+        comparable = (
+            (l.dtype.is_numeric and r.dtype.is_numeric)
+            or (l.dtype.is_string and r.dtype.is_string)
+            or (l.dtype.kind == r.dtype.kind))
+        if comparable:
+            try:
+                lv, rv = l.value, r.value
+                v = {E.Op.EQ: lv == rv, E.Op.NEQ: lv != rv,
+                     E.Op.LT: lv < rv, E.Op.LE: lv <= rv,
+                     E.Op.GT: lv > rv, E.Op.GE: lv >= rv}[e.op]
+                return E.Literal(bool(v), T.BOOL)
+            except Exception:
+                return e
+        return e
     if isinstance(e, E.BinaryOp) and isinstance(e.left, E.Literal) and isinstance(e.right, E.Literal):
         l, r = e.left, e.right
         # date +/- interval
@@ -106,6 +125,18 @@ def _fold_node(e: E.Expr) -> E.Expr:
                 return E.Literal(v, T.INT64)
             except Exception:
                 return e
+    if isinstance(e, E.BinaryOp) and e.op.is_logic:
+        # 3VL-sound short circuits: x AND FALSE = FALSE, x AND TRUE = x,
+        # x OR TRUE = TRUE, x OR FALSE = x (even when x is NULL)
+        for a, b in ((e.left, e.right), (e.right, e.left)):
+            if isinstance(a, E.Literal) and a.value is not None:
+                if e.op is E.Op.AND:
+                    return b if a.value else E.Literal(False, T.BOOL)
+                return E.Literal(True, T.BOOL) if a.value else b
+    if isinstance(e, E.Not) and isinstance(e.expr, E.Literal) \
+            and e.expr.dtype.kind is T.TypeKind.BOOL:
+        v = e.expr.value
+        return E.Literal(None if v is None else not v, T.BOOL)
     if isinstance(e, E.Not) and isinstance(e.expr, E.Not):
         return e.expr.expr
     if isinstance(e, E.BinaryOp) and e.op is E.Op.OR:

@@ -308,6 +308,15 @@ class SqlPlanner:
                     group_exprs.append(items[idx][0])
                 else:
                     group_exprs.append(self.resolve(g, schema))
+            # GROUP BY a, a: duplicate keys group identically and would make
+            # the aggregate schema ambiguous (reference dedupes too,
+            # EliminateDuplicatedExpr)
+            seen, uniq = set(), []
+            for g in group_exprs:
+                if g not in seen:  # structural equality: qualifiers count
+                    seen.add(g)
+                    uniq.append(g)
+            group_exprs = uniq
 
         # 5. aggregate extraction
         agg_fns: List[E.AggregateFunction] = []
