@@ -52,6 +52,10 @@ _opt("execution.target_partitions", 0,
 _opt("execution.memory_limit_bytes", 0,
      "HBM accounting limit; 0 = unbounded. Exceeding raises ResourceExhausted "
      "naming the top consumers.")
+_opt("execution.memory_pool", "greedy",
+     "Bounded-pool policy: 'greedy' (first-come-first-served) or "
+     "'fair_spill' (divides the budget evenly among spillable consumers so "
+     "one large sort cannot starve its siblings; FairSpillPool analog).")
 _opt("execution.spill_dir", "",
      "Directory for host->disk spill files (empty = host RAM only).")
 _opt("execution.spill_max_host_bytes", 0,

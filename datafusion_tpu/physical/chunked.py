@@ -153,6 +153,11 @@ class SpillableAccumulator:
         self.merge_width = merge_width
         self.held: List[DeviceRelation] = []
         self.spilled: List = []
+        # FairSpillPool divides its budget among registered spillable
+        # consumers; other pools ignore the registration
+        reg = getattr(ctx.memory_pool, "register", None)
+        if reg is not None:
+            reg(self.consumer, True)
 
     # -- accounting ------------------------------------------------------
     def _grow(self, nbytes: int):
@@ -163,7 +168,7 @@ class SpillableAccumulator:
 
     def add(self, rel: DeviceRelation):
         b = relation_bytes(rel)
-        head = self.ctx.memory_pool.headroom()
+        head = self.ctx.memory_pool.headroom_for(self.consumer)
         if head is not None and b > head:
             self._relieve(b)
         try:
@@ -188,7 +193,7 @@ class SpillableAccumulator:
         self._merge_held()
         pool = self.ctx.memory_pool
         while self.held:
-            head = pool.headroom()
+            head = pool.headroom_for(self.consumer)
             if head is None or head >= need:
                 return
             rel = self.held.pop(0)
@@ -224,7 +229,7 @@ class SpillableAccumulator:
 
         for s in self.spilled:
             b = s.nbytes
-            head = pool.headroom()
+            head = pool.headroom_for(self.consumer)
             if batch and head is not None and head < b:
                 flush()
             rel = s.restore(device=getattr(self.ctx, "device", None))

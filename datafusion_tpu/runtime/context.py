@@ -27,14 +27,20 @@ class ExecMetrics:
 
 class ExecContext:
     def __init__(self, config: Optional[Dict[str, Any]] = None, device=None):
-        from .memory import GreedyMemoryPool, MemoryPool
+        from .memory import FairSpillPool, GreedyMemoryPool, MemoryPool
 
         self.config = dict(config or {})
         self.device = device
         self.metrics: Dict[str, ExecMetrics] = {}
         limit = (self.config.get("memory_limit_bytes")
                  or self.config.get("execution.memory_limit_bytes"))
-        self.memory_pool = GreedyMemoryPool(int(limit)) if limit else MemoryPool()
+        kind = self.config.get("execution.memory_pool", "greedy")
+        if not limit:
+            self.memory_pool = MemoryPool()
+        elif kind == "fair_spill":
+            self.memory_pool = FairSpillPool(int(limit))
+        else:
+            self.memory_pool = GreedyMemoryPool(int(limit))
         from .spill import SpillManager
 
         self.spill_manager = SpillManager(

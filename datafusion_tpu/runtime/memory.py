@@ -45,6 +45,11 @@ class MemoryPool:
         try_grow would raise."""
         return None
 
+    def headroom_for(self, consumer: str) -> Optional[int]:
+        """Bytes this consumer may still grow by (None = unbounded); equals
+        headroom() except under per-consumer policies (FairSpillPool)."""
+        return self.headroom()
+
     @property
     def bounded(self) -> bool:
         return self.headroom() is not None
@@ -70,6 +75,74 @@ class GreedyMemoryPool(MemoryPool):
                 f"top consumers: {top}"
             )
         self._grow(consumer, additional)
+
+
+class FairSpillPool(MemoryPool):
+    """Bounded pool that divides the spillable budget evenly among
+    registered spillable consumers (reference: FairSpillPool,
+    memory_pool/pool.rs:143): unspillable consumers allocate greedily from
+    the whole pool; each spillable consumer may hold at most
+    (limit - unspillable) / num_spillable bytes, so one large sort cannot
+    starve its siblings out of their spill thresholds."""
+
+    def __init__(self, limit_bytes: int):
+        super().__init__()
+        self.limit = limit_bytes
+        self._spillable: Dict[str, bool] = {}
+        self._unspillable_used = 0
+
+    def register(self, consumer: str, can_spill: bool) -> None:
+        self._spillable[consumer] = can_spill
+
+    def unregister(self, consumer: str) -> None:
+        self._spillable.pop(consumer, None)
+
+    def _num_spillable(self) -> int:
+        return sum(1 for v in self._spillable.values() if v) or 1
+
+    def _fair_share(self) -> int:
+        return max(0, (self.limit - self._unspillable_used)
+                   ) // self._num_spillable()
+
+    def headroom(self) -> Optional[int]:
+        return max(0, self.limit - self.reserved)
+
+    def try_grow(self, consumer: str, additional: int) -> None:
+        spillable = self._spillable.get(consumer, False)
+        used = self.by_consumer.get(consumer, 0)
+        if spillable:
+            if used + additional > self._fair_share():
+                raise ResourceExhausted(
+                    f"fair-spill pool: consumer {consumer!r} would exceed "
+                    f"its share ({self._fair_share()} bytes across "
+                    f"{self._num_spillable()} spillable consumers); "
+                    f"spill required")
+        elif self.reserved + additional > self.limit:
+            top = ", ".join(f"{n}={b // 1024 // 1024}MB"
+                            for n, b in self.top_consumers())
+            raise ResourceExhausted(
+                f"memory pool exhausted: need {additional} bytes, "
+                f"{self.limit - self.reserved} available of {self.limit}; "
+                f"top consumers: {top}")
+        if self.reserved + additional > self.limit:
+            raise ResourceExhausted(
+                f"fair-spill pool exhausted: need {additional} bytes, "
+                f"{self.limit - self.reserved} available of {self.limit}")
+        self._grow(consumer, additional)
+        if not spillable:
+            self._unspillable_used += additional
+
+    def shrink(self, consumer: str, amount: int) -> None:
+        super().shrink(consumer, amount)
+        if not self._spillable.get(consumer, False):
+            self._unspillable_used = max(0, self._unspillable_used - amount)
+
+    def headroom_for(self, consumer: str) -> Optional[int]:
+        room = self.headroom()
+        if self._spillable.get(consumer, False):
+            share = self._fair_share() - self.by_consumer.get(consumer, 0)
+            room = min(room, max(0, share))
+        return room
 
 
 @dataclasses.dataclass

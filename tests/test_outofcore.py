@@ -229,3 +229,45 @@ def test_tpch_queries_chunked():
         b = ooc.sql(sql).to_pandas()
         pd.testing.assert_frame_equal(b, a, check_dtype=False, atol=1e-6,
                                       obj=f"q{qid}")
+
+
+def test_fair_spill_pool():
+    """FairSpillPool divides the budget among spillable consumers
+    (reference: memory_pool/pool.rs FairSpillPool); unspillable consumers
+    allocate greedily and shrink returns their share."""
+    from datafusion_tpu.common.errors import ResourceExhausted
+    from datafusion_tpu.runtime.memory import FairSpillPool
+
+    pool = FairSpillPool(1000)
+    pool.register("sortA", True)
+    pool.register("sortB", True)
+    pool.try_grow("pins", 200)  # unspillable
+    assert pool._fair_share() == 400
+    assert pool.headroom_for("sortA") == 400
+    pool.try_grow("sortA", 400)
+    with pytest.raises(ResourceExhausted):
+        pool.try_grow("sortA", 1)  # over its share, sortB's is protected
+    pool.try_grow("sortB", 400)
+    pool.shrink("sortA", 400)
+    assert pool.headroom_for("sortA") == 400
+    pool.shrink("pins", 200)
+    assert pool._fair_share() == 500
+
+
+def test_fair_spill_pool_query_end_to_end():
+    """A memory-limited aggregation under the fair_spill policy still
+    completes (consumers spill within their shares)."""
+    rng = np.random.default_rng(5)
+    n = 100_000
+    big = {"g": rng.integers(0, 200, n).tolist(),
+           "x": rng.normal(0, 1, n).tolist()}
+    ref = SessionContext(config={"execution.out_of_core": "off"})
+    ref.register_table("b", big)
+    want = ref.sql("SELECT g, count(*) c, sum(x) s FROM b GROUP BY g ORDER BY g").to_pandas()
+    ctx = SessionContext(config={"execution.out_of_core": "auto",
+                                 "execution.memory_limit_bytes": 1 << 20,
+                                 "execution.memory_pool": "fair_spill",
+                                 "execution.chunk_rows": 16384})
+    ctx.register_table("b", big)
+    got = ctx.sql("SELECT g, count(*) c, sum(x) s FROM b GROUP BY g ORDER BY g").to_pandas()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)
