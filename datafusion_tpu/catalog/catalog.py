@@ -265,7 +265,7 @@ class ParquetTable(TableProvider):
                     ndv = max(1.0, min(hi - lo + 1.0, rows))
                 cols[name] = ColumnStatistics(float(s.null_count or 0),
                                               lo, hi, ndv)
-            cached = Statistics(rows, cols)
+            cached = Statistics(rows, cols, exact_rows=True)
             self._stats = cached
         return cached
 

@@ -39,6 +39,10 @@ class Statistics:
     num_rows: float
     columns: Dict[str, ColumnStatistics] = dataclasses.field(default_factory=dict)
     _table: object = None  # host Table for lazy exact-NDV resolution
+    # reference keeps Precision::{Exact,Inexact} per value; planning only
+    # needs it for row counts (AggregateStatistics answers count(*) from
+    # stats), so one flag suffices
+    exact_rows: bool = False
 
     def ndv(self, name: str) -> Optional[float]:
         """Distinct count for one column; an exact one-time `np.unique` pass
@@ -114,4 +118,5 @@ def table_statistics(table) -> Statistics:
             cols[f.name] = column_statistics(c)
         except Exception:  # stats are advisory: never fail a query over them
             continue
-    return Statistics(float(table.num_rows), cols, _table=table)
+    return Statistics(float(table.num_rows), cols, _table=table,
+                      exact_rows=True)

@@ -217,10 +217,46 @@ def eliminate_groupby_constant_rule(plan: L.LogicalPlan) -> L.LogicalPlan:
     return L.transform_up(plan, f)
 
 
+def aggregate_statistics_rule(plan: L.LogicalPlan) -> L.LogicalPlan:
+    """Answer a global count(*) over a bare table scan from exact table
+    statistics -- no scan, no device program (reference:
+    physical-optimizer/src/aggregate_statistics.rs). Only fires when the
+    provider's row count is exact and the scan has no filters."""
+    from ..common import types as T
+
+    def f(p: L.LogicalPlan) -> L.LogicalPlan:
+        if not isinstance(p, L.Aggregate) or p.group_exprs:
+            return p
+        scan = p.input
+        if isinstance(scan, L.SubqueryAlias):
+            scan = scan.input
+        if not isinstance(scan, L.TableScan) or scan.filters:
+            return p
+        for a in p.aggr_exprs:
+            inner = a.expr if isinstance(a, E.Alias) else a
+            if not (isinstance(inner, E.AggregateFunction)
+                    and inner.fname == "count" and not inner.distinct
+                    and inner.filter is None and not inner.args):
+                return p
+        try:
+            stats = scan.source.statistics()
+        except Exception:
+            return p
+        if stats is None or not getattr(stats, "exact_rows", False):
+            return p
+        n = E.Literal(int(stats.num_rows), T.INT64)
+        return L.Projection(
+            L.EmptyRelation(True),
+            [E.Alias(n, a.name()) for a in p.aggr_exprs])
+
+    return L.transform_up(plan, f)
+
+
 def cleanup_rules(plan: L.LogicalPlan) -> L.LogicalPlan:
     plan = eliminate_filter_rule(plan)
     plan = eliminate_limit_rule(plan)
     plan = dedup_exprs_rule(plan)
     plan = eliminate_groupby_constant_rule(plan)
+    plan = aggregate_statistics_rule(plan)
     plan = propagate_empty_rule(plan)
     return plan

@@ -97,3 +97,20 @@ def test_filter_null_join_keys_optin(ctx):
     r = c2.sql("SELECT n1.v, n2.w FROM n1 JOIN n2 ON n1.k = n2.k "
                "ORDER BY n1.v").collect().to_pydict()
     assert r == {"v": [1, 3], "w": [10, 20]}
+
+
+def test_count_star_from_statistics(ctx):
+    plan = _explain(ctx, "SELECT count(*) AS n FROM t")
+    assert "ScanExec" not in plan and "AggregateExec" not in plan, plan
+    r = ctx.sql("SELECT count(*) AS n FROM t").collect().to_pydict()
+    assert r["n"] == [3]
+    # with a filter the scan must run
+    r = ctx.sql("SELECT count(*) AS n FROM t WHERE a > 1").collect().to_pydict()
+    assert r["n"] == [2]
+    # count(col) is NOT answerable from row-count stats
+    plan2 = _explain(ctx, "SELECT count(a) FROM t")
+    assert "ScanExec" in plan2
+    # stays correct after INSERT (provider replaced, stats not stale)
+    ctx.sql("INSERT INTO t VALUES (4, 40)")
+    r = ctx.sql("SELECT count(*) AS n FROM t").collect().to_pydict()
+    assert r["n"] == [4]
