@@ -96,6 +96,79 @@ def _make_ids(keys, sel, spans):
     return ids, live
 
 
+def _build_lane_plan(cols: Sequence[DeviceColumn]):
+    """Lane layout for packing columns into an int32 matrix: returns
+    (layout, parts, rest) where rest holds indices of columns that cannot
+    pack (nested 2-D data). layout entries: (col_index, col, lane_off,
+    data_lanes, has_validity_lane)."""
+    parts: List[jax.Array] = []
+    layout: List[Tuple[int, DeviceColumn, int, int, bool]] = []
+    rest: List[int] = []
+    off = 0
+    for i, c in enumerate(cols):
+        if _packable(c):
+            lanes = _pack_lanes(c.data)
+            parts.append(lanes)
+            w = lanes.shape[1]
+            has_v = c.validity is not None
+            if has_v:
+                parts.append(c.validity.astype(jnp.int32)[:, None])
+            layout.append((i, c, off, w, has_v))
+            off += w + (1 if has_v else 0)
+        else:
+            rest.append(i)
+    return layout, parts, rest
+
+
+def _unpack_lane_col(g: jax.Array, c: DeviceColumn, o: int, w: int,
+                     has_v: bool, null_extend) -> DeviceColumn:
+    data = _unpack_lanes(g[:, o:o + w], c.data.dtype)
+    validity = (g[:, o + w] != 0) if has_v else None
+    if null_extend is not None:
+        v = validity if validity is not None else jnp.ones_like(null_extend)
+        validity = v & ~null_extend
+        data = jnp.where(null_extend, jnp.zeros_like(data), data)
+    return DeviceColumn(data, validity, c.dtype, c.dictionary)
+
+
+def join_direct_gather(probe_keys, build_keys, probe_sel, build_sel,
+                       spans, domain: int, build_cols):
+    """Direct-address join that scatters the PACKED build payload into the
+    table itself: one row scatter builds table[key] -> [occupied, lanes...],
+    one row gather per probe retrieves match flag + every build column --
+    no separate row-id gather per column (TPU gathers cost per ROW, see
+    gather_columns). Returns (cols, matched, dup); cols aligned with
+    build_cols (nested columns fall back to a row-id gather)."""
+    pids, p_live = _make_ids(probe_keys, probe_sel, spans)
+    bids, b_live = _make_ids(build_keys, build_sel, spans)
+    nb = bids.shape[0]
+    bslot = jnp.where(b_live, jnp.clip(bids, 0, domain - 1), domain)
+    layout, parts, rest = _build_lane_plan(build_cols)
+    occ = jnp.ones((nb, 1), jnp.int32)
+    packed = jnp.concatenate([occ] + parts, axis=1)
+    table = jnp.zeros((domain, packed.shape[1]), jnp.int32) \
+        .at[bslot].set(packed, mode="drop")
+    counts = jnp.zeros(domain, jnp.int32).at[bslot].add(1, mode="drop")
+    dup = jnp.any(counts > 1)
+    pslot = jax.lax.optimization_barrier(
+        jnp.clip(pids, 0, domain - 1).astype(jnp.int32))
+    g = table[pslot]
+    matched = p_live & (g[:, 0] != 0)
+    null_extend = ~matched
+    out: List[Optional[DeviceColumn]] = [None] * len(build_cols)
+    for i, c, o, w, has_v in layout:
+        out[i] = _unpack_lane_col(g, c, 1 + o, w, has_v, null_extend)
+    if rest:
+        iota = jnp.arange(nb, dtype=jnp.int32)
+        rowt = jnp.full(domain, 0, jnp.int32).at[bslot].set(iota, mode="drop")
+        brow = rowt[pslot]
+        gathered = gather_columns([build_cols[i] for i in rest], brow,
+                                  matched, null_extend=null_extend)
+        for i, c2 in zip(rest, gathered):
+            out[i] = c2
+    return out, matched, dup
+
+
 def join_direct_lookup(probe_keys, build_keys, probe_sel, build_sel,
                        spans, domain: int):
     """Direct-address join phase for a proven-dense key domain (the
@@ -338,20 +411,46 @@ def range_join_phase1(
     return perm, lo.astype(jnp.int32), cnt, total
 
 
+def _packable(c: DeviceColumn) -> bool:
+    return (c.data.ndim == 1 and c.lengths is None and c.elem_valid is None
+            and c.data.dtype.itemsize in (4, 8)
+            and c.data.dtype != jnp.bool_)
+
+
+def _pack_lanes(arr: jax.Array) -> jax.Array:
+    """View a 1-D 4/8-byte array as (n, 1|2) int32 lanes (free bitcast)."""
+    if arr.dtype.itemsize == 8:
+        return jax.lax.bitcast_convert_type(arr, jnp.int32)
+    return jax.lax.bitcast_convert_type(arr, jnp.int32)[:, None]
+
+
+def _unpack_lanes(lanes: jax.Array, dtype) -> jax.Array:
+    if jnp.dtype(dtype).itemsize == 8:
+        return jax.lax.bitcast_convert_type(lanes, dtype)
+    return jax.lax.bitcast_convert_type(lanes[:, 0], dtype)
+
+
 def gather_columns(
     cols: Sequence[DeviceColumn],
     idx: jax.Array,
     row_valid: jax.Array,
     null_extend: Optional[jax.Array] = None,
 ) -> List[DeviceColumn]:
-    """Gather columns at idx; rows where null_extend is True become NULL."""
-    out = []
+    """Gather columns at idx; rows where null_extend is True become NULL.
+
+    TPU random gathers cost ~10ns PER ROW regardless of width (a (D, 8)
+    row gather measures ~half of ONE single-column gather), so all plain
+    columns pack into one int32 lane matrix -- data bitcast to 1-2 lanes,
+    validity as one lane -- and the join pays ONE row gather instead of
+    one gather per column+validity. Nested (2-D) and sub-4-byte columns
+    gather individually."""
+    out_slots: List[Optional[DeviceColumn]] = [None] * len(cols)
     n = cols[0].capacity if cols else 0
     # keep the gathers out of enclosing fusions (see kernels.join_expand)
-    safe = jax.lax.optimization_barrier(jnp.clip(idx, 0, max(n - 1, 0)))
-    for c in cols:
-        data = c.data[safe]
-        validity = c.validity[safe] if c.validity is not None else None
+    safe = jax.lax.optimization_barrier(
+        jnp.clip(idx, 0, max(n - 1, 0)).astype(jnp.int32))
+
+    def finish(i, c, data, validity):
         lengths = c.lengths[safe] if c.lengths is not None else None
         ev = c.elem_valid[safe] if c.elem_valid is not None else None
         if null_extend is not None:
@@ -360,6 +459,35 @@ def gather_columns(
             data = jnp.where(
                 (null_extend[:, None] if data.ndim == 2 else null_extend),
                 jnp.zeros_like(data), data)
-        out.append(DeviceColumn(data, validity, c.dtype, c.dictionary, None,
-                                lengths, ev))
-    return out
+        out_slots[i] = DeviceColumn(data, validity, c.dtype, c.dictionary,
+                                    None, lengths, ev)
+
+    parts: List[jax.Array] = []
+    layout: List[Tuple[int, DeviceColumn, int, int, bool]] = []
+    off = 0
+    for i, c in enumerate(cols):
+        if _packable(c):
+            lanes = _pack_lanes(c.data)
+            parts.append(lanes)
+            w = lanes.shape[1]
+            has_v = c.validity is not None
+            if has_v:
+                parts.append(c.validity.astype(jnp.int32)[:, None])
+            layout.append((i, c, off, w, has_v))
+            off += w + (1 if has_v else 0)
+        else:
+            data = c.data[safe]
+            validity = c.validity[safe] if c.validity is not None else None
+            finish(i, c, data, validity)
+    if layout:
+        if off == 1:  # single 4-byte lane: plain gather, skip the reshape
+            i, c, _, _, _ = layout[0]
+            finish(i, c, c.data[safe], None)
+        else:
+            packed = jnp.concatenate(parts, axis=1)
+            g = packed[safe]
+            for i, c, o, w, has_v in layout:
+                data = _unpack_lanes(g[:, o:o + w], c.data.dtype)
+                validity = (g[:, o + w] != 0) if has_v else None
+                finish(i, c, data, validity)
+    return list(out_slots)

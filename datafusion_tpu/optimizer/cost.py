@@ -17,7 +17,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, Optional, Tuple
 
-from ..common.stats import ColumnStatistics
+from ..common.stats import ColumnStatistics, Statistics
 from ..expr import nodes as E
 from ..logical import plan as L
 
@@ -194,6 +194,15 @@ def _scan_est(p: L.TableScan) -> PlanEst:
         st = p.source.statistics()
     except Exception:
         return PlanEst(1000.0, {})
+    if not isinstance(st, Statistics):
+        # foreign providers (FFI plugins) may return arbitrary objects;
+        # stats are advisory, so degrade to the default estimate
+        rows = None
+        try:
+            rows = float(st.get("num_rows")) if isinstance(st, dict) else None
+        except Exception:
+            rows = None
+        return PlanEst(rows if rows else 1000.0, {})
     cols: Dict[ColKey, ColumnStatistics] = {}
     for f in p.schema.fields:
         cs = st.columns.get(f.name)

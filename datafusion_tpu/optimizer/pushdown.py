@@ -397,10 +397,8 @@ def reorder_joins_rule(plan: L.LogicalPlan) -> L.LogicalPlan:
                 leaves.append(n)
 
         flatten(p)
-        if len(leaves) <= 1 or (len(leaves) == 2 and not semis):
-            if len(leaves) == 1 and semis and isinstance(p, L.Join):
-                return p  # pure semi chain: already minimal
-            return p
+        if len(leaves) <= 1:
+            return p  # pure semi chain: already minimal
 
         memo: dict = {}
         ests = {id(leaf): estimate(leaf, memo) for leaf in leaves}
@@ -468,10 +466,20 @@ def reorder_joins_rule(plan: L.LogicalPlan) -> L.LogicalPlan:
                     nxt = join_cardinality(cur_est, ests[id(leaf)], [],
                                            L.JoinType.CROSS)
                     best = (nxt.rows, i, leaf, [], nxt)
-                _, i, leaf, on_here, cur_est = best
+                _, i, leaf, on_here, nxt_est = best
                 remaining.pop(i)
                 jt = L.JoinType.INNER if on_here else L.JoinType.CROSS
-                current = L.Join(current, leaf, on_here, jt, None)
+                # build-side selection (reference: JoinSelection's
+                # swap_hash_join, physical-optimizer/src/join_selection.rs):
+                # the physical join always builds on the RIGHT side, so the
+                # larger input must stay left (probe). A 200k-row probe
+                # against a 6M-row build would sort/scatter the 6M side.
+                if ests[id(leaf)].rows > cur_est.rows:
+                    current = L.Join(leaf, current,
+                                     [(b, a) for a, b in on_here], jt, None)
+                else:
+                    current = L.Join(current, leaf, on_here, jt, None)
+                cur_est = nxt_est
                 cost += cur_est.rows
                 for pr in on_here:
                     for orig in list(unused_pairs):

@@ -197,7 +197,21 @@ def cast_column(col: DeviceColumn, dtype: T.DataType, capacity: int) -> DeviceCo
         return DeviceColumn(col.data.astype(jnp.int64) * np.int64(86_400_000_000), v, dtype)
     if dtype.kind is T.TypeKind.DATE32 and col.dtype.kind is T.TypeKind.TIMESTAMP:
         return DeviceColumn((col.data // np.int64(86_400_000_000)).astype(jnp.int32), v, dtype)
-    return DeviceColumn(col.data.astype(dtype.np_dtype()), v, dtype)
+    # integer-representation casts (int widths, int<->date) keep the ordinal
+    # value, so interval bounds carry over -- this is what lets
+    # extract()/joins/dense grouping see through CASTs
+    b = None
+    if col.bounds is not None \
+            and jnp.issubdtype(col.data.dtype, jnp.integer) \
+            and not col.dtype.is_float and dtype.np_dtype().kind in "iu" \
+            and not dtype.is_float:
+        info = np.iinfo(dtype.np_dtype())
+        try:
+            if info.min <= int(col.bounds[0]) and int(col.bounds[1]) <= info.max:
+                b = col.bounds  # narrowing can't wrap: bounds prove fit
+        except Exception:
+            b = None
+    return DeviceColumn(col.data.astype(dtype.np_dtype()), v, dtype, bounds=b)
 
 
 def _literal_column(e: E.Literal, capacity: int) -> DeviceColumn:

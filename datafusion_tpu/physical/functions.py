@@ -283,6 +283,30 @@ def eval_scalar_function(
             days = (us // np.int64(86_400_000_000)).astype(jnp.int32)
         y, m, d = DU.civil_from_days(days)
         val = {"year": y, "month": m, "day": d}.get(part)
+        bounds = None
+        if val is not None and datecol.bounds is not None \
+                and datecol.dtype.kind is not T.TypeKind.TIMESTAMP:
+            # interval propagation: year is monotone in days, so the bounds
+            # of extract(year) are extract at the day bounds; month/day just
+            # take their full cyclic ranges.  This is what lets GROUP BY
+            # year/month and joins on them prove small dense domains
+            # (the reference's interval analysis on temporal exprs,
+            # physical-expr/src/intervals/cp_solver.rs).
+            import numpy as _np
+
+            def _year_of(day: int) -> int:  # pure host math (trace-safe)
+                d64 = _np.datetime64("1970-01-01") + _np.timedelta64(int(day), "D")
+                return int(d64.astype("datetime64[Y]").astype(int)) + 1970
+
+            bounds = {"year": (_year_of(datecol.bounds[0]),
+                               _year_of(datecol.bounds[1])),
+                      "month": (1, 12), "day": (1, 31)}[part]
+        elif part == "quarter":
+            bounds = (1, 4)
+        elif part in ("dow", "dayofweek"):
+            bounds = (0, 6)
+        elif part in ("doy", "dayofyear"):
+            bounds = (1, 366)
         if val is None:
             if part == "quarter":
                 val = (m - 1) // 3 + 1
@@ -292,7 +316,8 @@ def eval_scalar_function(
                 val = days - DU.days_from_civil(y, jnp.ones_like(m), jnp.ones_like(d)) + 1
             else:
                 raise PlanError(f"unsupported date part {part!r}")
-        return DeviceColumn(val.astype(jnp.int64), validity, T.INT64)
+        return DeviceColumn(val.astype(jnp.int64), validity, T.INT64,
+                            bounds=bounds)
 
     if f == "date_trunc":
         unit = str(_literal_value(arg_exprs[0])).lower()

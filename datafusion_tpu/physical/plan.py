@@ -43,6 +43,21 @@ def _scatter_any(capacity: int, idx, flags):
     return acc > 0
 
 
+def _dense_int_offset(c: DeviceColumn) -> Optional[int]:
+    """Interval minimum of a bounds-proven integer group key (the rebase
+    that makes it a dense code); None when the column is not a dense-int
+    candidate (strings/bools/floats/unbounded)."""
+    if c.dtype.is_string or c.dtype.kind is T.TypeKind.BOOL \
+            or c.bounds is None:
+        return None
+    if not jnp.issubdtype(c.data.dtype, jnp.integer):
+        return None
+    try:
+        return int(c.bounds[0])
+    except Exception:
+        return None
+
+
 class PhysicalPlan:
     schema: Schema
 
@@ -424,6 +439,11 @@ class AggregateExec(PhysicalPlan):
                 sizes.append(max(c.dictionary.size, 1))
             elif c.dtype.kind is T.TypeKind.BOOL:
                 sizes.append(2)
+            elif _dense_int_offset(c) is not None:
+                lo, hi = int(c.bounds[0]), int(c.bounds[1])
+                if hi - lo + 1 <= 0:
+                    return None
+                sizes.append(hi - lo + 1)
             else:
                 return None
         total = 1
@@ -482,14 +502,20 @@ class AggregateExec(PhysicalPlan):
 
     @staticmethod
     def dense_seg(group_cols, sel, sizes, ngroups):
-        """Arithmetic dense group ids from small-domain key codes; dead rows
-        map to the out-of-range id `ngroups`. Returns (seg, strides)."""
+        """Arithmetic dense group ids from small-domain key codes (dictionary
+        codes, bools, or bounds-proven small integer ranges rebased to their
+        interval minimum); dead rows map to the out-of-range id `ngroups`.
+        Returns (seg, strides)."""
         seg = jnp.zeros(sel.shape[0], dtype=jnp.int32)
         strides = []
         stride = 1
         for c, size in zip(reversed(group_cols), reversed(sizes)):
             strides.append(stride)
-            seg = seg + c.data.astype(jnp.int32) * stride
+            code = c.data.astype(jnp.int32)
+            off = _dense_int_offset(c)
+            if off:
+                code = code - jnp.int32(off)
+            seg = seg + code * stride
             stride *= size
         strides = list(reversed(strides))
         return jnp.where(sel, seg, ngroups), strides
@@ -501,8 +527,13 @@ class AggregateExec(PhysicalPlan):
         out_keys = []
         for c, size, st in zip(group_cols, sizes, strides):
             code = (iota_g // st) % size
-            data = code.astype(c.data.dtype) if c.dtype.kind is not T.TypeKind.BOOL \
-                else (code > 0)
+            if c.dtype.kind is T.TypeKind.BOOL:
+                data = code > 0
+            else:
+                data = code.astype(c.data.dtype)
+                off = _dense_int_offset(c)
+                if off:
+                    data = data + jnp.asarray(off, c.data.dtype)
             out_keys.append(DeviceColumn(data, None, c.dtype, c.dictionary))
         return out_keys
 
@@ -729,6 +760,18 @@ class JoinExec(PhysicalPlan):
         except Exception:
             return None
 
+    @staticmethod
+    def _direct_table_lanes(rrel, domain: int) -> bool:
+        """True when folding the packed build payload into the direct table
+        keeps it under ~512MB (domain x lanes x 4B)."""
+        lanes = 1
+        for c in rrel.columns:
+            if c.data.ndim == 1 and c.data.dtype.itemsize in (4, 8) \
+                    and c.data.dtype != jnp.bool_:
+                lanes += c.data.dtype.itemsize // 4
+                lanes += 1 if c.validity is not None else 0
+        return domain * lanes <= (1 << 27)
+
     def _direct_impl(self, lrel, rrel, jt, swapped, spans, domain,
                      bucket=None):
         """Direct-address inner/left join: table[key] -> build row (unique
@@ -742,17 +785,24 @@ class JoinExec(PhysicalPlan):
         for i in range(len(lkeys)):
             if lkeys[i].dtype.is_string or rkeys[i].dtype.is_string:
                 lkeys[i], rkeys[i] = unify_string_columns(lkeys[i], rkeys[i])
+        lcols = list(lrel.columns)
         if bucket is not None:
             order, nprefix, d1, B = bucket
             brow, matched, dup = J.join_bucket_lookup(
                 [lkeys[i] for i in order], [rkeys[i] for i in order],
                 lrel.sel, rrel.sel, spans, nprefix, d1, B)
+            rcols = J.gather_columns(list(rrel.columns), brow, matched,
+                                     null_extend=~matched)
+        elif self._direct_table_lanes(rrel, domain):
+            # payload folded into the table: one row gather total
+            rcols, matched, dup = J.join_direct_gather(
+                lkeys, rkeys, lrel.sel, rrel.sel, spans, domain,
+                list(rrel.columns))
         else:
             brow, matched, dup = J.join_direct_lookup(
                 lkeys, rkeys, lrel.sel, rrel.sel, spans, domain)
-        lcols = list(lrel.columns)
-        rcols = J.gather_columns(list(rrel.columns), brow, matched,
-                                 null_extend=~matched)
+            rcols = J.gather_columns(list(rrel.columns), brow, matched,
+                                     null_extend=~matched)
         block = DeviceRelation(
             self._block_schema(lrel, rrel, swapped),
             tuple(rcols + lcols) if swapped else tuple(lcols + rcols),
