@@ -128,18 +128,64 @@ def sort_permutation(
     return out[nk]
 
 
+def gather_rows(arrays: Sequence[jax.Array], idx: jax.Array) -> List[jax.Array]:
+    """Gather many same-length arrays at one index vector with ONE row
+    gather: TPU random gathers cost ~10ns per ROW regardless of width, so
+    1-D 4/8-byte arrays (bools included) bitcast into int32 lanes of a
+    single packed matrix; 2-D arrays (list columns) gather individually."""
+    lanes: List[jax.Array] = []
+    plan: List[Tuple[int, object, int, int]] = []  # (slot, kind, off, width)
+    out: List[Optional[jax.Array]] = [None] * len(arrays)
+    off = 0
+    for i, a in enumerate(arrays):
+        if a.ndim != 1:
+            out[i] = a[idx]
+            continue
+        if a.dtype == jnp.bool_:
+            lanes.append(a.astype(jnp.int32)[:, None])
+            plan.append((i, jnp.bool_, off, 1))
+            off += 1
+        elif a.dtype.itemsize == 8:
+            lanes.append(jax.lax.bitcast_convert_type(a, jnp.int32))
+            plan.append((i, a.dtype, off, 2))
+            off += 2
+        elif a.dtype.itemsize == 4:
+            lanes.append(jax.lax.bitcast_convert_type(a, jnp.int32)[:, None])
+            plan.append((i, a.dtype, off, 1))
+            off += 1
+        else:
+            out[i] = a[idx]
+    if len(plan) == 1 and plan[0][3] == 1:  # one 4-byte array: plain gather
+        i, kind, _, _ = plan[0]
+        out[i] = arrays[i][idx]
+    elif plan:
+        g = jnp.concatenate(lanes, axis=1)[idx]
+        for i, kind, o, w in plan:
+            if kind == jnp.bool_:
+                out[i] = g[:, o] != 0
+            elif w == 2:
+                out[i] = jax.lax.bitcast_convert_type(g[:, o:o + 2],
+                                                      arrays[i].dtype)
+            else:
+                out[i] = jax.lax.bitcast_convert_type(g[:, o],
+                                                      arrays[i].dtype)
+    return list(out)
+
+
 def sort_rows(
     keys: Sequence[Tuple[jax.Array, Optional[jax.Array], bool, bool]],
     payload: Sequence[jax.Array],
     sel: jax.Array,
 ) -> Tuple[List[jax.Array], jax.Array]:
-    """Stable multi-key sort of payloads (gather by sort permutation).
+    """Stable multi-key sort of payloads (ONE packed gather by the sort
+    permutation -- see gather_rows).
 
     keys: list of (data, validity_or_None, descending, nulls_first).
     Returns (sorted payload arrays, sorted sel). Dead rows sink to the end.
     """
     perm = sort_permutation(keys, sel)
-    return [p[perm] for p in payload], sel[perm]
+    gathered = gather_rows(list(payload) + [sel], perm)
+    return gathered[:-1], gathered[-1]
 
 
 def compaction_order(sel: jax.Array) -> jax.Array:

@@ -162,12 +162,22 @@ class WindowExec(PhysicalPlan):
 
         perm = K.sort_permutation(keys, rel.sel)
         inv = jnp.zeros(cap, dtype=jnp.int32).at[perm].set(jnp.arange(cap, dtype=jnp.int32))
-        ssel = rel.sel[perm]
-
-        sp = [DeviceColumn(c.data[perm], None if c.validity is None else c.validity[perm],
-                           c.dtype, c.dictionary) for c in pcols]
-        so = [DeviceColumn(c.data[perm], None if c.validity is None else c.validity[perm],
-                           c.dtype, c.dictionary) for c in ocols]
+        # one packed gather applies the permutation to sel + all key arrays
+        flat = [rel.sel]
+        for c in pcols + ocols:
+            flat.append(c.data)
+            if c.validity is not None:
+                flat.append(c.validity)
+        flat = K.gather_rows(flat, perm)
+        ssel, flat = flat[0], flat[1:]
+        sp, so, j = [], [], 0
+        for c in pcols + ocols:
+            data = flat[j]; j += 1
+            validity = None
+            if c.validity is not None:
+                validity = flat[j]; j += 1
+            (sp if len(sp) < len(pcols) else so).append(
+                DeviceColumn(data, validity, c.dtype, c.dictionary))
 
         if sp:
             seg, seg_start, _ = K.segments_from_sorted_keys(
