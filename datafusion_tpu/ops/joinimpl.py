@@ -302,6 +302,70 @@ def join_bucket_lookup(probe_keys, build_keys, probe_sel, build_sel,
     return brow, matched, dup | over
 
 
+def join_bucket_gather(probe_keys, build_keys, probe_sel, build_sel,
+                       spans, nprefix: int, d1: int, B: int, build_cols):
+    """Bucketed direct join with the payload folded into the table: each
+    prefix slot's row holds its B candidates' [key(2 lanes), build row,
+    packed payload lanes] side by side, so one WIDE row gather per probe
+    retrieves everything; the full-key compare then selects among the B
+    candidates elementwise (no (N, B) element gathers -- TPU gathers cost
+    per row). Returns (cols, matched, bad)."""
+    pid, p_live = _make_ids(probe_keys, probe_sel, spans)
+    bid, b_live = _make_ids(build_keys, build_sel, spans)
+    sdom = _suffix_domain(spans, nprefix)
+    full = d1 * sdom
+    nb = bid.shape[0]
+    iota = jnp.arange(nb, dtype=jnp.int32)
+    skey = jnp.where(b_live, jnp.clip(bid, 0, full - 1), full)
+    sid, sperm = jax.lax.sort([skey, iota], dimension=0, is_stable=True,
+                              num_keys=1)
+    slive = sid < full
+    sprefix = sid // sdom
+    newrun = jnp.concatenate(
+        [jnp.ones(1, jnp.bool_), sprefix[1:] != sprefix[:-1]])
+    run_start = jax.lax.cummax(jnp.where(newrun, iota, 0))
+    rank = iota - run_start
+    dup = jnp.any((sid[1:] == sid[:-1]) & slive[1:])
+    over = jnp.any(slive & (rank >= B))
+    layout, parts, rest = _build_lane_plan(build_cols)
+    packed = (jnp.concatenate(parts, axis=1) if parts
+              else jnp.zeros((nb, 0), jnp.int32))
+    from . import kernels as K
+    sorted_packed = K.gather_rows([packed], sperm)[0] if parts \
+        else packed  # build side is small: one row gather
+    key_lanes = jax.lax.bitcast_convert_type(
+        jnp.where(slive, sid, jnp.int64(-1)), jnp.int32)
+    cand = jnp.concatenate([key_lanes, sperm[:, None], sorted_packed], axis=1)
+    cw = cand.shape[1]  # 3 + payload lanes
+    slot = jnp.where(slive & (rank < B), sprefix * B + rank,
+                     jnp.int64(d1) * B)
+    table = jnp.full((d1 * B, cw), -1, jnp.int32).at[slot].set(
+        cand, mode="drop")
+    wide = table.reshape(d1, B * cw)
+    pid1 = jax.lax.optimization_barrier(
+        jnp.clip(pid // sdom, 0, d1 - 1).astype(jnp.int32))
+    g = wide[pid1]
+    matched = jnp.zeros(pid.shape[0], jnp.bool_)
+    acc = jnp.full((pid.shape[0], cw - 2), -1, jnp.int32)
+    for j in range(B):
+        base = j * cw
+        kj = jax.lax.bitcast_convert_type(g[:, base:base + 2], jnp.int64)
+        hit = p_live & (kj == pid)
+        acc = jnp.where(hit[:, None], g[:, base + 2:base + cw], acc)
+        matched = matched | hit
+    null_extend = ~matched
+    out: List[Optional[DeviceColumn]] = [None] * len(build_cols)
+    for i, c, o, w, has_v in layout:
+        out[i] = _unpack_lane_col(acc, c, 1 + o, w, has_v, null_extend)
+    if rest:
+        brow = jnp.maximum(acc[:, 0], 0)
+        gathered = gather_columns([build_cols[i] for i in rest], brow,
+                                  matched, null_extend=null_extend)
+        for i, c2 in zip(rest, gathered):
+            out[i] = c2
+    return out, matched, dup | over
+
+
 def _key_bounds(c: DeviceColumn) -> Optional[Tuple[int, int]]:
     """Integer-comparable bounds of one join-key column: value bounds from
     interval metadata, or [0, size) for dictionary codes (both sides of a

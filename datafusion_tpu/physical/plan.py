@@ -761,10 +761,11 @@ class JoinExec(PhysicalPlan):
             return None
 
     @staticmethod
-    def _direct_table_lanes(rrel, domain: int) -> bool:
+    def _direct_table_lanes(rrel, domain: int, extra: int = 0) -> bool:
         """True when folding the packed build payload into the direct table
-        keeps it under ~512MB (domain x lanes x 4B)."""
-        lanes = 1
+        keeps it under ~512MB (domain x lanes x 4B). extra adds fixed lanes
+        (the bucket variant stores the full key alongside)."""
+        lanes = 1 + extra
         for c in rrel.columns:
             if c.data.ndim == 1 and c.data.dtype.itemsize in (4, 8) \
                     and c.data.dtype != jnp.bool_:
@@ -788,11 +789,17 @@ class JoinExec(PhysicalPlan):
         lcols = list(lrel.columns)
         if bucket is not None:
             order, nprefix, d1, B = bucket
-            brow, matched, dup = J.join_bucket_lookup(
-                [lkeys[i] for i in order], [rkeys[i] for i in order],
-                lrel.sel, rrel.sel, spans, nprefix, d1, B)
-            rcols = J.gather_columns(list(rrel.columns), brow, matched,
-                                     null_extend=~matched)
+            if self._direct_table_lanes(rrel, d1 * B, extra=2):
+                rcols, matched, dup = J.join_bucket_gather(
+                    [lkeys[i] for i in order], [rkeys[i] for i in order],
+                    lrel.sel, rrel.sel, spans, nprefix, d1, B,
+                    list(rrel.columns))
+            else:
+                brow, matched, dup = J.join_bucket_lookup(
+                    [lkeys[i] for i in order], [rkeys[i] for i in order],
+                    lrel.sel, rrel.sel, spans, nprefix, d1, B)
+                rcols = J.gather_columns(list(rrel.columns), brow, matched,
+                                         null_extend=~matched)
         elif self._direct_table_lanes(rrel, domain):
             # payload folded into the table: one row gather total
             rcols, matched, dup = J.join_direct_gather(
