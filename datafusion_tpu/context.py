@@ -391,6 +391,166 @@ class DataFrame:
     def alias(self, name: str) -> "DataFrame":
         return DataFrame(self._ctx, L.SubqueryAlias(self._plan, name))
 
+    # ---- reference DataFrame surface (core/src/dataframe/mod.rs) --------
+    def select_columns(self, *names: str) -> "DataFrame":
+        return self.select(*names)
+
+    def drop_columns(self, *names: str) -> "DataFrame":
+        keep = [E.Column(f.name, f.qualifier) for f in self._plan.schema.fields
+                if f.name not in names]
+        return DataFrame(self._ctx, L.Projection(self._plan, keep))
+
+    def with_column(self, name: str, expr: E.Expr) -> "DataFrame":
+        """Add (or replace) one column (reference: DataFrame::with_column)."""
+        exprs = []
+        replaced = False
+        for f in self._plan.schema.fields:
+            if f.name == name:
+                exprs.append(E.Alias(expr, name))
+                replaced = True
+            else:
+                exprs.append(E.Column(f.name, f.qualifier))
+        if not replaced:
+            exprs.append(E.Alias(expr, name))
+        return DataFrame(self._ctx, L.Projection(self._plan, exprs))
+
+    def with_column_renamed(self, old: str, new: str) -> "DataFrame":
+        exprs = [E.Alias(E.Column(f.name, f.qualifier), new)
+                 if f.name == old else E.Column(f.name, f.qualifier)
+                 for f in self._plan.schema.fields]
+        return DataFrame(self._ctx, L.Projection(self._plan, exprs))
+
+    def union_distinct(self, other: "DataFrame") -> "DataFrame":
+        return self.union(other, all=False)
+
+    def union_by_name(self, other: "DataFrame", all: bool = True) -> "DataFrame":
+        """Union matching columns by NAME, not position (reference:
+        union_by_name): the right side is re-projected into the left's
+        column order."""
+        mine = [f.name for f in self._plan.schema.fields]
+        proj = [E.Column(n, None) for n in mine]
+        rhs = L.Projection(other._plan, proj)
+        u = L.Union([self._plan, rhs], all=True)
+        return DataFrame(self._ctx, u if all else L.Distinct(u))
+
+    def _setop(self, other: "DataFrame", jt: L.JoinType) -> "DataFrame":
+        on = [(E.Column(f.name, f.qualifier), E.Column(g.name, g.qualifier))
+              for f, g in zip(self._plan.schema.fields,
+                              other._plan.schema.fields)]
+        return DataFrame(self._ctx, L.Distinct(
+            L.Join(self._plan, other._plan, on, jt, None)))
+
+    def intersect(self, other: "DataFrame") -> "DataFrame":
+        return self._setop(other, L.JoinType.LEFT_SEMI)
+
+    intersect_distinct = intersect
+
+    def except_all(self, other: "DataFrame") -> "DataFrame":
+        return self._setop(other, L.JoinType.LEFT_ANTI)
+
+    except_ = except_distinct = except_all
+
+    def distinct_on(self, on_exprs: Sequence[E.Expr],
+                    select_exprs: Sequence[E.Expr],
+                    sort_exprs: Optional[Sequence] = None) -> "DataFrame":
+        """First row per distinct on_exprs value, ordered by sort_exprs
+        (reference: DataFrame::distinct_on / DISTINCT ON)."""
+        parts = list(on_exprs)
+        order = []
+        for s in (sort_exprs or []):
+            order.append(s if isinstance(s, E.SortSpec) else E.SortSpec(s))
+        rn = E.Alias(E.WindowFunction("row_number", (), tuple(parts),
+                                      tuple(order), None), "__df_rn")
+        w = L.Window(self._plan, [rn])
+        f = L.Filter(w, E.BinaryOp(E.Op.EQ, E.Column("__df_rn", None),
+                                   E.lit(1)))
+        return DataFrame(self._ctx, L.Projection(f, list(select_exprs)))
+
+    def fill_null(self, value, columns: Sequence[str] = ()) -> "DataFrame":
+        cols = set(columns or [f.name for f in self._plan.schema.fields])
+        exprs = []
+        for f in self._plan.schema.fields:
+            c = E.Column(f.name, f.qualifier)
+            if f.name in cols and f.nullable:
+                exprs.append(E.Alias(
+                    E.ScalarFunction("coalesce", (c, E.lit(value))), f.name))
+            else:
+                exprs.append(c)
+        return DataFrame(self._ctx, L.Projection(self._plan, exprs))
+
+    def unnest_columns(self, *names: str) -> "DataFrame":
+        """Explode list columns in place (reference: unnest_columns -- the
+        exploded elements REPLACE the list column under its name)."""
+        plan = self._plan
+        for n in names:
+            u = L.Unnest(plan, [E.Column(n, None)], names=[f"__unnest_{n}"])
+            proj = [E.Alias(E.Column(f"__unnest_{n}", None), n)
+                    if f.name == n else E.Column(f.name, f.qualifier)
+                    for f in plan.schema.fields]
+            plan = L.Projection(u, proj)
+        return DataFrame(self._ctx, plan)
+
+    def sort_by(self, *exprs) -> "DataFrame":
+        return self.sort(*exprs)
+
+    def join_on(self, right: "DataFrame", how: str = "inner",
+                *predicates: E.Expr) -> "DataFrame":
+        """Join on arbitrary predicates (reference: DataFrame::join_on);
+        the optimizer extracts equi-pairs from the conjunction."""
+        jt = {"inner": L.JoinType.INNER, "left": L.JoinType.LEFT,
+              "right": L.JoinType.RIGHT, "full": L.JoinType.FULL,
+              "semi": L.JoinType.LEFT_SEMI, "anti": L.JoinType.LEFT_ANTI}[how]
+        pred = None
+        for p in predicates:
+            pred = p if pred is None else E.BinaryOp(E.Op.AND, pred, p)
+        return DataFrame(self._ctx,
+                         L.Join(self._plan, right._plan, [], jt, pred))
+
+    def describe(self) -> "Table":
+        """Summary statistics per numeric column (reference:
+        DataFrame::describe): count, null_count, mean, std, min, max,
+        median rows."""
+        import math
+
+        t = self.collect()
+        d = t.to_pydict()
+        stats = ["count", "null_count", "mean", "std", "min", "max",
+                 "median"]
+        out: Dict[str, list] = {"describe": stats}
+        import numpy as _np
+
+        for f in t.schema.fields:
+            vals = d[f.name]
+            nn = [v for v in vals if v is not None]
+            col: list = [float(len(vals)), float(len(vals) - len(nn))]
+            if f.dtype.is_numeric and nn:
+                arr = _np.asarray(nn, dtype=float)
+                col += [float(arr.mean()),
+                        float(arr.std(ddof=1)) if len(arr) > 1 else math.nan,
+                        float(arr.min()), float(arr.max()),
+                        float(_np.median(arr))]
+            else:
+                col += [math.nan] * 5
+            out[f.name] = col
+        from .data.table import Table as _T
+
+        return _T.from_pydict(out)
+
+    def cache(self) -> "DataFrame":
+        """Materialize and continue from an in-memory table (reference:
+        DataFrame::cache)."""
+        from .catalog.catalog import MemTable
+
+        t = self.collect()
+        name = f"__cache_{id(t)}"
+        self._ctx.catalog.register(name, MemTable(t))
+        return self._ctx.table(name)
+
+    def into_view(self, name: str) -> None:
+        """Register this DataFrame's plan as a named view
+        (reference: DataFrame::into_view)."""
+        self._ctx.catalog.views[name.lower()] = self._plan
+
     @with_registry
     def window(self, window_exprs: Sequence[E.Expr]) -> "DataFrame":
         return DataFrame(self._ctx, L.Window(self._plan, list(window_exprs)))
