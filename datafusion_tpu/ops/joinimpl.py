@@ -192,6 +192,60 @@ def join_direct_lookup(probe_keys, build_keys, probe_sel, build_sel,
     return jnp.maximum(brow, 0), matched, dup
 
 
+def join_exists_minmax(probe_keys, build_keys, probe_sel, build_sel,
+                       spans, domain: int,
+                       probe_col: DeviceColumn, build_col: DeviceColumn,
+                       op: str) -> jax.Array:
+    """Existence bitmap for a semi/anti join whose residual is ONE
+    comparison `probe_col OP build_col` (op in lt/le/gt/ge/neq), over a
+    proven-dense key domain: per-key scatter-min/max of the build column
+    replaces the expansion join entirely --
+      exists b: key(b)=key(p) and p  < b.col  <=>  p.col <  max[key]
+      exists b: key(b)=key(p) and p <> b.col  <=>  cnt>=1 and
+                                                  (min[key] != p.col or
+                                                   max[key] != p.col)
+    (TPC-H Q21's `l2.l_suppkey <> l1.l_suppkey` pattern). NULL build values
+    never satisfy a comparison (excluded from min/max); NULL probe values
+    match nothing."""
+    pids, p_live = _make_ids(probe_keys, probe_sel, spans)
+    bids, b_live = _make_ids(build_keys, build_sel, spans)
+    pdata, bdata, pc, bc = _range_compare_domain(probe_col, build_col)
+    if pc.validity is not None:
+        p_live = p_live & pc.validity
+    if bc.validity is not None:
+        b_live = b_live & bc.validity
+    bslot = jnp.where(b_live, jnp.clip(bids, 0, domain - 1), domain)
+    pslot = jax.lax.optimization_barrier(
+        jnp.clip(pids, 0, domain - 1).astype(jnp.int32))
+    lo = jnp.finfo(bdata.dtype).min if jnp.issubdtype(bdata.dtype, jnp.floating) \
+        else jnp.iinfo(bdata.dtype).min
+    hi = jnp.finfo(bdata.dtype).max if jnp.issubdtype(bdata.dtype, jnp.floating) \
+        else jnp.iinfo(bdata.dtype).max
+    need_min = op in ("gt", "ge", "neq")
+    need_max = op in ("lt", "le", "neq")
+    parts = [jnp.zeros(domain, jnp.int32).at[bslot].add(1, mode="drop")]
+    if need_min:
+        parts.append(jnp.full(domain, hi, bdata.dtype).at[bslot].min(
+            jnp.where(b_live, bdata, hi), mode="drop"))
+    if need_max:
+        parts.append(jnp.full(domain, lo, bdata.dtype).at[bslot].max(
+            jnp.where(b_live, bdata, lo), mode="drop"))
+    cnt = parts[0][pslot] > 0
+    mn = parts[1][pslot] if need_min else None
+    mx = parts[-1][pslot] if need_max else None
+    if op == "lt":
+        ok = pdata < mx
+    elif op == "le":
+        ok = pdata <= mx
+    elif op == "gt":
+        ok = pdata > mn
+    elif op == "ge":
+        ok = pdata >= mn
+    else:  # neq
+        ok = (mn != pdata) | (mx != pdata)
+    return p_live & cnt & ok
+
+
 def join_direct_exists(probe_keys, build_keys, probe_sel, build_sel,
                        spans, domain: int) -> jax.Array:
     """Existence bitmap for semi/anti joins over a dense key domain: correct

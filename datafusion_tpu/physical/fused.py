@@ -243,16 +243,28 @@ def apply_join(p: P.JoinExec, lrel: DeviceRelation, rrel: DeviceRelation,
     p._exec_on = on
     p._exec_range = p.range_on
 
-    if jt in (JoinType.LEFT_SEMI, JoinType.LEFT_ANTI) and p.filter is None \
-            and p.range_on is None:
+    if jt in (JoinType.LEFT_SEMI, JoinType.LEFT_ANTI) and p.range_on is None:
         info = p._direct_info(swapped, lrel, rrel)
-        if info is not None:
+        if info is not None and p.filter is None:
             spans, domain = info
             ex = J.join_direct_exists(
                 *_unified_keys(on, lrel, rrel), lrel.sel, rrel.sel,
                 spans, domain)
             keep = ex if jt is JoinType.LEFT_SEMI else ~ex
             return DeviceRelation(p.schema, lrel.columns, lrel.sel & keep)
+        if info is not None and p.filter is not None:
+            mm = p._residual_minmax(lrel, rrel)
+            if mm is not None:
+                from .expr_compiler import eval_expr as _ee
+
+                pe, be, opk = mm
+                spans, domain = info
+                ex = J.join_exists_minmax(
+                    *_unified_keys(on, lrel, rrel), lrel.sel, rrel.sel,
+                    spans, domain, _ee(pe, lrel), _ee(be, rrel), opk)
+                keep = ex if jt is JoinType.LEFT_SEMI else ~ex
+                return DeviceRelation(p.schema, lrel.columns,
+                                      lrel.sel & keep)
 
     if jt in (JoinType.INNER, JoinType.LEFT) and p.range_on is None:
         info = p._direct_info(swapped, lrel, rrel)

@@ -773,6 +773,43 @@ class JoinExec(PhysicalPlan):
                 lanes += 1 if c.validity is not None else 0
         return domain * lanes <= (1 << 27)
 
+    _MINMAX_OPS = {E.Op.LT: "lt", E.Op.LE: "le", E.Op.GT: "gt",
+                   E.Op.GE: "ge", E.Op.NEQ: "neq"}
+    _MINMAX_MIRROR = {"lt": "gt", "le": "ge", "gt": "lt", "ge": "le",
+                      "neq": "neq"}
+
+    def _residual_minmax(self, lrel, rrel):
+        """(probe_col_expr, build_col_expr, op) when the residual filter is
+        ONE comparison between a probe-side and a build-side column --
+        the pattern join_exists_minmax turns into per-key scatter-min/max
+        (TPC-H Q21's l2.l_suppkey <> l1.l_suppkey); None otherwise."""
+        f = self.filter
+        if not isinstance(f, E.BinaryOp) or f.op not in self._MINMAX_OPS:
+            return None
+
+        def side(e):
+            if not isinstance(e, E.Column):
+                return None
+            try:
+                inl = lrel.schema.find(e.flat_name) is not None
+            except Exception:
+                inl = False
+            try:
+                inr = rrel.schema.find(e.flat_name) is not None
+            except Exception:
+                inr = False
+            if inl == inr:
+                return None
+            return "l" if inl else "r"
+
+        sl, sr = side(f.left), side(f.right)
+        op = self._MINMAX_OPS[f.op]
+        if sl == "l" and sr == "r":
+            return f.left, f.right, op
+        if sl == "r" and sr == "l":
+            return f.right, f.left, self._MINMAX_MIRROR[op]
+        return None
+
     def _direct_impl(self, lrel, rrel, jt, swapped, spans, domain,
                      bucket=None):
         """Direct-address inner/left join: table[key] -> build row (unique
@@ -896,7 +933,13 @@ class JoinExec(PhysicalPlan):
             le, re_, op = self.range_on
             self._exec_range = (re_, le, self._RANGE_MIRROR[op])
 
-        if jt in (JoinType.LEFT_SEMI, JoinType.LEFT_ANTI) and self.filter is None:
+        semi = jt in (JoinType.LEFT_SEMI, JoinType.LEFT_ANTI)
+        if semi and self.filter is not None and self._exec_range is None \
+                and getattr(self, "_allow_direct", True) \
+                and self._residual_minmax(lrel, rrel) is not None \
+                and self._direct_info(swapped, lrel, rrel) is not None:
+            out = self._run_semi(lrel, rrel, swapped)
+        elif semi and self.filter is None:
             out = self._run_semi(lrel, rrel, swapped)
         else:
             out = self._run_expand(ctx, lrel, rrel, jt, swapped)
@@ -907,6 +950,34 @@ class JoinExec(PhysicalPlan):
         info = None
         if self._exec_range is None and getattr(self, "_allow_direct", True):
             info = self._direct_info(swapped, lrel, rrel)
+        if self.filter is not None:
+            # residual minmax form (caller checked the pattern + info)
+            mm = self._residual_minmax(lrel, rrel)
+            pe, be, opk = mm
+            spans, domain = info
+            key = ("semi_mm", swapped, info, pe, be, opk)
+            fn = self._phase2.get(key)
+            if fn is None:
+                on = self._exec_on
+                anti = self.join_type in (JoinType.LEFT_ANTI,
+                                          JoinType.RIGHT_ANTI)
+
+                def f_mm(lr, rr):
+                    lkeys = [eval_expr(l, lr) for l, _ in on]
+                    rkeys = [eval_expr(r, rr) for _, r in on]
+                    for i in range(len(lkeys)):
+                        if lkeys[i].dtype.is_string or rkeys[i].dtype.is_string:
+                            lkeys[i], rkeys[i] = unify_string_columns(
+                                lkeys[i], rkeys[i])
+                    ex = J.join_exists_minmax(
+                        lkeys, rkeys, lr.sel, rr.sel, spans, domain,
+                        eval_expr(pe, lr), eval_expr(be, rr), opk)
+                    keep = ~ex if anti else ex
+                    return DeviceRelation(self.schema, lr.columns,
+                                          lr.sel & keep)
+
+                fn = self._phase2[key] = jax.jit(f_mm)
+            return fn(lrel, rrel)
         key = ("semi", swapped, info)
         fn = self._phase2.get(key)
         if fn is None and info is not None:

@@ -190,3 +190,38 @@ def test_bucket_lookup_flags_duplicates_and_overflow():
     _, m, bad3 = join_bucket_lookup([k1o, k2o], [k1o, k2o], live, live,
                                     spans, 1, 8, 4)
     assert not bool(bad3) and np.asarray(m).all()
+
+
+def test_join_exists_minmax_matches_bruteforce():
+    """Semi/anti with a single cross-side comparison residual via per-key
+    scatter-min/max (TPC-H Q21's pattern)."""
+    import pandas as pd
+
+    from datafusion_tpu.context import SessionContext
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    ok_ = rng.integers(0, 300, n)
+    sk = rng.integers(0, 8, n)
+    rd = rng.integers(0, 50, n)
+    # sprinkle NULLs into the compared column
+    sk_list = [None if rng.random() < 0.05 else int(v) for v in sk]
+    ctx = SessionContext()
+    ctx.register_table("t", {"ok": ok_.tolist(), "sk": sk_list,
+                             "rd": rd.tolist()})
+    df = pd.DataFrame({"i": range(n), "ok": ok_,
+                       "sk": [np.nan if v is None else v for v in sk_list],
+                       "rd": rd})
+    for op, f in [("<>", lambda a, b: a != b), ("<", lambda a, b: a < b),
+                  (">=", lambda a, b: a >= b)]:
+        q = (f"SELECT count(*) AS n FROM t a WHERE EXISTS ("
+             f"SELECT 1 FROM t b WHERE b.ok = a.ok AND a.sk {op} b.sk)")
+        got = ctx.sql(q).collect().to_pydict()["n"][0]
+        m = df.merge(df, on="ok", suffixes=("", "_b"))
+        m = m.dropna(subset=["sk", "sk_b"])
+        want = m[f(m.sk, m.sk_b)]["i"].nunique()
+        assert got == want, (op, got, want)
+        qa = (f"SELECT count(*) AS n FROM t a WHERE NOT EXISTS ("
+              f"SELECT 1 FROM t b WHERE b.ok = a.ok AND a.sk {op} b.sk)")
+        got_a = ctx.sql(qa).collect().to_pydict()["n"][0]
+        assert got_a == n - want, (op, got_a, n - want)
