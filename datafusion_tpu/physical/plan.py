@@ -761,17 +761,22 @@ class JoinExec(PhysicalPlan):
             return None
 
     @staticmethod
-    def _direct_table_lanes(rrel, domain: int, extra: int = 0) -> bool:
+    def _direct_table_lanes(rrel, domain: int, lcap: int,
+                            extra: int = 0) -> bool:
         """True when folding the packed build payload into the direct table
-        keeps it under ~512MB (domain x lanes x 4B). extra adds fixed lanes
-        (the bucket variant stores the full key alongside)."""
+        pays off: the fold saves ONE probe-capacity row gather, so the
+        table (domain x lanes x 4B) must stay small relative to the probe
+        (otherwise its per-execution memset/scatter -- and XLA's compile
+        time on very wide scatters, observed 20min on a 6M x 21-lane
+        table -- dwarf the saving). extra adds fixed lanes (the bucket
+        variant stores the full key alongside)."""
         lanes = 1 + extra
         for c in rrel.columns:
             if c.data.ndim == 1 and c.data.dtype.itemsize in (4, 8) \
                     and c.data.dtype != jnp.bool_:
                 lanes += c.data.dtype.itemsize // 4
                 lanes += 1 if c.validity is not None else 0
-        return domain * lanes <= (1 << 27)
+        return domain * lanes <= min(1 << 27, 8 * lcap)
 
     _MINMAX_OPS = {E.Op.LT: "lt", E.Op.LE: "le", E.Op.GT: "gt",
                    E.Op.GE: "ge", E.Op.NEQ: "neq"}
@@ -826,7 +831,7 @@ class JoinExec(PhysicalPlan):
         lcols = list(lrel.columns)
         if bucket is not None:
             order, nprefix, d1, B = bucket
-            if self._direct_table_lanes(rrel, d1 * B, extra=2):
+            if self._direct_table_lanes(rrel, d1 * B, lrel.capacity, extra=2):
                 rcols, matched, dup = J.join_bucket_gather(
                     [lkeys[i] for i in order], [rkeys[i] for i in order],
                     lrel.sel, rrel.sel, spans, nprefix, d1, B,
@@ -837,7 +842,7 @@ class JoinExec(PhysicalPlan):
                     lrel.sel, rrel.sel, spans, nprefix, d1, B)
                 rcols = J.gather_columns(list(rrel.columns), brow, matched,
                                          null_extend=~matched)
-        elif self._direct_table_lanes(rrel, domain):
+        elif self._direct_table_lanes(rrel, domain, lrel.capacity):
             # payload folded into the table: one row gather total
             rcols, matched, dup = J.join_direct_gather(
                 lkeys, rkeys, lrel.sel, rrel.sel, spans, domain,
