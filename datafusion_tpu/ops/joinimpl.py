@@ -530,9 +530,14 @@ def range_join_phase1(
 
 
 def _packable(c: DeviceColumn) -> bool:
+    # f64 excluded: this TPU compiler's X64 rewriter cannot lower ANY
+    # bitcast-convert involving f64 (same- or cross-width); f64 columns
+    # gather individually. 32-bit floats bitcast fine.
     return (c.data.ndim == 1 and c.lengths is None and c.elem_valid is None
             and c.data.dtype.itemsize in (4, 8)
-            and c.data.dtype != jnp.bool_)
+            and c.data.dtype != jnp.bool_
+            and not (jnp.issubdtype(c.data.dtype, jnp.floating)
+                     and c.data.dtype.itemsize == 8))
 
 
 def _pack_lanes(arr: jax.Array) -> jax.Array:

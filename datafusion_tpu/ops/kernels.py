@@ -145,6 +145,8 @@ def gather_rows(arrays: Sequence[jax.Array], idx: jax.Array) -> List[jax.Array]:
             lanes.append(a.astype(jnp.int32)[:, None])
             plan.append((i, jnp.bool_, off, 1))
             off += 1
+        elif jnp.issubdtype(a.dtype, jnp.floating) and a.dtype.itemsize == 8:
+            out[i] = a[idx]  # f64 bitcasts are unlowerable on this compiler
         elif a.dtype.itemsize == 8:
             lanes.append(jax.lax.bitcast_convert_type(a, jnp.int32))
             plan.append((i, a.dtype, off, 2))
