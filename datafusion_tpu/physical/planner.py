@@ -139,8 +139,10 @@ def _sparse_producer(p: P.PhysicalPlan) -> bool:
     if isinstance(p, (P.FilterExec, P.UnnestExec, P.LimitExec)):
         return True
     if isinstance(p, P.JoinExec):
-        return p.join_type in (L.JoinType.LEFT_SEMI, L.JoinType.LEFT_ANTI,
-                               L.JoinType.RIGHT_SEMI, L.JoinType.RIGHT_ANTI)
+        # semi/anti only mask; INNER/LEFT direct-address joins keep the
+        # full probe capacity with a (often sparse) mask -- selective join
+        # chains otherwise drag scan capacity into every downstream sort
+        return p.join_type is not L.JoinType.FULL
     if isinstance(p, P.SortExec):
         return p.fetch is not None
     if isinstance(p, (P.ProjectionExec, AliasExec)):
