@@ -210,6 +210,15 @@ def join_exists_minmax(probe_keys, build_keys, probe_sel, build_sel,
     pids, p_live = _make_ids(probe_keys, probe_sel, spans)
     bids, b_live = _make_ids(build_keys, build_sel, spans)
     pdata, bdata, pc, bc = _range_compare_domain(probe_col, build_col)
+    # bounds-proven int32 narrowing: 64-bit scatter-min/max and gathers are
+    # emulated on TPU (observed 3.4x on TPC-H Q21 before this)
+    if jnp.issubdtype(bdata.dtype, jnp.integer) \
+            and pc.bounds is not None and bc.bounds is not None:
+        lo_b = min(int(pc.bounds[0]), int(bc.bounds[0]))
+        hi_b = max(int(pc.bounds[1]), int(bc.bounds[1]))
+        if -(1 << 31) < lo_b and hi_b < (1 << 31) - 1:
+            pdata = pdata.astype(jnp.int32)
+            bdata = bdata.astype(jnp.int32)
     if pc.validity is not None:
         p_live = p_live & pc.validity
     if bc.validity is not None:
@@ -230,9 +239,12 @@ def join_exists_minmax(probe_keys, build_keys, probe_sel, build_sel,
     if need_max:
         parts.append(jnp.full(domain, lo, bdata.dtype).at[bslot].max(
             jnp.where(b_live, bdata, lo), mode="drop"))
-    cnt = parts[0][pslot] > 0
-    mn = parts[1][pslot] if need_min else None
-    mx = parts[-1][pslot] if need_max else None
+    # ONE row gather retrieves cnt/min/max together (per-row gather cost)
+    from . import kernels as K
+    gathered = K.gather_rows(parts, pslot)
+    cnt = gathered[0] > 0
+    mn = gathered[1] if need_min else None
+    mx = gathered[-1] if need_max else None
     if op == "lt":
         ok = pdata < mx
     elif op == "le":
