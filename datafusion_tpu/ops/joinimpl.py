@@ -132,7 +132,8 @@ def _unpack_lane_col(g: jax.Array, c: DeviceColumn, o: int, w: int,
 
 
 def join_direct_gather(probe_keys, build_keys, probe_sel, build_sel,
-                       spans, domain: int, build_cols):
+                       spans, domain: int, build_cols,
+                       null_unmatched: bool = True):
     """Direct-address join that scatters the PACKED build payload into the
     table itself: one row scatter builds table[key] -> [occupied, lanes...],
     one row gather per probe retrieves match flag + every build column --
@@ -154,7 +155,11 @@ def join_direct_gather(probe_keys, build_keys, probe_sel, build_sel,
         jnp.clip(pids, 0, domain - 1).astype(jnp.int32))
     g = table[pslot]
     matched = p_live & (g[:, 0] != 0)
-    null_extend = ~matched
+    # INNER joins mask unmatched rows out via sel anyway: skipping the
+    # null-extension drops the redundant validity lane from every gathered
+    # column (each one would become an extra operand in downstream
+    # multi-key sorts -- group keys, order keys)
+    null_extend = ~matched if null_unmatched else None
     out: List[Optional[DeviceColumn]] = [None] * len(build_cols)
     for i, c, o, w, has_v in layout:
         out[i] = _unpack_lane_col(g, c, 1 + o, w, has_v, null_extend)
@@ -369,7 +374,8 @@ def join_bucket_lookup(probe_keys, build_keys, probe_sel, build_sel,
 
 
 def join_bucket_gather(probe_keys, build_keys, probe_sel, build_sel,
-                       spans, nprefix: int, d1: int, B: int, build_cols):
+                       spans, nprefix: int, d1: int, B: int, build_cols,
+                       null_unmatched: bool = True):
     """Bucketed direct join with the payload folded into the table: each
     prefix slot's row holds its B candidates' [key(2 lanes), build row,
     packed payload lanes] side by side, so one WIDE row gather per probe
@@ -419,7 +425,7 @@ def join_bucket_gather(probe_keys, build_keys, probe_sel, build_sel,
         hit = p_live & (kj == pid)
         acc = jnp.where(hit[:, None], g[:, base + 2:base + cw], acc)
         matched = matched | hit
-    null_extend = ~matched
+    null_extend = ~matched if null_unmatched else None
     out: List[Optional[DeviceColumn]] = [None] * len(build_cols)
     for i, c, o, w, has_v in layout:
         out[i] = _unpack_lane_col(acc, c, 1 + o, w, has_v, null_extend)

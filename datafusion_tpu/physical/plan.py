@@ -829,29 +829,35 @@ class JoinExec(PhysicalPlan):
             if lkeys[i].dtype.is_string or rkeys[i].dtype.is_string:
                 lkeys[i], rkeys[i] = unify_string_columns(lkeys[i], rkeys[i])
         lcols = list(lrel.columns)
+        # INNER output masks unmatched rows via sel: skip null-extension so
+        # gathered build columns stay validity-free (each validity would be
+        # one more operand in every downstream multi-key sort)
+        nullx = jt is not JoinType.INNER
         if bucket is not None:
             order, nprefix, d1, B = bucket
             if self._direct_table_lanes(rrel, d1 * B, lrel.capacity, extra=2):
                 rcols, matched, dup = J.join_bucket_gather(
                     [lkeys[i] for i in order], [rkeys[i] for i in order],
                     lrel.sel, rrel.sel, spans, nprefix, d1, B,
-                    list(rrel.columns))
+                    list(rrel.columns), null_unmatched=nullx)
             else:
                 brow, matched, dup = J.join_bucket_lookup(
                     [lkeys[i] for i in order], [rkeys[i] for i in order],
                     lrel.sel, rrel.sel, spans, nprefix, d1, B)
-                rcols = J.gather_columns(list(rrel.columns), brow, matched,
-                                         null_extend=~matched)
+                rcols = J.gather_columns(
+                    list(rrel.columns), brow, matched,
+                    null_extend=~matched if nullx else None)
         elif self._direct_table_lanes(rrel, domain, lrel.capacity):
             # payload folded into the table: one row gather total
             rcols, matched, dup = J.join_direct_gather(
                 lkeys, rkeys, lrel.sel, rrel.sel, spans, domain,
-                list(rrel.columns))
+                list(rrel.columns), null_unmatched=nullx)
         else:
             brow, matched, dup = J.join_direct_lookup(
                 lkeys, rkeys, lrel.sel, rrel.sel, spans, domain)
-            rcols = J.gather_columns(list(rrel.columns), brow, matched,
-                                     null_extend=~matched)
+            rcols = J.gather_columns(
+                list(rrel.columns), brow, matched,
+                null_extend=~matched if nullx else None)
         block = DeviceRelation(
             self._block_schema(lrel, rrel, swapped),
             tuple(rcols + lcols) if swapped else tuple(lcols + rcols),
