@@ -69,3 +69,42 @@ def test_fused_aggregate_and_sort():
     a = to_host(fq.execute(ectx)).to_pydict()
     b = to_host(fq.execute(ectx)).to_pydict()
     assert a == b and len(a["g"]) == 5
+
+
+def test_fused_direct_join_dup_flag_rediscovers():
+    """The direct-address join bakes a unique-build assumption at
+    discovery; if the data later grows a duplicate build key, the fused
+    dup flag must force re-discovery (sort-path fallback), not silently
+    drop matches."""
+    import jax.numpy as jnp
+
+    from datafusion_tpu.data.device import DeviceRelation, to_host
+
+    ctx = SessionContext()
+    ctx.register_table("f", {"k": [1, 2, 3, 2, 1], "v": [10, 20, 30, 21, 11]})
+    ctx.register_table("d", {"k": [1, 2, 3], "w": [100, 200, 300]})
+    df = ctx.sql("SELECT f.v, d.w FROM f JOIN d ON f.k = d.k")
+    fq = FusedQuery(df.physical_plan())
+    ectx = ctx.exec_context()
+    r1 = to_host(fq.execute(ectx)).to_pydict()
+    assert sorted(r1["v"]) == [10, 11, 20, 21, 30]
+    assert fq._fused not in (None, False)
+    # mutate the cached device relation of d: duplicate key 2
+    prov = ctx.catalog.get("d")
+    key, rel = next(iter(prov._device.items()))
+    kcol = rel.columns[0]
+    wcol = rel.columns[1]
+    nk = kcol.data.at[2].set(2)   # keys become [1, 2, 2, ...]
+    nw = wcol.data.at[2].set(250)
+    from datafusion_tpu.data.device import DeviceColumn
+
+    prov._device[key] = DeviceRelation(
+        rel.schema,
+        (DeviceColumn(nk, kcol.validity, kcol.dtype, kcol.dictionary,
+                      kcol.bounds),
+         DeviceColumn(nw, wcol.validity, wcol.dtype, wcol.dictionary,
+                      wcol.bounds)),
+        rel.sel)
+    r2 = to_host(fq.execute(ectx)).to_pydict()
+    # k=2 now matches two build rows (200 and 250); k=3 has no match
+    assert sorted(r2["w"]) == [100, 100, 200, 200, 250, 250], r2
