@@ -75,6 +75,23 @@ class DeviceColumn:
         # joined with delim on download (to_host)
         self.meta = meta
 
+    def sort_bounds(self) -> Optional[Tuple[int, int]]:
+        """(lo, hi) covering the column's whole physical device array (dead
+        slots included), for packing this column as a fixed-width field of a
+        single int64 sort key: integer interval bounds, the code range of
+        dictionary-encoded strings (codes are order-preserving), (0, 1) for
+        bools. None when unbounded (floats / raw i64 with no metadata)."""
+        if self.data.ndim != 1:
+            return None
+        if self.dictionary is not None:
+            return (0, max(int(self.dictionary.size) - 1, 0))
+        if self.data.dtype == jnp.bool_:
+            return (0, 1)
+        if self.bounds is not None and jnp.issubdtype(self.data.dtype,
+                                                      jnp.integer):
+            return (int(self.bounds[0]), int(self.bounds[1]))
+        return None
+
     # ---- shape -----------------------------------------------------------
     @property
     def capacity(self) -> int:

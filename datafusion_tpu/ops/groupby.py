@@ -111,10 +111,11 @@ def phase_sort(
 ):
     """Sort by group keys (plus the distinct argument, if any); return sorted
     state + segment structure + num_groups (traced)."""
-    keys = [(c.data, c.validity, False, False) for c in group_cols]
+    keys = [(c.data, c.validity, False, False, c.sort_bounds())
+            for c in group_cols]
     if distinct_arg is not None:
         da = agg_args[distinct_arg]
-        keys.append((da.data, da.validity, False, False))
+        keys.append((da.data, da.validity, False, False, da.sort_bounds()))
 
     payload: List[jax.Array] = []
     layout = []  # (kind, idx, has_validity)

@@ -120,6 +120,19 @@ def _build_lane_plan(cols: Sequence[DeviceColumn]):
     return layout, parts, rest
 
 
+def _gathered_bounds(c: DeviceColumn, null_extend) -> Optional[Tuple[int, int]]:
+    """Bounds survive a gather: outputs are a subset of the source's physical
+    array (whose dead slots the bounds already cover — data/device.py
+    invariant), plus fresh zeros where rows are null-extended, so widen to
+    include 0 in that case."""
+    if c.bounds is None:
+        return None
+    lo, hi = int(c.bounds[0]), int(c.bounds[1])
+    if null_extend is not None:
+        lo, hi = min(lo, 0), max(hi, 0)
+    return (lo, hi)
+
+
 def _unpack_lane_col(g: jax.Array, c: DeviceColumn, o: int, w: int,
                      has_v: bool, null_extend) -> DeviceColumn:
     data = _unpack_lanes(g[:, o:o + w], c.data.dtype)
@@ -128,7 +141,8 @@ def _unpack_lane_col(g: jax.Array, c: DeviceColumn, o: int, w: int,
         v = validity if validity is not None else jnp.ones_like(null_extend)
         validity = v & ~null_extend
         data = jnp.where(null_extend, jnp.zeros_like(data), data)
-    return DeviceColumn(data, validity, c.dtype, c.dictionary)
+    return DeviceColumn(data, validity, c.dtype, c.dictionary,
+                        _gathered_bounds(c, null_extend))
 
 
 def join_direct_gather(probe_keys, build_keys, probe_sel, build_sel,
@@ -601,7 +615,8 @@ def gather_columns(
                 (null_extend[:, None] if data.ndim == 2 else null_extend),
                 jnp.zeros_like(data), data)
         out_slots[i] = DeviceColumn(data, validity, c.dtype, c.dictionary,
-                                    None, lengths, ev)
+                                    _gathered_bounds(c, null_extend),
+                                    lengths, ev)
 
     parts: List[jax.Array] = []
     layout: List[Tuple[int, DeviceColumn, int, int, bool]] = []

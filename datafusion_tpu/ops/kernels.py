@@ -102,6 +102,45 @@ def _order_key(data: jax.Array, descending: bool) -> jax.Array:
     return -data
 
 
+def _packed_sort_key(keys, sel) -> Optional[jax.Array]:
+    """Pack all sort keys (plus the liveness bit) into ONE int64 sort key
+    when every key carries bounds metadata proving its bit-width, and the
+    total fits 63 bits. Multi-operand lax.sort is the single most
+    expensive TPU sort shape (TPC-H Q3's 3 gathered group keys = 7
+    operands = ~190ms extra at SF1); a 2-operand (packed, iota) sort is
+    the cheapest. keys: (data, validity, desc, nulls_first, bounds) where
+    bounds cover the column's whole physical array (dead slots included)."""
+    total = 1  # liveness bit
+    fields = []
+    for item in keys:
+        if len(item) != 5 or item[4] is None:
+            return None
+        data, validity, desc, nulls_first, bounds = item
+        if data.dtype == jnp.bool_:
+            pass  # packs as a 0/1 field
+        elif not jnp.issubdtype(data.dtype, jnp.integer) or data.ndim != 1:
+            return None
+        lo, hi = int(bounds[0]), int(bounds[1])
+        if hi < lo:
+            return None
+        w = max(1, int(hi - lo).bit_length()) + (1 if validity is not None else 0)
+        total += w
+        fields.append((lo, hi, w))
+    if total > 63:
+        return None
+    acc = (~sel).astype(jnp.int64)  # MSB field: live rows first
+    for item, (lo, hi, w) in zip(keys, fields):
+        data, validity, desc, nulls_first, _ = item
+        v = data.astype(jnp.int64) - lo
+        if desc:
+            v = (hi - lo) - v
+        if validity is not None:
+            nb = (validity if nulls_first else ~validity).astype(jnp.int64)
+            v = jnp.where(validity, v, 0) | (nb << (w - 1))
+        acc = (acc << w) | v
+    return acc
+
+
 def sort_permutation(
     keys: Sequence[Tuple[jax.Array, Optional[jax.Array], bool, bool]],
     sel: jax.Array,
@@ -111,10 +150,17 @@ def sort_permutation(
     Only (keys, iota) go through the sort network; payloads are gathered by
     the returned permutation afterwards -- variadic many-operand sorts
     compile pathologically on TPU (observed 12-minute compiles), while
-    sort + gather stays linear in payload count.
+    sort + gather stays linear in payload count. Keys may carry a 5th
+    element (bounds) enabling the single-packed-int64 fast path.
     """
+    iota0 = jnp.arange(sel.shape[0], dtype=jnp.int32)
+    packed = _packed_sort_key(keys, sel)
+    if packed is not None:
+        out = jax.lax.sort([packed, iota0], dimension=0, is_stable=True,
+                           num_keys=1)
+        return out[1]
     operands: List[jax.Array] = [~sel]  # live rows (False) first
-    for data, validity, desc, nulls_first in keys:
+    for data, validity, desc, nulls_first, *_ in keys:
         if validity is not None:
             # ascending bool sort puts False first: nulls_first wants null->False
             nkey = validity if nulls_first else ~validity

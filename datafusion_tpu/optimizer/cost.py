@@ -328,9 +328,16 @@ def join_cardinality(left: PlanEst, right: PlanEst, on, join_type) -> PlanEst:
     elif r_valid:
         divisor = max(dr_prod, 1.0)
     else:
-        # both overflow: keys correlated on both sides — the common shape is
-        # FK -> composite PK, whose key domain is the smaller side's rows
-        divisor = max(min(left.rows, right.rows), 1.0)
+        # both overflow: keys correlated on both sides. Divide by the larger
+        # side's joint key ndv, upper-bounded per side by min(per-key ndv
+        # product, rows). A pure FK -> composite-PK join (lineitem x
+        # partsupp) then estimates ~the PK side's rows, while a reduced
+        # chain joining a fact table on two keys (TPC-H Q5's
+        # (o_orderkey, s_suppkey) against lineitem) keeps its reduction
+        # instead of degenerating to "no reduction at all".
+        bound_l = min(dl_prod, max(left.rows, 1.0))
+        bound_r = min(dr_prod, max(right.rows, 1.0))
+        divisor = max(bound_l, bound_r, 1.0)
     rows = left.rows * right.rows / divisor
     if join_type is L.JoinType.LEFT_SEMI:
         return PlanEst(max(1.0, left.rows * semi_frac), dict(left.cols))

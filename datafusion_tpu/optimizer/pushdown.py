@@ -11,12 +11,15 @@ dictionary-encoded or shipped to HBM (TPC-H comment columns are ~40% of bytes).
 """
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Set, Tuple
 
 from ..common.errors import PlanError
 from ..expr import nodes as E
 from ..logical import plan as L
 from .decorrelate import conjoin, split_conjuncts
+
+_DEBUG_REORDER = bool(os.environ.get("DFTPU_DEBUG_REORDER"))
 
 
 def _resolvable(e: E.Expr, schema) -> bool:
@@ -403,6 +406,43 @@ def reorder_joins_rule(plan: L.LogicalPlan) -> L.LogicalPlan:
         memo: dict = {}
         ests = {id(leaf): estimate(leaf, memo) for leaf in leaves}
 
+        # Transitive equality closure (reference: equivalence classes,
+        # datafusion/physical-expr/src/equivalence/class.rs): columns linked
+        # by simple Column=Column equi pairs form classes, and ANY pair of
+        # class members is an implied join edge. TPC-H Q5's c_nationkey =
+        # s_nationkey = n_nationkey lets customer join the 5-row ASIA
+        # nation/region build directly, so the region filter reduces
+        # customer/orders BEFORE the lineitem joins instead of after.
+        parent: dict = {}
+
+        def find(k):
+            while parent.get(k, k) != k:
+                parent[k] = parent.get(parent[k], parent[k])
+                k = parent[k]
+            return k
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+
+        def col_key(e):
+            return (e.qualifier, e.cname) if isinstance(e, E.Column) else None
+
+        raw_pairs: List[Tuple[E.Expr, E.Expr]] = []
+        class_cols: dict = {}  # key -> Column expr (one representative each)
+        for a, b in pairs:
+            ka, kb = col_key(a), col_key(b)
+            if ka is None or kb is None:
+                raw_pairs.append((a, b))
+            else:
+                class_cols.setdefault(ka, a)
+                class_cols.setdefault(kb, b)
+                union(ka, kb)
+        class_members: dict = {}  # root -> [Column, ...]
+        for k, c in class_cols.items():
+            class_members.setdefault(find(k), []).append(c)
+
         def semi_attachable(semi, schema) -> bool:
             jt, right, on, filt = semi
             for lk, _ in on:
@@ -430,7 +470,7 @@ def reorder_joins_rule(plan: L.LogicalPlan) -> L.LogicalPlan:
             current = leaves[start_idx]
             cur_est = ests[id(current)]
             remaining = leaves[:start_idx] + leaves[start_idx + 1:]
-            unused_pairs = list(pairs)
+            unused_pairs = list(raw_pairs)
             pending = list(semis)
             cost = 0.0
             # attach any semi/anti already valid on the bare leaf
@@ -453,6 +493,18 @@ def reorder_joins_rule(plan: L.LogicalPlan) -> L.LogicalPlan:
                             on_here.append((a, b))
                         elif _resolvable(b, current.schema) and _resolvable(a, leaf.schema):
                             on_here.append((b, a))
+                    # one implied edge per equivalence class spanning the
+                    # frontier: joining the new leaf once per class enforces
+                    # the full closure with no redundant composite keys
+                    for members in class_members.values():
+                        cur_m = next((m for m in members
+                                      if _resolvable(m, current.schema)), None)
+                        leaf_m = next((m for m in members
+                                       if col_key(m) != col_key(cur_m)
+                                       and _resolvable(m, leaf.schema)), None) \
+                            if cur_m is not None else None
+                        if cur_m is not None and leaf_m is not None:
+                            on_here.append((cur_m, leaf_m))
                     if not on_here:
                         continue
                     nxt = join_cardinality(cur_est, ests[id(leaf)], on_here,
@@ -467,6 +519,9 @@ def reorder_joins_rule(plan: L.LogicalPlan) -> L.LogicalPlan:
                                            L.JoinType.CROSS)
                     best = (nxt.rows, i, leaf, [], nxt)
                 _, i, leaf, on_here, nxt_est = best
+                if _DEBUG_REORDER:
+                    print(f"#   + {getattr(best[2], 'name', '?')} -> "
+                          f"{best[0]:,.0f} rows (on={len(best[3])})")
                 remaining.pop(i)
                 jt = L.JoinType.INNER if on_here else L.JoinType.CROSS
                 # build-side selection (reference: JoinSelection's
@@ -506,7 +561,13 @@ def reorder_joins_rule(plan: L.LogicalPlan) -> L.LogicalPlan:
             try:
                 c, pl, leftover = greedy(s)
             except Exception:
+                if _DEBUG_REORDER:
+                    import traceback
+                    traceback.print_exc()
                 continue
+            if _DEBUG_REORDER:
+                print(f"# reorder start={getattr(leaves[s], 'name', leaves[s])}"
+                      f" cost={c:,.0f}")
             if best_cost is None or c < best_cost:
                 best_cost, best_plan, best_left = c, pl, leftover
         if best_plan is None:

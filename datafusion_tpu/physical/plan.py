@@ -225,7 +225,8 @@ class SortExec(PhysicalPlan):
         keys = []
         for s in self.specs:
             c = eval_expr(s.expr, rel)
-            keys.append((c.data, c.validity, not s.asc, s.nulls_first))
+            keys.append((c.data, c.validity, not s.asc, s.nulls_first,
+                         c.sort_bounds()))
         # pack every array leaf of every column (data/validity/lengths/
         # elem_valid -- list columns included) and gather by the permutation
         payload, treedef = jax.tree_util.tree_flatten(rel.columns)
