@@ -114,3 +114,20 @@ def test_count_star_from_statistics(ctx):
     ctx.sql("INSERT INTO t VALUES (4, 40)")
     r = ctx.sql("SELECT count(*) AS n FROM t").collect().to_pydict()
     assert r["n"] == [4]
+
+
+def test_join_reorder_transitive_equality_closure():
+    """a.k = b.k and b.k = c.k implies a.k = c.k: the reorderer may join a
+    with c directly, and results must match the unreordered semantics."""
+    from datafusion_tpu import SessionContext
+
+    ctx = SessionContext()
+    ctx.register_table("ta", {"k": [1, 2, 3, 4], "x": [10, 20, 30, 40]})
+    ctx.register_table("tb", {"k": [2, 3, 4, 5], "y": [200, 300, 400, 500]})
+    ctx.register_table("tc", {"k": [3, 4, 5, 6], "z": [31, 41, 51, 61]})
+    out = ctx.sql("""
+        select ta.k, x, y, z from ta, tb, tc
+        where ta.k = tb.k and tb.k = tc.k and z < 51
+        order by ta.k
+    """).collect().to_pydict()
+    assert out == {"k": [3, 4], "x": [30, 40], "y": [300, 400], "z": [31, 41]}

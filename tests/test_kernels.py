@@ -97,3 +97,38 @@ def test_ranks_in_sorted_matches_searchsorted():
                 jnp.asarray(a.astype(np.int64)), jnp.asarray(q.astype(np.int64)), side))
             want = np.searchsorted(a, q, side=side)
             assert (got == want).all(), (side, a[:10], q[:10])
+
+
+def test_packed_sort_key_matches_multi_operand():
+    """Property: when every key carries bounds, the packed single-int64
+    sort must order rows exactly like the multi-operand fallback, for
+    every (desc, nulls_first, validity) combination."""
+    rng = np.random.default_rng(7)
+    n = 257
+    for trial in range(8):
+        desc1, nf1 = bool(trial & 1), bool(trial & 2)
+        desc2, nf2 = bool(trial & 4), not bool(trial & 1)
+        k1 = jnp.asarray(rng.integers(-5, 50, n), dtype=jnp.int64)
+        v1 = jnp.asarray(rng.random(n) > 0.2)
+        k2 = jnp.asarray(rng.integers(0, 7, n), dtype=jnp.int64)
+        k3 = jnp.asarray(rng.random(n) > 0.5)  # bool key
+        sel = jnp.asarray(rng.random(n) > 0.1)
+        bounded = [(k1, v1, desc1, nf1, (-5, 49)),
+                   (k2, None, desc2, nf2, (0, 6)),
+                   (k3, None, False, False, (0, 1))]
+        unbounded = [(d, v, de, nfi) for d, v, de, nfi, _ in bounded]
+        p_fast = np.asarray(K.sort_permutation(bounded, sel))
+        p_ref = np.asarray(K.sort_permutation(unbounded, sel))
+        assert (p_fast == p_ref).all(), (trial, p_fast[:10], p_ref[:10])
+
+
+def test_packed_sort_key_falls_back_when_unbounded():
+    n = 64
+    data = jnp.arange(n, dtype=jnp.int64)
+    f = jnp.linspace(0.0, 1.0, n)
+    sel = jnp.ones(n, dtype=bool)
+    # float key has no bounds: must still sort correctly via fallback
+    perm = np.asarray(K.sort_permutation(
+        [(f, None, True, False, None), (data, None, False, False, (0, n - 1))],
+        sel))
+    assert perm[0] == n - 1 and perm[-1] == 0
