@@ -19,7 +19,10 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import signal
 import sys
+import threading
 import time
 
 # Reference per-query ms, TPC-H SF1 parquet (benchmarks/README.md:189-210).
@@ -47,6 +50,57 @@ def geomean(xs):
     return math.exp(sum(math.log(max(x, 1e-9)) for x in xs) / len(xs))
 
 
+class _Guard:
+    """Hard deadline for the whole bench run.
+
+    The driver runs `python bench.py` under its own timeout; exceeding it
+    records NOTHING (round 2 lost its score this way: a cold machine +
+    cold compile cache blew the limit and `timeout` killed the process).
+    This guard emits the JSON metric line with whatever queries completed
+    so far — from a watchdog thread at the budget, or on SIGTERM — and
+    exits 0. The watchdog thread fires even while the main thread is
+    blocked inside an XLA compile (which releases the GIL)."""
+
+    def __init__(self, budget_s: float):
+        self.t0 = time.monotonic()
+        self.budget_s = budget_s
+        self.make_out = None  # closure -> dict, set once results exist
+        self._lock = threading.Lock()
+        self._emitted = False
+        timer = threading.Timer(budget_s, self._fire, kwargs={"why": "budget"})
+        timer.daemon = True
+        timer.start()
+        try:
+            signal.signal(signal.SIGTERM, lambda *_: self._fire(why="sigterm"))
+        except ValueError:
+            pass  # not the main thread (unexpected); watchdog still covers us
+
+    def remaining(self) -> float:
+        return self.budget_s - (time.monotonic() - self.t0)
+
+    def emit(self, out: dict) -> bool:
+        with self._lock:
+            if self._emitted:
+                return False
+            self._emitted = True
+        print(json.dumps(out), flush=True)
+        return True
+
+    def _fire(self, why: str) -> None:
+        out = {"metric": "bench_incomplete", "value": 0.0, "unit": "ms",
+               "vs_baseline": 0.0}
+        if self.make_out is not None:
+            try:
+                out = self.make_out()
+            except Exception:  # noqa: BLE001 -- always emit something
+                pass
+        out["stopped_early"] = why
+        if self.emit(out):
+            print(f"# bench stopped early ({why}) after "
+                  f"{time.monotonic() - self.t0:.0f}s", file=sys.stderr)
+        os._exit(0)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=1.0)
@@ -71,7 +125,13 @@ def main():
                          "parquet scan + decode + device upload")
     ap.add_argument("--rows", type=int, default=1_000_000,
                     help="clickbench/h2o: synthetic row count")
+    ap.add_argument("--budget", type=float,
+                    default=float(os.environ.get("BENCH_BUDGET_S", "1500")),
+                    help="wall-clock budget in seconds; the metric line is "
+                         "emitted with partial results when it runs out")
     args = ap.parse_args()
+    guard = _Guard(args.budget)
+    args.guard = guard
 
     import jax
 
@@ -100,8 +160,6 @@ def main():
         # and is scanned through the native parquet path. With --cold the
         # host/device caches are dropped between repeats so every timed run
         # pays scan + decode + upload.
-        import os
-
         from datafusion_tpu.catalog.catalog import ParquetTable
 
         os.makedirs(args.parquet, exist_ok=True)
@@ -153,8 +211,40 @@ def main():
     per_query_ms = {}
     failed = {}
     check_failed = {}
-    checked = 0
+    state = {"checked": 0}
+
+    def build_out():
+        done_ = list(per_query_ms)
+        gm_ = geomean(list(per_query_ms.values())) if per_query_ms else float("nan")
+        base_ = geomean([BASELINE_SF1_MS[q] for q in done_]) if done_ else float("nan")
+        base_mem_ = (geomean([BASELINE_SF1_MEM_MS[q] for q in done_])
+                     if done_ else float("nan"))
+        out_ = {
+            "metric": f"tpch_sf{args.sf:g}_geomean_ms",
+            "value": round(gm_, 2) if per_query_ms else 0.0,
+            "unit": "ms",
+            "vs_baseline": round(base_ / gm_, 3) if per_query_ms else 0.0,
+            # like-for-like: reference's in-memory run vs our HBM-resident run
+            "vs_baseline_mem": round(base_mem_ / gm_, 3) if per_query_ms else 0.0,
+            "queries": {str(k): round(v, 2) for k, v in per_query_ms.items()},
+            "backend": jax.devices()[0].platform,
+            # full value comparison vs the pandas oracle (decimals exact,
+            # floats to tolerance) -- true only when every executed query matched
+            "checked": bool(args.check and not check_failed
+                            and state["checked"] == len(per_query_ms)
+                            and per_query_ms),
+        }
+        if check_failed:
+            out_["check_failed"] = {str(k): v for k, v in check_failed.items()}
+        if failed:
+            out_["failed"] = failed
+        return out_
+
+    guard.make_out = build_out
     for qid in qids:
+      if guard.remaining() < 45:
+          failed[qid] = "skipped: budget exhausted"
+          continue
       try:
         sql = query(qid, args.sf)
         df = ctx.sql(sql)
@@ -168,7 +258,7 @@ def main():
         jax.block_until_ready(rel.sel)
         compile_s = time.time() - t0
         if args.settle and compile_s > 2:
-            time.sleep(min(args.settle * compile_s, 30.0))
+            time.sleep(min(args.settle * compile_s, 10.0, max(guard.remaining(), 0)))
         times = []
         for _ in range(args.repeat):
             if args.cold:
@@ -191,7 +281,7 @@ def main():
             ref = load_or_compute_answer(qid, args.sf, pdt_factory)
             diff = frames_diff(ours, ref, ordered=qid in LIMIT_QUERIES)
             if diff is None:
-                checked += 1
+                state["checked"] += 1
             else:
                 check_failed[qid] = diff
             if args.verbose or diff is not None:
@@ -201,29 +291,7 @@ def main():
         failed[qid] = f"{type(exc).__name__}: {exc}"
         print(f"# q{qid} FAILED: {failed[qid][:200]}", file=sys.stderr)
 
-    done = list(per_query_ms)
-    gm = geomean(list(per_query_ms.values())) if per_query_ms else float("nan")
-    base = geomean([BASELINE_SF1_MS[q] for q in done]) if done else float("nan")
-    base_mem = geomean([BASELINE_SF1_MEM_MS[q] for q in done]) if done else float("nan")
-    out = {
-        "metric": f"tpch_sf{args.sf:g}_geomean_ms",
-        "value": round(gm, 2),
-        "unit": "ms",
-        "vs_baseline": round(base / gm, 3) if per_query_ms else 0.0,
-        # like-for-like: the reference's in-memory run vs our HBM-resident run
-        "vs_baseline_mem": round(base_mem / gm, 3) if per_query_ms else 0.0,
-        "queries": {str(k): round(v, 2) for k, v in per_query_ms.items()},
-        "backend": jax.devices()[0].platform,
-        # full value comparison vs the pandas oracle (decimals exact, floats
-        # to tolerance) -- true only when every executed query matched
-        "checked": bool(args.check and not check_failed
-                        and checked == len(per_query_ms) and per_query_ms),
-    }
-    if check_failed:
-        out["check_failed"] = {str(k): v for k, v in check_failed.items()}
-    if failed:
-        out["failed"] = failed
-    print(json.dumps(out))
+    guard.emit(build_out())
 
 
 def clickbench_main(args):
@@ -260,7 +328,11 @@ def clickbench_main(args):
     check_failed = {}
     checked = 0
     on_tpu = jax.devices()[0].platform == "tpu"
+    guard = args.guard
     for qid in qids:
+      if guard.remaining() < 45:
+          failed[qid] = "skipped: budget exhausted"
+          continue
       try:
         sql = query(qid, args.rows)
         phys = FusedQuery(ctx.sql(sql).physical_plan())
@@ -314,7 +386,7 @@ def clickbench_main(args):
         out["check_failed"] = {str(k): v for k, v in check_failed.items()}
     if failed:
         out["failed"] = failed
-    print(json.dumps(out))
+    args.guard.emit(out)
 
 
 def h2o_main(args):
@@ -399,7 +471,7 @@ def h2o_main(args):
         out["check_failed"] = check_failed
     if failed:
         out["failed"] = failed
-    print(json.dumps(out))
+    args.guard.emit(out)
 
 
 if __name__ == "__main__":

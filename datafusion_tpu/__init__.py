@@ -21,6 +21,16 @@ def enable_compilation_cache(path: str = None) -> None:
 
     import jax
 
+    try:
+        backend = jax.default_backend()
+    except Exception:  # noqa: BLE001 -- no usable backend: nothing to cache
+        return
+    if backend != "tpu":
+        # CPU AOT executables are machine-feature-specific; the cache dir
+        # lives on a home filesystem shared across machines, and loading an
+        # entry compiled on a different host can SIGILL. TPU executables
+        # target the chip, not the host, so only those are safe to share.
+        return
     path = path or os.environ.get(
         "DATAFUSION_TPU_CACHE", os.path.expanduser("~/.cache/datafusion_tpu_xla")
     )

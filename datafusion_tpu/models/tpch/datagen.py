@@ -10,6 +10,9 @@ aggregation_fuzzer, SURVEY.md §4).
 """
 from __future__ import annotations
 
+import json
+import os
+import shutil
 from typing import Dict
 
 import numpy as np
@@ -95,7 +98,97 @@ def _phones(rng, nations: np.ndarray) -> np.ndarray:
     return out.astype(object)
 
 
-def generate_tpch(sf: float = 0.01, seed: int = 42) -> Dict[str, Table]:
+TABLE_NAMES = ("region", "nation", "supplier", "customer", "part",
+               "partsupp", "orders", "lineitem")
+
+_CACHE_ENV = "DATAFUSION_TPU_DATA_CACHE"
+
+
+def _cache_dir(sf: float, seed: int) -> str:
+    base = os.environ.get(_CACHE_ENV) or os.path.join(
+        os.path.expanduser("~"), ".cache", "datafusion_tpu_data")
+    return os.path.join(base, f"tpch_sf{sf:g}_seed{seed}")
+
+
+def _dtype_token(dt) -> list:
+    return [dt.kind.value, dt.precision, dt.scale]
+
+
+def _dtype_from_token(tok):
+    from ...common import types as T
+
+    kind = T.TypeKind(tok[0])
+    if kind is T.TypeKind.DECIMAL:
+        return T.decimal(tok[1], tok[2])
+    return T.DataType(kind)
+
+
+def _save_table(path: str, table: Table) -> None:
+    arrays = {}
+    schema = []
+    for f, c in zip(table.schema.fields, table.columns):
+        schema.append([f.name, _dtype_token(f.dtype), bool(f.nullable)])
+        arrays[f"{f.name}.data"] = c.data
+        if c.validity is not None:
+            arrays[f"{f.name}.valid"] = c.validity
+        if c.dictionary is not None:
+            arrays[f"{f.name}.dict"] = c.dictionary.values
+    arrays["schema.json"] = np.frombuffer(
+        json.dumps(schema).encode(), dtype=np.uint8).copy()
+    np.savez(path, **arrays)
+
+
+def _load_table(path: str) -> Table:
+    from ...common.schema import Field, Schema
+    from ...data.column import Dictionary, HostColumn
+
+    with np.load(path, allow_pickle=True) as z:
+        schema = json.loads(bytes(z["schema.json"]).decode())
+        fields, cols = [], []
+        for name, tok, nullable in schema:
+            dt = _dtype_from_token(tok)
+            data = z[f"{name}.data"]
+            valid = z[f"{name}.valid"] if f"{name}.valid" in z else None
+            d = (Dictionary(z[f"{name}.dict"])
+                 if f"{name}.dict" in z else None)
+            fields.append(Field(name, dt, nullable=nullable))
+            cols.append(HostColumn(dt, data, valid, d))
+    return Table(Schema(fields), cols)
+
+
+def generate_tpch(sf: float = 0.01, seed: int = 42,
+                  cache: bool = True) -> Dict[str, Table]:
+    """Generate (or load from the on-disk cache) the 8 TPC-H tables.
+
+    Generation at SF1 costs ~3 minutes of numpy time; bench runs under a
+    driver timeout cannot afford that twice, so tables for sf >= 0.05 are
+    cached under ~/.cache/datafusion_tpu_data as npz files preserving the
+    exact host representation (dtype, data, validity, sorted dictionary)."""
+    if cache and sf >= 0.05:
+        d = _cache_dir(sf, seed)
+        try:
+            if all(os.path.exists(os.path.join(d, f"{n}.npz"))
+                   for n in TABLE_NAMES):
+                return {n: _load_table(os.path.join(d, f"{n}.npz"))
+                        for n in TABLE_NAMES}
+        except Exception:
+            pass  # unreadable cache: regenerate below
+        tables = _generate_tpch(sf, seed)
+        try:
+            tmp = d + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.makedirs(tmp, exist_ok=True)
+            for n, t in tables.items():
+                _save_table(os.path.join(tmp, f"{n}.npz"), t)
+            shutil.rmtree(d, ignore_errors=True)
+            os.replace(tmp, d)
+        except Exception:
+            pass  # cache write is best-effort
+        return tables
+    return _generate_tpch(sf, seed)
+
+
+def _generate_tpch(sf: float, seed: int) -> Dict[str, Table]:
     rng = np.random.default_rng(seed)
     n_supp = max(int(10_000 * sf), 10)
     n_cust = max(int(150_000 * sf), 30)
