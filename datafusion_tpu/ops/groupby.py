@@ -118,20 +118,26 @@ def phase_sort(
         keys.append((da.data, da.validity, False, False, da.sort_bounds()))
 
     payload: List[jax.Array] = []
-    layout = []  # (kind, idx, has_validity)
+    layout = []  # (kind, idx, has_validity, narrowed)
+
+    def _add(kind, i, c):
+        # i64 columns whose bounds prove an int32 range ride the permutation
+        # gather as ONE int32 lane instead of two (gather traffic scales
+        # with lane count at 8M rows), widened back after the sort
+        narrow = (c.data.ndim == 1 and c.data.dtype == jnp.int64
+                  and c.fits_i32())
+        payload.append(c.data.astype(jnp.int32) if narrow else c.data)
+        if c.validity is not None:
+            payload.append(c.validity)
+        layout.append((kind, i, c.validity is not None, narrow))
+
     for i, c in enumerate(group_cols):
-        payload.append(c.data)
-        if c.validity is not None:
-            payload.append(c.validity)
-        layout.append(("g", i, c.validity is not None))
+        _add("g", i, c)
     for i, c in enumerate(agg_args):
-        payload.append(c.data)
-        if c.validity is not None:
-            payload.append(c.validity)
-        layout.append(("a", i, c.validity is not None))
+        _add("a", i, c)
     for i, f in enumerate(filters):
         payload.append(f)
-        layout.append(("f", i, False))
+        layout.append(("f", i, False, False))
 
     sorted_payload, ssel = K.sort_rows(keys, payload, sel)
 
@@ -140,8 +146,10 @@ def phase_sort(
     sa: List[DeviceColumn] = []
     sf: List[jax.Array] = []
     it = iter(sorted_payload)
-    for kind, i, hasv in layout:
+    for kind, i, hasv, narrow in layout:
         data = next(it)
+        if narrow:
+            data = data.astype(jnp.int64)
         validity = next(it) if hasv else None
         if kind == "g":
             c = group_cols[i]
@@ -198,6 +206,24 @@ def phase_reduce_multi(states, specs, num_segments):
     return out_keys, out_aggs, out_sel
 
 
+def _cumsum_blocked(z: jax.Array) -> jax.Array:
+    """Inclusive cumsum via a two-level block decomposition.
+
+    XLA's 1-D cumulative-sum over emulated-64-bit element types (the 32-bit
+    VPU has no native i64/f64) costs ~150 ms at 8M rows; reshaping to
+    [B, K] makes the within-block scan a K-length cumsum vectorized over B
+    sublanes and the cross-block carry a tiny B-length scan."""
+    n = z.shape[0]
+    K = 1024
+    if n % K != 0 or n <= K or z.ndim != 1:
+        return jnp.cumsum(z)
+    z2 = z.reshape(n // K, K)
+    within = jnp.cumsum(z2, axis=1)
+    carry = jnp.concatenate(
+        [jnp.zeros((1,), z.dtype), jnp.cumsum(within[:-1, -1])])
+    return (within + carry[:, None]).reshape(n)
+
+
 class SortedSegments:
     """Scatter-free reduction machinery for rows sorted by group key.
 
@@ -214,26 +240,48 @@ class SortedSegments:
         self.seg = seg
         self.ssel = ssel
         self.is_start = is_start
-        nxt = jnp.concatenate([seg[1:], jnp.full((1,), -1, seg.dtype)])
-        self.is_end = ssel & ((seg != nxt) | ~jnp.concatenate([ssel[1:], jnp.zeros(1, bool)]))
         iota = jnp.arange(n, dtype=jnp.int32)
         _, sp = jax.lax.sort([~is_start, iota], dimension=0, is_stable=True, num_keys=1)
-        _, ep = jax.lax.sort([~self.is_end, iota], dimension=0, is_stable=True, num_keys=1)
+        if G > n:  # capacity exceeds row count: pad to G with sentinel starts
+            sp = jnp.concatenate([sp, jnp.full((G - n,), n, jnp.int32)])
         self.starts = jnp.clip(sp[:G], 0, n - 1)   # row index of group g's first row
-        self.ends = jnp.clip(ep[:G], 0, n - 1)     # row index of group g's last row
-        self.count_all = self._sum(ssel.astype(jnp.int64), ssel)
+        # Live rows are a contiguous prefix (sort_rows sinks dead rows), so
+        # group g ends where group g+1 starts: no second sort, and counts
+        # are pure arithmetic (no emulated-i64 cumsum).
+        ng = jnp.sum(is_start.astype(jnp.int32))
+        live_rows = jnp.sum(ssel.astype(jnp.int32))
+        gi = jnp.arange(G, dtype=jnp.int32)
+        self.gi = gi
+        self.ng = ng
+        self.live = gi < ng
+        spx = jnp.concatenate([sp, jnp.full((1,), n, jnp.int32)])
+        nxt_start = spx[1:G + 1]
+        ends = jnp.where(gi == ng - 1, live_rows - 1, nxt_start - 1)
+        self.ends = jnp.clip(jnp.where(self.live, ends, 0), 0, n - 1)
+        self.count_all = jnp.where(
+            self.live, (self.ends - self.starts + 1).astype(jnp.int64), 0)
 
     def _sum(self, values: jax.Array, mask: jax.Array) -> jax.Array:
+        # ONE G-sized gather per sum: gather the exclusive prefix at each
+        # group start; group g's sum is S[g+1] - S[g] (S[ng] = grand total,
+        # valid because mask ⊆ ssel and dead rows contribute zero). TPU
+        # random gathers cost per row, so this halves the dominant cost vs
+        # gathering at both starts and ends.
         z = jnp.where(mask, values, jnp.zeros_like(values))
-        cs = jnp.cumsum(z)
-        lo = cs[self.starts] - z[self.starts]
-        return cs[self.ends] - lo
+        cs = _cumsum_blocked(z)
+        S = (cs - z)[self.starts]
+        nxt = jnp.concatenate([S[1:], jnp.zeros((1,), S.dtype)])
+        hi = jnp.where(self.gi == self.ng - 1, cs[-1], nxt)
+        return jnp.where(self.live, hi - S, 0)
 
     def sum(self, values, mask):
         return self._sum(values, mask)
 
     def count(self, mask):
-        return self._sum(mask.astype(jnp.int64), mask)
+        if mask is self.ssel:
+            return self.count_all
+        # counts fit int32 (capacity < 2^31): native cumsum, not emulated i64
+        return self._sum(mask.astype(jnp.int32), mask).astype(jnp.int64)
 
     def _scan_extreme(self, values, mask, is_max: bool):
         ident = _ident_for(values.dtype, is_max)
@@ -285,10 +333,17 @@ def phase_reduce(
     group_count = ss.count_all
     out_sel = group_count > 0
 
+    # one packed gather materializes every group-key column (+validity)
+    gat_in: List[jax.Array] = []
+    for c in sg:
+        gat_in.append(c.data)
+        if c.validity is not None:
+            gat_in.append(c.validity)
+    gat = iter(K.gather_rows(gat_in, first_idx))
     out_keys = []
     for c in sg:
-        data = c.data[first_idx]
-        validity = None if c.validity is None else (c.validity[first_idx] & out_sel)
+        data = next(gat)
+        validity = None if c.validity is None else (next(gat) & out_sel)
         out_keys.append(DeviceColumn(data, validity, c.dtype, c.dictionary))
 
     out_aggs = []
