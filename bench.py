@@ -241,24 +241,45 @@ def main():
         return out_
 
     guard.make_out = build_out
+
+    # Three phases, ordered so a blown budget degrades gracefully: compiles
+    # are the expensive unbounded part (10s-180s per query cold via the
+    # remote-compile tunnel), timings are cheap (repeat * steady-state ms),
+    # checks are host-side pandas. Compiling everything FIRST means budget
+    # exhaustion still times every query that compiled -- a partial round-2
+    # run timed only 15 of 22 because each query paid compile inline.
+    from datafusion_tpu.physical.fused import FusedQuery
+
+    compiled = {}  # qid -> FusedQuery
+    ectx = ctx.exec_context()
     for qid in qids:
-      if guard.remaining() < 45:
-          failed[qid] = "skipped: budget exhausted"
+      if guard.remaining() < 60:
+          failed[qid] = "skipped: budget exhausted (compile phase)"
           continue
       try:
-        sql = query(qid, args.sf)
-        df = ctx.sql(sql)
-        from datafusion_tpu.physical.fused import FusedQuery
-
-        phys = FusedQuery(df.physical_plan())
-        ectx = ctx.exec_context()
-        # warmup: trace+compile (+ capacity discovery syncs)
         t0 = time.time()
+        phys = FusedQuery(ctx.sql(query(qid, args.sf)).physical_plan())
+        # warmup: trace+compile (+ capacity discovery syncs)
         rel = phys.execute(ectx)
         jax.block_until_ready(rel.sel)
-        compile_s = time.time() - t0
-        if args.settle and compile_s > 2:
-            time.sleep(min(args.settle * compile_s, 10.0, max(guard.remaining(), 0)))
+        del rel
+        compiled[qid] = phys
+        if args.verbose:
+            print(f"# q{qid:>2} compiled in {time.time() - t0:7.1f} s",
+                  file=sys.stderr)
+      except Exception as exc:  # noqa: BLE001 -- survive per-query failures
+        failed[qid] = f"{type(exc).__name__}: {exc}"
+        print(f"# q{qid} FAILED: {failed[qid][:200]}", file=sys.stderr)
+
+    if args.settle:  # let the remote-compile helper drain before timing
+        time.sleep(min(args.settle * 4, 10.0, max(guard.remaining(), 0)))
+
+    results = {}  # qid -> DeviceRelation (kept for the check phase)
+    for qid, phys in compiled.items():
+      if guard.remaining() < 10:
+          failed[qid] = "skipped: budget exhausted (timing phase)"
+          continue
+      try:
         times = []
         for _ in range(args.repeat):
             if args.cold:
@@ -267,16 +288,24 @@ def main():
             rel = phys.execute(ectx)
             jax.block_until_ready(rel.sel)
             times.append((time.perf_counter() - t0) * 1000)
-        ms = min(times)
-        per_query_ms[qid] = ms
+        per_query_ms[qid] = min(times)
+        results[qid] = rel
         if args.verbose:
-            print(f"# q{qid:>2}: {ms:9.2f} ms  (compile+first {compile_s*1000:8.0f} ms)",
-                  file=sys.stderr)
-        if args.check:
-            from datafusion_tpu.data.device import to_host
-            from datafusion_tpu.models.tpch.compare import (
-                LIMIT_QUERIES, frames_diff, load_or_compute_answer)
+            print(f"# q{qid:>2}: {per_query_ms[qid]:9.2f} ms", file=sys.stderr)
+      except Exception as exc:  # noqa: BLE001
+        failed[qid] = f"{type(exc).__name__}: {exc}"
+        print(f"# q{qid} FAILED: {failed[qid][:200]}", file=sys.stderr)
 
+    if args.check:
+        from datafusion_tpu.data.device import to_host
+        from datafusion_tpu.models.tpch.compare import (
+            LIMIT_QUERIES, frames_diff, load_or_compute_answer)
+
+        for qid, rel in results.items():
+          if guard.remaining() < 5:
+              check_failed[qid] = "skipped: budget exhausted (check phase)"
+              continue
+          try:
             ours = to_host(rel).to_pandas()
             ref = load_or_compute_answer(qid, args.sf, pdt_factory)
             diff = frames_diff(ours, ref, ordered=qid in LIMIT_QUERIES)
@@ -287,9 +316,8 @@ def main():
             if args.verbose or diff is not None:
                 print(f"# q{qid} check: {'OK' if diff is None else 'MISMATCH ' + diff}",
                       file=sys.stderr)
-      except Exception as exc:  # noqa: BLE001 -- survive per-query failures
-        failed[qid] = f"{type(exc).__name__}: {exc}"
-        print(f"# q{qid} FAILED: {failed[qid][:200]}", file=sys.stderr)
+          except Exception as exc:  # noqa: BLE001
+            check_failed[qid] = f"{type(exc).__name__}: {exc}"
 
     guard.emit(build_out())
 

@@ -38,6 +38,23 @@ def enable_compilation_cache(path: str = None) -> None:
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+    # Even in a TPU-default process, cpu-device computations compile CPU AOT
+    # executables (e.g. the CPU-backend differential checks); keep those OUT
+    # of the shared cache by answering "cache not used" for non-TPU backends.
+    try:
+        from jax._src import compilation_cache as _cc
+
+        if getattr(_cc.is_cache_used, "__name__", "") != "_tpu_only_cache":
+            _orig = _cc.is_cache_used
+
+            def _tpu_only_cache(backend):
+                if getattr(backend, "platform", None) != "tpu":
+                    return False
+                return _orig(backend)
+
+            _cc.is_cache_used = _tpu_only_cache
+    except Exception:  # noqa: BLE001 -- private API; cache stays best-effort
+        pass
 
 __all__ = [
     "SessionContext", "DataFrame", "Table", "Schema", "Field", "col", "lit",
