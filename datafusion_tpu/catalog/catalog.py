@@ -46,6 +46,47 @@ class TableProvider:
             self._stats = cached
         return cached
 
+    def is_unique(self, cols: tuple) -> bool:
+        """Whether `cols` is a unique key of this table (reference analog:
+        Constraints::PrimaryKey/Unique on TableProvider, functional
+        dependence in expr/src/logical_plan/plan.rs). Declared keys
+        (`_unique_keys`, e.g. MemTable's unique_keys=) answer immediately;
+        otherwise an exact one-time host pass (np.unique, cached) decides —
+        optimizer rewrites that merge group keys REQUIRE exactness, so this
+        never estimates. Columns with NULLs are never a unique key here."""
+        cols = tuple(cols)
+        for k in getattr(self, "_unique_keys", ()):
+            if set(k) <= set(cols):
+                return True  # a superset of a unique key is unique
+        cache = getattr(self, "_unique_cache", None)
+        if cache is None:
+            cache = self._unique_cache = {}
+        hit = cache.get(cols)
+        if hit is not None:
+            return hit
+        import numpy as np
+
+        try:
+            t = self.host_table()
+            arrs = []
+            for name in cols:
+                c = t.column(name)
+                if c.validity is not None and not c.validity.all():
+                    cache[cols] = False
+                    return False
+                arrs.append(np.asarray(c.data))
+            n = t.num_rows
+            if n == 0:
+                uniq = True
+            elif len(arrs) == 1:
+                uniq = len(np.unique(arrs[0])) == n
+            else:
+                uniq = len(np.unique(np.stack(arrs, axis=1), axis=0)) == n
+        except Exception:  # noqa: BLE001 -- unknown column / unloadable table
+            uniq = False
+        cache[cols] = uniq
+        return uniq
+
     def scan_chunks(self, ctx, filters=(), projection=None, chunk_rows=1 << 20):
         """Yield capacity-bounded device chunks of this table (out-of-core
         scan; reference analog: partitioned FileStream batches). Every chunk
@@ -98,6 +139,9 @@ class StreamingTable(TableProvider):
 
     def schema(self) -> Schema:
         return self._schema
+
+    def is_unique(self, cols: tuple) -> bool:
+        return False  # a stream cannot be scanned at plan time
 
     def statistics(self):
         from ..common.stats import Statistics
@@ -164,8 +208,9 @@ class WorkTable(TableProvider):
 
 
 class MemTable(TableProvider):
-    def __init__(self, table: Table):
+    def __init__(self, table: Table, unique_keys=()):
         self._table = table
+        self._unique_keys = tuple(tuple(k) for k in unique_keys)
         self._device: Dict[str, DeviceRelation] = {}
 
     def schema(self) -> Schema:

@@ -96,6 +96,11 @@ _opt("execution.parquet_bloom_pruning", True,
 _opt("optimizer.filter_pushdown", True,
      "Push filter conjuncts below joins and extract equi-join keys from "
      "cross joins.")
+_opt("optimizer.late_materialization", True,
+     "Drop GROUP BY keys functionally determined (via verified-unique join "
+     "keys) by the remaining keys, re-attaching them by a post-aggregation "
+     "join; determined keys otherwise ride every join table and gather as "
+     "payload lanes.")
 _opt("optimizer.projection_pruning", True,
      "Prune unreferenced columns at table scans (avoids dictionary-encoding "
      "and device residency for unused columns).")

@@ -270,6 +270,11 @@ class WindowFunction(Expr):
 class Alias(Expr):
     expr: Expr
     aname: str
+    # output-field relation qualifier: lets optimizer rewrites that move a
+    # column to a differently-aliased relation restore the original qualified
+    # name (reference: Expr::Alias carries an optional relation --
+    # expr/src/expr.rs Alias { relation, .. })
+    qualifier: Optional[str] = None
 
 
 @_d
@@ -448,7 +453,7 @@ def map_expr(e: Expr, fn) -> Expr:
                 x.frame,
             )
         elif isinstance(x, Alias):
-            x = Alias(rec(x.expr), x.aname)
+            x = Alias(rec(x.expr), x.aname, x.qualifier)
         elif isinstance(x, SortSpec):
             x = SortSpec(rec(x.expr), x.asc, x.nulls_first)
         elif isinstance(x, InSubquery):

@@ -105,6 +105,8 @@ class Projection(LogicalPlan):
             q = None
             if isinstance(e, E.Column):
                 q = e.qualifier or input.schema.field(e.flat_name).qualifier
+            elif isinstance(e, E.Alias):
+                q = e.qualifier
             fields.append(Field(e.name(), dt, nullable, q))
         self.schema = Schema(fields)
 

@@ -88,7 +88,10 @@ def expr_to_dict(e: E.Expr) -> Dict:
                             e.frame.end_kind, e.frame.end_offset]
         return out
     if isinstance(e, E.Alias):
-        return {"t": "alias", "e": expr_to_dict(e.expr), "name": e.aname}
+        out = {"t": "alias", "e": expr_to_dict(e.expr), "name": e.aname}
+        if e.qualifier is not None:
+            out["q"] = e.qualifier
+        return out
     if isinstance(e, E.SortSpec):
         return sortspec_to_dict(e)
     raise PlanError(f"cannot serialize expr {type(e).__name__}")
@@ -142,7 +145,7 @@ def expr_from_dict(d: Dict) -> E.Expr:
             tuple(expr_from_dict(s) for s in d["ob"]),
             E.WindowFrame(*fr) if fr else None)
     if t == "alias":
-        return E.Alias(expr_from_dict(d["e"]), d["name"])
+        return E.Alias(expr_from_dict(d["e"]), d["name"], d.get("q"))
     if t == "sort":
         return E.SortSpec(expr_from_dict(d["e"]), d["asc"], d["nf"])
     raise PlanError(f"cannot deserialize expr tag {t!r}")

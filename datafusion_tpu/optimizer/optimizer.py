@@ -103,6 +103,12 @@ def optimize(plan: L.LogicalPlan, catalog=None, options=None) -> L.LogicalPlan:
         rules.append(reorder_joins_rule)
     if pushdown:
         rules.append(push_filters_rule)
+    if on("optimizer.late_materialization"):
+        from .latemat import late_materialization_rule
+
+        # before projection pruning: dropped group keys must disappear from
+        # the join tree's carried columns in the same optimize() run
+        rules.append(late_materialization_rule)
     if on("optimizer.projection_pruning"):
         rules.append(projection_pruning_rule)
     if on("optimizer.limit_into_sort"):
