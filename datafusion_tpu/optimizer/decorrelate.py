@@ -395,12 +395,16 @@ def _replace_expr(e: E.Expr, target: E.Expr, replacement: E.Expr) -> E.Expr:
 
 
 def _rewrite_scalar_cmp(conj: E.Expr, input_plan: L.LogicalPlan) -> L.LogicalPlan:
-    sq = _find_scalar_subquery(conj)
-    if sq is None:
+    # one conjunct may hold several scalar subqueries (TPC-DS q54:
+    # `x BETWEEN (select ...) AND (select ...)`): join each one in
+    if _find_scalar_subquery(conj) is None:
         raise PlanError(f"unsupported subquery pattern: {conj!r}")
-    joined, scalar_ref = _scalar_subquery_join(sq, input_plan)
-    new_pred = _replace_expr(conj, sq, scalar_ref)
-    return L.Filter(joined, new_pred)
+    while True:
+        sq = _find_scalar_subquery(conj)
+        if sq is None:
+            return L.Filter(input_plan, conj)
+        input_plan, scalar_ref = _scalar_subquery_join(sq, input_plan)
+        conj = _replace_expr(conj, sq, scalar_ref)
 
 
 def _scalar_subquery_join(sq: E.ScalarSubquery, input_plan: L.LogicalPlan):

@@ -395,6 +395,36 @@ class AggregateExec(PhysicalPlan):
         group_cols, arg_cols, filter_cols, specs = self._prepare(rel)
         return G.phase_sort_multi(group_cols, arg_cols, filter_cols, rel.sel, specs)
 
+    def _global_dense_ok(self, rel: DeviceRelation) -> bool:
+        """Route a no-GROUP-BY aggregate through the Pallas single-segment
+        kernel only when some sum/avg argument factors into i32 columns
+        (otherwise the plain global reduction is already optimal). Decided
+        once per plan: bounds metadata is static."""
+        cached = getattr(self, "_global_dense", None)
+        if cached is not None:
+            return cached
+        from ..expr.udf import active_registry
+
+        ok = not any(a.distinct or a.fname in G._ORDER_SENSITIVE
+                     or a.fname in G.DENSE_UNSUPPORTED
+                     or active_registry().aggregate(a.fname) is not None
+                     for a in self._agg_fns())
+        if ok:
+            try:
+                # encode the (static) eligibility count in an output SHAPE:
+                # eval_shape erases python-bool values but preserves shapes
+                def probe(r):
+                    k = sum(1 for afn in self._agg_fns()
+                            if afn.fname in ("sum", "avg") and afn.args
+                            and self._i32_factors(afn.args[0], r) is not None)
+                    return jnp.zeros((k,))
+
+                ok = jax.eval_shape(probe, rel).shape[0] > 0
+            except Exception:  # noqa: BLE001 -- unevaluable arg: no fast path
+                ok = False
+        self._global_dense = ok
+        return ok
+
     def _global(self, rel: DeviceRelation) -> DeviceRelation:
         _, arg_cols, filter_cols, specs = self._prepare(rel)
         outs, out_sel = G.global_aggregate(arg_cols, filter_cols, rel.sel, specs, 128)
@@ -539,7 +569,7 @@ class AggregateExec(PhysicalPlan):
         return out_keys
 
     def _dense_transform(self, rel: DeviceRelation, sizes, ngroups,
-                         pallas_mode=None):
+                         pallas_mode=None, global_one_row=False):
         group_cols = [eval_expr(g, rel) for g in self.group_exprs]
         _, arg_cols, filter_cols, specs = self._prepare(rel)
         seg, strides = self.dense_seg(group_cols, rel.sel, sizes, ngroups)
@@ -580,7 +610,10 @@ class AggregateExec(PhysicalPlan):
             group_count = pcounts
         else:
             group_count = K.segment_count(seg, rel.sel, ngroups)
-        out_sel = group_count > 0
+        # a global (no GROUP BY) aggregate emits its one row even over empty
+        # input (count=0, sums NULL) -- SQL semantics, unlike grouped output
+        out_sel = (jnp.ones(1, dtype=bool) if global_one_row
+                   else group_count > 0)
         out_keys = self.dense_keys(group_cols, sizes, strides, ngroups)
         is_start = jnp.zeros(rel.capacity, dtype=bool)
         out_aggs = []
@@ -622,6 +655,20 @@ class AggregateExec(PhysicalPlan):
                 wkey = max(bucket_capacity(max(live, 1)),
                            getattr(self, "_last_width", 0))
                 self._last_width = wkey
+            # Pallas single-segment path: a global sum of a decimal product
+            # otherwise pays many emulated-i64 HBM passes (TPC-H Q6/Q14: the
+            # fused i32-factor kernel reads each factor once and accumulates
+            # exact i64 in VMEM -- the ngroups=1 case of the Q1 kernel)
+            if wkey is None and self._global_dense_ok(rel):
+                mode = self._pallas_mode(rel)
+                if mode is not None:
+                    key = ("gdense", mode)
+                    fn = self._reduce_fns.get(key)
+                    if fn is None:
+                        fn = self._reduce_fns[key] = jax.jit(
+                            lambda r: self._dense_transform(
+                                r, [], 1, mode, global_one_row=True))
+                    return self._timed(ctx, fn, rel)
             fn = self._global_fns.get(wkey)
             if fn is None:
                 fn = self._global_fns[wkey] = jax.jit(self._global)

@@ -230,8 +230,41 @@ class SqlPlanner:
                     return E.Literal(bits, T.INT64)
                 return x
 
+            all_gcols = list(core.group_by or [])
+            if not all_gcols:
+                for gs in core.grouping_sets:
+                    for g in gs:
+                        if not any(g == x for x in all_gcols):
+                            all_gcols.append(g)
+
+            def subst_absent(x, absent):
+                # NULL-fill references to group columns absent from this
+                # branch's set, OUTSIDE aggregate arguments (inside an
+                # aggregate the name is a row value, not a group key) --
+                # e.g. TPC-DS q36's `case when grouping(i_class)=0 then
+                # i_category end` window partition key on the total branch
+                if any(x == g for g in absent):
+                    return E.Literal(None, T.NULL)
+                if isinstance(x, E.AggregateFunction) or not _dc.is_dataclass(x):
+                    return x
+                def sub_v(v):
+                    if isinstance(v, E.Expr):
+                        return subst_absent(v, absent)
+                    if isinstance(v, tuple):
+                        return tuple(sub_v(i) for i in v)
+                    return v
+
+                changes = {}
+                for f in _dc.fields(x):
+                    v = getattr(x, f.name)
+                    nv = sub_v(v)
+                    if nv is not v and nv != v:
+                        changes[f.name] = nv
+                return _dc.replace(x, **changes) if changes else x
+
             branches = []
             for gset in core.grouping_sets:
+                absent = [g for g in all_gcols if not any(g == s for s in gset)]
                 new_items = []
                 for it in core.items:
                     expr = E.map_expr(it.expr, lambda x: fold_grouping(x, gset)) \
@@ -242,9 +275,13 @@ class SqlPlanner:
                         alias = it.alias or it.expr.name()
                         new_items.append(A.SelectItem(E.Literal(None, T.NULL), alias))
                     else:
+                        if not isinstance(expr, A.Star):
+                            expr = subst_absent(expr, absent)
                         new_items.append(A.SelectItem(expr, it.alias))
                 having = None if core.having is None else \
-                    E.map_expr(core.having, lambda x: fold_grouping(x, gset))
+                    subst_absent(E.map_expr(core.having,
+                                            lambda x: fold_grouping(x, gset)),
+                                 absent)
                 sub = _dc.replace(core, items=new_items, group_by=list(gset),
                                   grouping_sets=None, having=having)
                 branches.append(self.plan_select_core(sub, A.SelectStmt(sub), False))

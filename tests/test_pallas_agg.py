@@ -64,3 +64,28 @@ def test_dense_groupby_sums_big_values_no_overflow():
     want = N * (2**30) * 1000
     assert int(sums[0, 0]) == want
     assert int(cnt[0]) == N
+
+
+def test_global_aggregate_routes_through_pallas(monkeypatch):
+    """A no-GROUP-BY sum of a decimal product takes the single-segment
+    Pallas path (exact i64 accumulation); empty input still yields one row."""
+    monkeypatch.setenv("DATAFUSION_TPU_FORCE_PALLAS", "interpret")
+    from datafusion_tpu.context import SessionContext
+
+    ctx = SessionContext()
+    n = 2048  # capacity must be a multiple of 2048 for the kernel
+    price = [round(10.0 + i * 0.01, 2) for i in range(n)]
+    disc = [round((i % 10) * 0.01, 2) for i in range(n)]
+    from datafusion_tpu.common import types as T
+    from datafusion_tpu.data.table import Table
+
+    ctx.register_table("l", Table.from_pydict(
+        {"p": price, "d": disc, "q": list(range(n))},
+        types={"p": T.decimal(12, 2), "d": T.decimal(12, 2)}))
+    out = ctx.sql("select sum(p * (1 - d)) s, count(*) c, avg(q) a from l").to_pydict()
+    want = sum(p * (1 - d) for p, d in zip(price, disc))
+    assert abs(out["s"][0] - want) < 1e-6
+    assert out["c"][0] == n
+    assert abs(out["a"][0] - (n - 1) / 2) < 1e-9
+    empty = ctx.sql("select sum(p) s, count(*) c from l where q < 0").to_pydict()
+    assert empty["s"] == [None] and empty["c"] == [0]
