@@ -244,6 +244,44 @@ def compaction_order(sel: jax.Array) -> jax.Array:
     return perm
 
 
+def compaction_indices(sel: jax.Array, cap: int,
+                       m: int = 1024) -> Tuple[jax.Array, jax.Array]:
+    """(indices of the first `cap` selected rows ascending, live count).
+
+    Blocked two-level compaction: a full-capacity stable sort costs
+    ~1.7ns/row on TPU (13ms at 8M rows) while per-block 1024-wide
+    single-key int32 sorts are ~20x cheaper and HBM-bandwidth bound.
+    Per block: pack (unselected bit << 30 | local index) and sort, so
+    selected locals land first in ascending order. Block offsets come from
+    a cumsum of block counts; output slot j finds its owning block via a
+    block-starts scatter + running max (cummax is one HLO; searchsorted
+    lowers ~9ms slower at 128k probes). Entries past the live count point
+    at unselected rows -- callers mask with `arange(cap) < total`."""
+    n = sel.shape[0]
+    if n % m or n < 4 * m:
+        perm = compaction_order(sel)
+        return perm[:cap], jnp.sum(sel, dtype=jnp.int32)
+    nb = n // m
+    s2 = sel.reshape(nb, m)
+    local = jnp.arange(m, dtype=jnp.int32)
+    key = jnp.where(s2, 0, jnp.int32(1) << 30) | local[None, :]
+    skey = jax.lax.sort(key, dimension=1)
+    counts = jnp.sum(s2, axis=1, dtype=jnp.int32)
+    offs = jnp.cumsum(counts) - counts
+    total = offs[-1] + counts[-1]
+    bid = jnp.arange(nb, dtype=jnp.int32)
+    live_blk = (counts > 0) & (offs < cap)
+    pos = jnp.where(live_blk, offs, cap)  # cap = out of bounds -> dropped
+    owner = jnp.zeros(cap, dtype=jnp.int32)
+    owner = owner.at[pos].max(jnp.where(live_blk, bid, 0), mode="drop")
+    b = jax.lax.cummax(owner)
+    j = jnp.arange(cap, dtype=jnp.int32)
+    localpos = jnp.clip(j - offs[b], 0, m - 1)
+    key_g = skey.reshape(-1)[b * m + localpos]
+    idx = b * m + (key_g & (m - 1))
+    return idx, total
+
+
 # ---------------------------------------------------------------------------
 # grouping
 # ---------------------------------------------------------------------------

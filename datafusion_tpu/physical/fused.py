@@ -78,8 +78,8 @@ class FusedQuery:
         if self._fused is False:
             return self.plan.execute(ctx)
         inputs = tuple(leaf.execute(ctx) for leaf in self.leaves)
-        rel, flags = self._fused(inputs)
-        if flags.shape[0] and bool(jnp.any(flags)):
+        rel, flag = self._fused(inputs)
+        if getattr(self, "_has_flags", True) and bool(flag):
             # capacity overflow: re-discover (capacities grow) and rebuild
             self._fused = None
             return self.execute(ctx)
@@ -103,9 +103,14 @@ class FusedQuery:
         def fused(inputs: Tuple[DeviceRelation, ...]):
             tctx = _TraceCtx()
             rel = _trace(self.plan, inputs, leaf_index, tctx)
-            flags = (jnp.stack(tctx.flags) if tctx.flags
-                     else jnp.zeros((0,), dtype=jnp.bool_))
-            return rel, flags
+            # reduce overflow flags to ONE scalar inside the program: the
+            # host-side check is then a single device_get -- a second
+            # round-trip per execution otherwise (~24ms via the remote
+            # tunnel, which dwarfs most queries' device time)
+            self._has_flags = bool(tctx.flags)
+            flag = (jnp.any(jnp.stack(tctx.flags)) if tctx.flags
+                    else jnp.zeros((), dtype=jnp.bool_))
+            return rel, flag
 
         return jax.jit(fused)
 

@@ -281,17 +281,33 @@ class CompactExec(PhysicalPlan):
         return self._timed(ctx, jax.jit(self._apply, static_argnums=1), rel, cap)
 
     def _apply(self, rel: DeviceRelation, cap: int) -> DeviceRelation:
-        perm = K.compaction_order(rel.sel)
-        idx = perm[:cap]
+        idx, total = K.compaction_indices(rel.sel, cap)
+        # one packed row gather for every 1-D array in the relation
+        arrays = []
+        slots = []  # parallel to arrays: (col_index, attr)
+        for ci, c in enumerate(rel.columns):
+            arrays.append(c.data)
+            slots.append((ci, "data"))
+            if c.validity is not None:
+                arrays.append(c.validity)
+                slots.append((ci, "validity"))
+            if c.lengths is not None:
+                arrays.append(c.lengths)
+                slots.append((ci, "lengths"))
+            if c.elem_valid is not None:
+                arrays.append(c.elem_valid)
+                slots.append((ci, "elem_valid"))
+        gathered = K.gather_rows(arrays, idx)
+        parts = [{} for _ in rel.columns]
+        for (ci, attr), g in zip(slots, gathered):
+            parts[ci][attr] = g
         cols = []
-        for c in rel.columns:
+        for c, p in zip(rel.columns, parts):
             cols.append(DeviceColumn(
-                c.data[idx],
-                c.validity[idx] if c.validity is not None else None,
-                c.dtype, c.dictionary, c.bounds,
-                c.lengths[idx] if c.lengths is not None else None,
-                c.elem_valid[idx] if c.elem_valid is not None else None))
-        return DeviceRelation(self.schema, tuple(cols), rel.sel[idx])
+                p["data"], p.get("validity"), c.dtype, c.dictionary,
+                c.bounds, p.get("lengths"), p.get("elem_valid")))
+        sel = jnp.arange(cap, dtype=jnp.int32) < jnp.minimum(total, cap)
+        return DeviceRelation(self.schema, tuple(cols), sel)
 
     def _line(self):
         d = self._decision
