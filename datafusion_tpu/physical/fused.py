@@ -237,10 +237,13 @@ def _unified_keys(on, lrel, rrel):
 
 
 def apply_join(p: P.JoinExec, lrel: DeviceRelation, rrel: DeviceRelation,
-               tctx: Optional[_TraceCtx] = None) -> DeviceRelation:
+               tctx: Optional[_TraceCtx] = None,
+               co_cap: Optional[int] = None) -> DeviceRelation:
     """Trace p's join over already-traced (normalized probe, build) relations
     using the discovered output capacity. lrel/rrel must already be in
-    normalized order (probe=lrel; see join_normalize)."""
+    normalized order (probe=lrel; see join_normalize). co_cap (distributed
+    engine) bounds the expansion capacity below the discovered global one
+    (per-shard outputs are ~n x smaller); the overflow flag then guards it."""
     from ..ops import joinimpl as J
     from .expr_compiler import eval_expr, unify_string_columns
 
@@ -306,6 +309,8 @@ def apply_join(p: P.JoinExec, lrel: DeviceRelation, rrel: DeviceRelation,
     co = p._last_co.get(("co", swapped, jt)) if hasattr(p, "_last_co") else None
     if co is None:
         raise ExecutionError("join capacity not discovered")
+    if co_cap is not None:
+        co = min(co, co_cap)
     if tctx is not None:
         tctx.flags.append(total > co)
     p._exec_on = on

@@ -995,6 +995,9 @@ class JoinExec(PhysicalPlan):
         relations carry per-chunk bounds, so its domain-specialized programs
         would recompile every chunk."""
         self._allow_direct = allow_direct
+        # (probe, build) capacities, read by the distributed engine's
+        # CollectLeft-vs-Partitioned decision (parallel/engine._join_mode)
+        self._last_input_caps = (lrel.capacity, rrel.capacity)
         t0 = time.perf_counter()
         jt = self.join_type
         swapped = jt in (JoinType.RIGHT, JoinType.RIGHT_SEMI, JoinType.RIGHT_ANTI)
