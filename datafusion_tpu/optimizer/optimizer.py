@@ -71,7 +71,8 @@ def optimize(plan: L.LogicalPlan, catalog=None, options=None) -> L.LogicalPlan:
     from .dedup import dedup_rule
     from .pushdown import (eliminate_outer_joins_rule, limit_into_sort_rule,
                            or_implication_rule, projection_pruning_rule,
-                           push_filters_rule, reorder_joins_rule)
+                           prune_join_columns_rule, push_filters_rule,
+                           reorder_joins_rule)
 
     opts = options or {}
 
@@ -111,6 +112,7 @@ def optimize(plan: L.LogicalPlan, catalog=None, options=None) -> L.LogicalPlan:
         rules.append(late_materialization_rule)
     if on("optimizer.projection_pruning"):
         rules.append(projection_pruning_rule)
+        rules.append(prune_join_columns_rule)
     if on("optimizer.limit_into_sort"):
         rules.append(limit_into_sort_rule)
     if dedup:

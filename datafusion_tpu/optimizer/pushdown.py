@@ -315,18 +315,35 @@ def _push_into_join(conjuncts: List[E.Expr], join: L.Join) -> L.LogicalPlan:
 
 
 def projection_pruning_rule(plan: L.LogicalPlan) -> L.LogicalPlan:
-    refs: Set[Tuple[Optional[str], str]] = set()
+    """Trim TableScan projections to the columns the plan actually consumes
+    (reference: OptimizeProjections, optimizer/src/optimize_projections/).
 
-    def collect(p: L.LogicalPlan):
+    Refs are collected SCOPE-AWARE, top-down: Projection and Aggregate
+    nodes define a fresh output namespace, so column refs from above them
+    (e.g. an ORDER BY over the projection's output aliases) must NOT leak
+    into their subtree -- a same-named column in an unrelated scan below
+    the boundary would otherwise be kept alive. (TPC-H Q3 after late
+    materialization: the final `o_orderdate` is produced by the __lm0
+    re-scan, and the global collection used to keep it in the pruned-away
+    inner orders scan too, dragging dead payload lanes through the
+    join+aggregate hot path.) Pass-through nodes (Filter/Sort/Limit/Join/
+    Distinct/Union/Window...) forward their parents' refs and add their
+    own; over-keeping on ambiguity is safe, under-keeping is not."""
+    refs_at_scan: dict = {}
+
+    def collect(p: L.LogicalPlan, refs: Set[Tuple[Optional[str], str]]):
+        if isinstance(p, (L.Projection, L.Aggregate)):
+            refs = set()  # fresh namespace: only this node's exprs matter
+        own = set(refs)
         for e in p.exprs():
             for c in E.collect_columns(e):
-                refs.add((c.qualifier, c.cname))
+                own.add((c.qualifier, c.cname))
+        if isinstance(p, L.TableScan):
+            refs_at_scan.setdefault(id(p), set()).update(own)
         for k in p.children():
-            collect(k)
+            collect(k, own)
 
-    collect(plan)
-    for f in plan.schema.fields:
-        refs.add((f.qualifier, f.name))
+    collect(plan, {(f.qualifier, f.name) for f in plan.schema.fields})
 
     protected: Set[int] = set()
 
@@ -344,6 +361,7 @@ def projection_pruning_rule(plan: L.LogicalPlan) -> L.LogicalPlan:
 
     def rewrite(p: L.LogicalPlan) -> L.LogicalPlan:
         if isinstance(p, L.TableScan) and id(p) not in protected:
+            refs = refs_at_scan.get(id(p), set())
             base = p.source.schema()
             keep = []
             for f in base.fields:
@@ -590,3 +608,72 @@ def limit_into_sort_rule(plan: L.LogicalPlan) -> L.LogicalPlan:
         return p
 
     return L.transform_up(plan, rewrite)
+
+
+def prune_join_columns_rule(plan: L.LogicalPlan) -> L.LogicalPlan:
+    """Project away join-input columns consumed only BELOW the join.
+
+    A pushed-down filter keeps its column alive in the scan (it must read
+    it), but once the filter has applied, nothing above needs it -- yet the
+    physical join materializes its WHOLE output schema through packed
+    probe-capacity payload gathers (ops/joinimpl lane packing), so every
+    dead column rides the hot path. TPC-H Q3 at SF1: `o_orderdate` (consumed
+    by the pushed filter, re-attached later by the late-materialization
+    re-scan) cost ~2 lanes x 8.4M gathered rows in the lineitem join.
+    Reference analog: OptimizeProjections' requirement propagation
+    (optimizer/src/optimize_projections/).
+
+    Top-down needed-set walk with the same namespace boundaries as
+    projection_pruning_rule; nodes with whole-row or positional semantics
+    (Distinct/Union/Unnest/RecursiveQuery/SubqueryAlias) conservatively
+    need every child column."""
+
+    def own_refs(p) -> Set[Tuple[Optional[str], str]]:
+        out = set()
+        for e in p.exprs():
+            for c in E.collect_columns(e):
+                out.add((c.qualifier, c.cname))
+        return out
+
+    def is_needed(f, refs) -> bool:
+        for rq, rn in refs:
+            if rn == f.name and (rq is None or f.qualifier is None
+                                 or rq == f.qualifier):
+                return True
+        return False
+
+    PASS_THROUGH = (L.Filter, L.Sort, L.Limit, L.Join, L.Window)
+
+    def rewrite(p: L.LogicalPlan, refs) -> L.LogicalPlan:
+        if isinstance(p, (L.Projection, L.Aggregate)):
+            refs = own_refs(p)  # fresh output namespace
+        elif isinstance(p, PASS_THROUGH):
+            refs = refs | own_refs(p)
+        else:
+            # whole-row / positional semantics: every child column is needed
+            kids = [rewrite(c, {(f.qualifier, f.name) for f in c.schema.fields})
+                    for c in p.children()]
+            return p.with_children(kids) if p.children() else p
+
+        if isinstance(p, L.Join):
+            sides = []
+            for side in (p.left, p.right):
+                fields = side.schema.fields
+                keep = [f for f in fields if is_needed(f, refs)]
+                names = [f.name for f in fields]
+                prunable = (
+                    0 < len(keep) < len(fields)
+                    and not isinstance(side, L.Projection)
+                    and len({(f.qualifier, f.name) for f in fields}) == len(fields)
+                    and all(f.qualifier is not None or names.count(f.name) == 1
+                            for f in keep))
+                if prunable:
+                    side = L.Projection(
+                        side, [E.Column(f.name, f.qualifier) for f in keep])
+                sides.append(rewrite(side, refs))
+            return L.Join(sides[0], sides[1], p.on, p.join_type, p.filter)
+
+        kids = [rewrite(c, refs) for c in p.children()]
+        return p.with_children(kids) if p.children() else p
+
+    return rewrite(plan, {(f.qualifier, f.name) for f in plan.schema.fields})
