@@ -257,6 +257,9 @@ def compaction_indices(sel: jax.Array, cap: int,
     block-starts scatter + running max (cummax is one HLO; searchsorted
     lowers ~9ms slower at 128k probes). Entries past the live count point
     at unselected rows -- callers mask with `arange(cap) < total`."""
+    # the packed key layout requires a power-of-two block (local index is
+    # extracted with `& (m - 1)`) below the bit-30 unselected flag
+    assert m & (m - 1) == 0 and 0 < m <= (1 << 30), m
     n = sel.shape[0]
     if n % m or n < 4 * m:
         perm = compaction_order(sel)

@@ -68,7 +68,14 @@ class FusedQuery:
             disc_ctx = self._discovery_ctx(ctx)
             out = self.plan.execute(disc_ctx)
             try:
-                self._fused = self._build_fused()
+                fused = self._build_fused()
+                # abstract trace now: surfaces unfusible plans before the
+                # device ever compiles, and fixes _has_flags eagerly rather
+                # than as a first-call trace side effect (which AOT lowering
+                # would never run)
+                inputs0 = tuple(leaf.execute(disc_ctx) for leaf in self.leaves)
+                jax.eval_shape(fused, inputs0)
+                self._fused = fused
             except ExecutionError:
                 self._fused = False  # plan not fusible; keep per-op execution
             if self._fused is False and disc_ctx is not ctx:

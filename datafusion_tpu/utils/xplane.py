@@ -79,33 +79,36 @@ def _string(buf: bytes, fnum: int) -> str:
 def plane_op_times(path_or_dir: str, plane_filter: str = "TPU") -> Dict[str, Tuple[float, int]]:
     """Aggregate event durations by event-metadata name over all planes whose
     name contains `plane_filter`. Returns {op_name: (total_ms, count)}."""
-    path = path_or_dir
-    if os.path.isdir(path):
-        cands = sorted(glob.glob(os.path.join(path, "**", "*.xplane.pb"),
+    paths = [path_or_dir]
+    if os.path.isdir(path_or_dir):
+        # aggregate over every host's dump in the run directory (multi-host
+        # traces write one xplane.pb per host)
+        paths = sorted(glob.glob(os.path.join(path_or_dir, "**", "*.xplane.pb"),
                                  recursive=True))
-        if not cands:
-            raise FileNotFoundError(f"no xplane.pb under {path}")
-        path = cands[-1]
-    space = open(path, "rb").read()
+        if not paths:
+            raise FileNotFoundError(f"no xplane.pb under {path_or_dir}")
     agg: Dict[str, List[float]] = defaultdict(lambda: [0.0, 0])
-    for plane in _submessages(space, 1):
-        name = _string(plane, 2)
-        if plane_filter not in name:
-            continue
-        meta = {}
-        for entry in _submessages(plane, 4):  # map<int64, XEventMetadata>
-            k = _scalar(entry, 1)
-            md = _submessages(entry, 2)
-            if md:
-                meta[k] = _string(md[0], 2) or _string(md[0], 4)
-        for line in _submessages(plane, 3):
-            for ev in _submessages(line, 4):
-                mid = _scalar(ev, 1)
-                dur_ps = _scalar(ev, 3)
-                nm = meta.get(mid, f"#{mid}")
-                a = agg[nm]
-                a[0] += dur_ps / 1e9  # ps -> ms
-                a[1] += 1
+    for path in paths:
+        space = open(path, "rb").read()
+        for plane in _submessages(space, 1):
+            name = _string(plane, 2)
+            if plane_filter not in name:
+                continue
+            meta = {}
+            for entry in _submessages(plane, 4):  # map<int64, XEventMetadata>
+                k = _scalar(entry, 1)
+                md = _submessages(entry, 2)
+                if md:
+                    meta[k] = _string(md[0], 2) or _string(md[0], 4)
+            for line in _submessages(plane, 3):
+                for ev in _submessages(line, 4):
+                    mid = _scalar(ev, 1)
+                    dur_ps = _scalar(ev, 3)
+                    nm = meta.get(mid, f"#{mid}")
+                    a = agg[nm]
+                    a[0] += dur_ps / 1e9  # ps -> ms
+                    # aggregated planes fold repeat counts into field 5
+                    a[1] += max(_scalar(ev, 5, 1), 1)
     return {k: (v[0], v[1]) for k, v in agg.items()}
 
 
