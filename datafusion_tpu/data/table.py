@@ -113,10 +113,16 @@ class Table:
     def to_pandas(self):
         import pandas as pd
 
-        data = {}
-        for f, c in zip(self.schema.fields, self.columns):
-            data[f.name] = _to_pandas_series(f.dtype, c)
-        return pd.DataFrame(data)
+        # positional construction: duplicate output names are legal SQL
+        # (e.g. TPC-DS q64 selects cs1.syear and cs2.syear unaliased) and a
+        # dict would silently collapse them
+        series = [_to_pandas_series(f.dtype, c)
+                  for f, c in zip(self.schema.fields, self.columns)]
+        if not series:
+            return pd.DataFrame()
+        df = pd.concat(series, axis=1, keys=range(len(series)))
+        df.columns = [f.name for f in self.schema.fields]
+        return df
 
     def to_arrow(self):
         import pyarrow as pa

@@ -353,6 +353,25 @@ def eval_scalar_function(
             raise PlanError(f"unsupported date_trunc unit {unit!r}")
         return DeviceColumn(out, validity, T.DATE32)
 
+    if f == "round" and len(args) == 2:
+        # two-arg round must run BEFORE the unary-numeric dispatch (which
+        # would round to zero digits: round(1.21, 2) used to return 1.0);
+        # decimals round exactly in scaled-int arithmetic, half away from
+        # zero (the reference's round semantics, functions/src/math/round.rs)
+        a = args[0]
+        nd = int(_literal_value(arg_exprs[1]))
+        if a.dtype.is_decimal or a.dtype.is_integer:
+            s = a.dtype.scale if a.dtype.is_decimal else 0
+            if nd >= s:
+                return DeviceColumn(a.data, validity, a.dtype)
+            q = 10 ** (s - nd)
+            d = a.data.astype(jnp.int64)
+            out = jnp.sign(d) * ((jnp.abs(d) + q // 2) // q) * q
+            return DeviceColumn(out.astype(a.data.dtype), validity, a.dtype)
+        x = _to_float(a)
+        scale = 10.0 ** nd
+        return DeviceColumn(jnp.round(x * scale) / scale, validity, T.FLOAT64)
+
     if f in _NUMERIC_UNARY:
         a = args[0]
         if f == "abs":
