@@ -321,7 +321,12 @@ class ParquetTable(TableProvider):
                       for p, rgs in self._ds.plan_units(list(filters),
                                                         use_bloom=use_bloom))
         proj = tuple(projection) if projection is not None else None
-        key = (_device_key(ctx), units, proj)
+        # page-index row masks change WHICH rows a unit yields, so they are
+        # part of the cache identity (same units, different filters)
+        mask_sig = tuple(sorted(
+            (p, rg, hash(m.tobytes()))
+            for (p, rg), m in self._ds._unit_masks.items()))
+        key = (_device_key(ctx), units, mask_sig, proj)
         if key not in self._device:
             at = self._ds.read_units([(p, list(rgs)) for p, rgs in units],
                                      projection)

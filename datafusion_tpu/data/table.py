@@ -138,7 +138,9 @@ class Table:
     def write_parquet(self, path: str) -> None:
         import pyarrow.parquet as pq
 
-        pq.write_table(self.to_arrow(), path)
+        # page index + bloom filters power the scan's pruning ladder
+        # (io/parquet.plan_units: stats -> bloom -> page index)
+        pq.write_table(self.to_arrow(), path, write_page_index=True)
 
     def write_csv(self, path: str) -> None:
         import pyarrow.csv as pcsv

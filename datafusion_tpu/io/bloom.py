@@ -66,6 +66,13 @@ def _parse_value(ctype: int, buf: bytes, pos: int):
         if size == 15:
             size, pos = _varint(buf, pos)
         out = []
+        if etype in (_CT_TRUE, _CT_FALSE):
+            # unlike struct fields, LIST bool elements occupy one byte each
+            # (0x01 = true, 0x02 = false)
+            for _ in range(size):
+                out.append(buf[pos] == 1)
+                pos += 1
+            return out, pos
         for _ in range(size):
             v, pos = _parse_value(etype, buf, pos)
             out.append(v)

@@ -310,6 +310,10 @@ class ParquetDataset:
         self._meta: Dict[str, object] = {}   # path -> pq.ParquetFile
         self._global_dicts: Dict[str, object] = {}
         self._bloom: Dict[str, object] = {}  # path -> BloomIndex
+        self._pageidx: Dict[str, object] = {}  # path -> PageIndex
+        # (path, rg) -> bool keep-mask from page-index pruning, for the
+        # most recent plan_units call (applied by read_units)
+        self._unit_masks: Dict[Tuple[str, int], object] = {}
         self._phys_types: Optional[Dict[str, str]] = None
         self.last_scan: Dict[str, int] = {}
 
@@ -333,6 +337,16 @@ class ParquetDataset:
                         out[col.path_in_schema] = col.physical_type
             self._phys_types = out
         return self._phys_types
+
+    def _page_index(self, path: str):
+        if path not in self._pageidx:
+            from .pageindex import PageIndex
+
+            self._pageidx[path] = PageIndex(path)
+        return self._pageidx[path]
+
+    def _logical_types(self) -> Dict[str, str]:
+        return {f.name: str(f.type) for f in self.arrow_schema()}
 
     def _bloom_pruned(self, path: str, rg: int,
                       constraints: Sequence[Tuple[str, List[bytes]]]) -> bool:
@@ -423,7 +437,9 @@ class ParquetDataset:
         row-group statistics, then bloom-filter pruning
         (reference: opener/mod.rs:388-593 stages)."""
         units: List[Tuple[str, List[int]]] = []
+        self._unit_masks = {}
         files_pruned = rgs_pruned = rgs_total = bloom_pruned = 0
+        pages_masked_rows = page_pruned_rgs = 0
         bloom_constraints: List[Tuple[str, List[bytes]]] = []
         if use_bloom and filters:
             from .bloom import encode_plain
@@ -457,6 +473,22 @@ class ParquetDataset:
                     rgs_pruned += 1
                     bloom_pruned += 1
                     continue
+                if filters:
+                    # page-index pruning within the kept row group
+                    # (reference: page_filter.rs -> RowSelection)
+                    from .pageindex import prune_rows
+
+                    rg_rows = md.row_group(g).num_rows
+                    mask = prune_rows(self._page_index(f.path), g, rg_rows,
+                                      filters, self._unit_stats(f, g),
+                                      self._logical_types())
+                    if mask is not None:
+                        if not mask.any():
+                            rgs_pruned += 1
+                            continue
+                        self._unit_masks[(f.path, g)] = mask
+                        page_pruned_rgs += 1
+                        pages_masked_rows += int((~mask).sum())
                 keep.append(g)
             if keep:
                 units.append((f.path, keep))
@@ -464,6 +496,8 @@ class ParquetDataset:
             "files_total": len(self.files), "files_pruned": files_pruned,
             "row_groups_total": rgs_total, "row_groups_pruned": rgs_pruned,
             "row_groups_bloom_pruned": bloom_pruned,
+            "row_groups_page_masked": page_pruned_rgs,
+            "rows_page_pruned": pages_masked_rows,
         }
         return units
 
@@ -491,6 +525,21 @@ class ParquetDataset:
         for path, rgs in units:
             pf = self._pf(path)
             t = pf.read_row_groups(list(rgs), columns=file_cols)
+            if self._unit_masks:
+                # page-index row masks: drop definitely-false pages' rows
+                # before dictionary-encoding / device upload
+                md = pf.metadata
+                parts = []
+                import numpy as np
+
+                for rg in rgs:
+                    m = self._unit_masks.get((path, rg))
+                    n = md.row_group(rg).num_rows
+                    parts.append(m if m is not None
+                                 else np.ones(n, dtype=bool))
+                full = np.concatenate(parts) if parts else np.ones(0, bool)
+                if not full.all():
+                    t = t.filter(pa.array(full))
             for k in want_parts:
                 v = by_file[path].partitions.get(k)
                 arr = pa.nulls(t.num_rows) if v is None else pa.array(

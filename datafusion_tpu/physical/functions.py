@@ -63,9 +63,57 @@ def builtin_function_names() -> set:
         "char", "to_hex", "uuid", "encode", "decode", "find_in_set",
         "factorial", "gcd", "lcm", "to_unixtime", "cot", "nanvl",
         "make_date", "to_timestamp", "from_unixtime", "date_bin", "greatest",
-        "least", "arrow_typeof", "version",
+        "least", "arrow_typeof", "arrow_cast", "version",
     }
     return out
+
+
+def arrow_type_name(dt: T.DataType) -> str:
+    """Arrow-style type rendering (the reference's arrow_typeof output,
+    functions/src/core/arrowtypeof.rs): Int64 / Float64 / Utf8 / Boolean /
+    Date32 / Decimal128(p, s) / Timestamp(Nanosecond, None)."""
+    k = dt.kind
+    if k is T.TypeKind.DECIMAL:
+        return f"Decimal128({dt.precision}, {dt.scale})"
+    if k is T.TypeKind.LIST:
+        return f"List({arrow_type_name(dt.elem)})"
+    return {
+        T.TypeKind.NULL: "Null", T.TypeKind.BOOL: "Boolean",
+        T.TypeKind.INT8: "Int8", T.TypeKind.INT16: "Int16",
+        T.TypeKind.INT32: "Int32", T.TypeKind.INT64: "Int64",
+        T.TypeKind.FLOAT32: "Float32", T.TypeKind.FLOAT64: "Float64",
+        T.TypeKind.STRING: "Utf8", T.TypeKind.DATE32: "Date32",
+        T.TypeKind.TIMESTAMP: "Timestamp(Nanosecond, None)",
+        T.TypeKind.INTERVAL_DAYS: "Interval(DayTime)",
+        T.TypeKind.INTERVAL_MONTHS: "Interval(YearMonth)",
+    }.get(k, k.value)
+
+
+_ARROW_PARSE = {
+    "null": T.NULL, "boolean": T.BOOL, "bool": T.BOOL,
+    "int8": T.INT8, "int16": T.INT16, "int32": T.INT32, "int64": T.INT64,
+    # unsigned widths widen into the next signed type this engine carries
+    "uint8": T.INT16, "uint16": T.INT32, "uint32": T.INT64,
+    "uint64": T.INT64,
+    "float16": T.FLOAT32, "float32": T.FLOAT32, "float64": T.FLOAT64,
+    "utf8": T.STRING, "largeutf8": T.STRING, "utf8view": T.STRING,
+    "date32": T.DATE32,
+}
+
+
+def parse_arrow_type(s: str) -> T.DataType:
+    """Parse the reference's arrow_cast type-name argument
+    (functions/src/core/arrow_cast.rs)."""
+    t = s.strip()
+    low = t.lower()
+    if low in _ARROW_PARSE:
+        return _ARROW_PARSE[low]
+    m = re.match(r"decimal(?:128|256)?\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", low)
+    if m:
+        return T.decimal(int(m.group(1)), int(m.group(2)))
+    if low.startswith("timestamp"):
+        return T.TIMESTAMP
+    raise PlanError(f"arrow_cast: unsupported type {s!r}")
 
 
 def _spark_active(fname: str) -> bool:
@@ -165,6 +213,8 @@ def scalar_function_type(e: E.ScalarFunction, schema: Schema) -> Tuple[T.DataTyp
         return base, all(n for _, n in argt)
     if f == "arrow_typeof":
         return T.STRING, False
+    if f == "arrow_cast":
+        return parse_arrow_type(str(_literal_value(e.args[1]))), argt[0][1]
     if f == "version":
         return T.STRING, False
     raise PlanError(f"unknown scalar function {f!r}")
@@ -826,8 +876,13 @@ def eval_scalar_function(
                             base.dictionary if out_dtype.is_string else None)
 
     if f == "arrow_typeof":
-        d = Dictionary(np.array([repr(args[0].dtype)], dtype=object))
+        d = Dictionary(np.array([arrow_type_name(args[0].dtype)], dtype=object))
         return DeviceColumn(jnp.zeros(capacity, jnp.int32), None, T.STRING, d)
+
+    if f == "arrow_cast":
+        from .expr_compiler import cast_column
+
+        return cast_column(args[0], out_dtype, capacity)
 
     if f == "version":
         import datafusion_tpu

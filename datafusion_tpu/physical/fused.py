@@ -257,6 +257,9 @@ def apply_join(p: P.JoinExec, lrel: DeviceRelation, rrel: DeviceRelation,
     swapped, jt, on = join_normalize(p)
     p._exec_on = on
     p._exec_range = p.range_on
+    if swapped and p.range_on is not None:
+        le, re_, opk = p.range_on
+        p._exec_range = (re_, le, p._RANGE_MIRROR[opk])
 
     if jt in (JoinType.LEFT_SEMI, JoinType.LEFT_ANTI) and p.range_on is None:
         info = p._direct_info(swapped, lrel, rrel)
@@ -306,8 +309,15 @@ def apply_join(p: P.JoinExec, lrel: DeviceRelation, rrel: DeviceRelation,
                     tctx.flags.append(bad)
                 return out
 
-    lkeys, rkeys = _unified_keys(on, lrel, rrel)
-    perm, lo, cnt, total = J.join_phase1(lkeys, rkeys, lrel.sel, rrel.sel)
+    if p._exec_range is not None and not on:
+        # pure range-predicate join (PiecewiseMergeJoin analog)
+        le, re_, opk = p._exec_range
+        perm, lo, cnt, total = J.range_join_phase1(
+            eval_expr(le, lrel), eval_expr(re_, rrel), opk,
+            lrel.sel, rrel.sel)
+    else:
+        lkeys, rkeys = _unified_keys(on, lrel, rrel)
+        perm, lo, cnt, total = J.join_phase1(lkeys, rkeys, lrel.sel, rrel.sel)
 
     if jt in (JoinType.LEFT_SEMI, JoinType.LEFT_ANTI) and p.filter is None:
         keep = (cnt > 0) if jt is JoinType.LEFT_SEMI else (cnt == 0)

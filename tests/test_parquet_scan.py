@@ -190,3 +190,56 @@ def test_all_pruned_empty_result(dataset_dir):
     assert out["n"] == [0]
     out2 = ctx.sql("SELECT id FROM ev WHERE year = 1999").to_pydict()
     assert out2["id"] == []
+
+
+# ---------------------------------------------------------------------------
+# page-index pruning (reference: datasource-parquet/src/page_filter.rs)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def paged_file(tmp_path):
+    """One file, ONE row group, many small pages over a sorted column: page
+    min/max must prune inside the kept row group."""
+    n = 40_000
+    t = pa.table({
+        "k": np.arange(n, dtype=np.int64),           # sorted -> tight pages
+        "v": np.arange(n, dtype=np.float64) * 0.5,
+        "s": pa.array((["aa", "bb", "cc", "dd"] * (n // 4))),
+    })
+    path = os.path.join(tmp_path, "paged.parquet")
+    pq.write_table(t, path, row_group_size=n, data_page_size=2048,
+                   write_page_index=True)
+    return path
+
+
+def test_page_index_prunes_within_row_group(paged_file):
+    ds = ParquetDataset(paged_file)
+    filt = E.BinaryOp(E.Op.LT, _c("k"), _lit(1000))
+    out = ds.read([filt])
+    scan = ds.last_scan
+    # the single row group survives, but most of its pages cannot match
+    assert scan["row_groups_pruned"] == 0
+    assert scan["row_groups_page_masked"] == 1
+    assert scan["rows_page_pruned"] > 30_000
+    # exact-safe: every qualifying row survives the page mask
+    ks = out.column("k").to_numpy()
+    assert (np.sort(ks[ks < 1000]) == np.arange(1000)).all()
+
+
+def test_page_index_range_predicate_between(paged_file):
+    ds = ParquetDataset(paged_file)
+    lo = E.BinaryOp(E.Op.GE, _c("k"), _lit(20_000))
+    hi = E.BinaryOp(E.Op.LE, _c("k"), _lit(20_100))
+    out = ds.read([lo, hi])
+    assert ds.last_scan["rows_page_pruned"] > 35_000
+    ks = np.sort(out.column("k").to_numpy())
+    got = ks[(ks >= 20_000) & (ks <= 20_100)]
+    assert (got == np.arange(20_000, 20_101)).all()
+
+
+def test_page_index_sql_end_to_end(paged_file, tmp_path):
+    ctx = SessionContext()
+    ctx.sql(f"CREATE EXTERNAL TABLE pg STORED AS PARQUET LOCATION '{paged_file}'")
+    out = ctx.sql("SELECT count(*) c, sum(k) s FROM pg WHERE k < 512").to_pandas()
+    assert int(out["c"][0]) == 512
+    assert int(out["s"][0]) == 512 * 511 // 2
