@@ -264,6 +264,9 @@ class WindowFunction(Expr):
     partition_by: Tuple[Expr, ...] = ()
     order_by: Tuple["SortSpec", ...] = ()
     frame: Optional[WindowFrame] = None
+    # aggregate FILTER (WHERE ...) clause (reference: Expr::WindowFunction
+    # params.filter, datafusion/expr/src/expr.rs); aggregate-family only
+    filter: Optional[Expr] = None
 
 
 @_d
@@ -451,6 +454,7 @@ def map_expr(e: Expr, fn) -> Expr:
                 tuple(rec(p) for p in x.partition_by),
                 tuple(SortSpec(rec(s.expr), s.asc, s.nulls_first) for s in x.order_by),
                 x.frame,
+                rec(x.filter) if x.filter is not None else None,
             )
         elif isinstance(x, Alias):
             x = Alias(rec(x.expr), x.aname, x.qualifier)

@@ -83,6 +83,8 @@ def expr_to_dict(e: E.Expr) -> Dict:
         out = {"t": "win", "name": e.fname, "args": [expr_to_dict(a) for a in e.args],
                "pb": [expr_to_dict(p) for p in e.partition_by],
                "ob": [sortspec_to_dict(s) for s in e.order_by]}
+        if e.filter is not None:
+            out["filter"] = expr_to_dict(e.filter)
         if e.frame is not None:
             out["frame"] = [e.frame.units, e.frame.start_kind, e.frame.start_offset,
                             e.frame.end_kind, e.frame.end_offset]
@@ -143,7 +145,8 @@ def expr_from_dict(d: Dict) -> E.Expr:
             d["name"], tuple(expr_from_dict(a) for a in d["args"]),
             tuple(expr_from_dict(p) for p in d["pb"]),
             tuple(expr_from_dict(s) for s in d["ob"]),
-            E.WindowFrame(*fr) if fr else None)
+            E.WindowFrame(*fr) if fr else None,
+            expr_from_dict(d["filter"]) if d.get("filter") else None)
     if t == "alias":
         return E.Alias(expr_from_dict(d["e"]), d["name"], d.get("q"))
     if t == "sort":

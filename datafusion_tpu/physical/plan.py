@@ -403,7 +403,12 @@ class AggregateExec(PhysicalPlan):
             fname = a.fname
             out_dtype, _ = infer(a, rel.schema)
             extra = None
-            if fname == "count" and (len(a.args) == 0 or isinstance(a.args[0], E.Literal)) and not a.distinct:
+            if fname == "count" and not a.distinct and (
+                    len(a.args) == 0
+                    or (isinstance(a.args[0], E.Literal)
+                        and a.args[0].value is not None)):
+                # count(<non-null literal>) == count(*); count(NULL) is 0 and
+                # must go through the null-skipping argument path
                 arg_i = None
                 fname = "count_star"
                 arg_dt = None

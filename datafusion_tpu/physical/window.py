@@ -343,6 +343,14 @@ class WindowExec(PhysicalPlan):
         out_t, _ = infer(w, rel.schema)
         iota = jnp.arange(cap, dtype=jnp.int64)
 
+        wfilter = getattr(w, "filter", None)
+        if wfilter is not None and f in (
+                "row_number", "rank", "dense_rank", "percent_rank",
+                "cume_dist", "ntile", "lead", "lag", "nth_value",
+                "first_value", "last_value"):
+            raise PlanError(
+                f"FILTER (WHERE ...) is not allowed for window function {f!r}")
+
         if f == "row_number":
             return DeviceColumn((row_in_part + 1).astype(jnp.int64), None, T.INT64)
         if f == "rank":
@@ -391,6 +399,12 @@ class WindowExec(PhysicalPlan):
         else:
             raise PlanError(f"window function {f} needs an argument")
         avalid = (argc.valid()[perm] & ssel) if argc is not None else ssel
+        if wfilter is not None:
+            # FILTER (WHERE pred): rows where pred is not TRUE contribute
+            # nothing (NULL-argument semantics), but still receive output
+            from .expr_compiler import eval_predicate as _evp
+
+            avalid = avalid & _evp(wfilter, rel)[perm]
 
         if f == "nth_value" and fs is None:
             # default frame: partition start .. last peer of current row

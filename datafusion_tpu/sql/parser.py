@@ -889,7 +889,8 @@ class Parser:
             over = (tuple(partition_by), tuple(order_by), frame)
 
         if over is not None:
-            return E.WindowFunction(fname, tuple(args), over[0], over[1], over[2])
+            return E.WindowFunction(fname, tuple(args), over[0], over[1],
+                                    over[2], agg_filter)
 
         if fname in self._AGG_FNS:
             fname = self._AGG_ALIASES.get(fname, fname)

@@ -68,6 +68,8 @@ def expr_to_sql(e: E.Expr) -> str:
         return s
     if isinstance(e, E.WindowFunction):
         args = ", ".join(expr_to_sql(a) for a in e.args)
+        filt = (f" FILTER (WHERE {expr_to_sql(e.filter)})"
+                if e.filter is not None else "")
         over = []
         if e.partition_by:
             over.append("PARTITION BY " + ", ".join(expr_to_sql(p) for p in e.partition_by))
@@ -83,7 +85,7 @@ def expr_to_sql(e: E.Expr) -> str:
             over.append(f"{e.frame.units.upper()} BETWEEN "
                         f"{_b(e.frame.start_kind, e.frame.start_offset)} AND "
                         f"{_b(e.frame.end_kind, e.frame.end_offset)}")
-        return f"{e.fname}({args}) OVER ({' '.join(over)})"
+        return f"{e.fname}({args}){filt} OVER ({' '.join(over)})"
     if isinstance(e, E.SortSpec):
         return _sort_sql(e)
     raise PlanError(f"cannot unparse expr {type(e).__name__}")

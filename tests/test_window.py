@@ -83,3 +83,31 @@ def test_first_last_min_max(ctx):
     assert out["mx"] == [10, 20, 20, 5, 15, 7]
     assert out["mn"] == [10, 10, 10, 5, 5, 7]
     assert out["av"] == [50 / 3, 50 / 3, 50 / 3, 10.0, 10.0, 7.0]
+
+
+def test_window_filter_clause():
+    """FILTER (WHERE ...) on window aggregates (reference:
+    Expr::WindowFunction params.filter): rows failing the predicate
+    contribute nothing but still receive output; NULL predicate counts as
+    false; ranking functions reject FILTER."""
+    from datafusion_tpu.common.errors import PlanError
+    import pytest as _pytest
+
+    ctx = SessionContext()
+    ctx.register_table("t", {"g": [1, 1, 2, 2], "x": [1, 2, 3, 4]})
+    out = ctx.sql(
+        "SELECT g, x, count(*) FILTER (WHERE x % 2 = 0) OVER (PARTITION BY g) c, "
+        "sum(x) FILTER (WHERE x > 1) OVER (PARTITION BY g) s, "
+        "count(*) FILTER (WHERE NULL) OVER () z FROM t ORDER BY x").to_pandas()
+    assert list(out["c"]) == [1, 1, 1, 1]
+    assert list(out["s"]) == [2, 2, 7, 7]
+    assert list(out["z"]) == [0, 0, 0, 0]
+    with _pytest.raises(PlanError):
+        ctx.sql("SELECT row_number() FILTER (WHERE x > 1) OVER () FROM t").collect()
+
+
+def test_count_null_literal_is_zero():
+    ctx = SessionContext()
+    ctx.register_table("t", {"x": [1, 2, 3]})
+    out = ctx.sql("SELECT count(NULL) a, count(1) b, count(*) c FROM t").to_pandas()
+    assert out.values.tolist() == [[0, 3, 3]]
