@@ -105,7 +105,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=1.0)
     ap.add_argument("--queries", type=str, default="")
-    ap.add_argument("--repeat", type=int, default=3)
+    ap.add_argument("--repeat", type=int, default=5)
     ap.add_argument("--check", dest="check", action="store_true", default=True,
                     help="value-check every result vs the cached pandas "
                          "oracle answers (default on)")

@@ -47,6 +47,15 @@ class SessionContext:
         self._cancel.set()
 
     # ---- registration ---------------------------------------------------
+    def register_object_store(self, url: str, store) -> None:
+        """Register an ObjectStore for a URL scheme/authority so external
+        tables can point at non-local locations (reference:
+        RuntimeEnv::register_object_store,
+        execution/src/object_store.rs ObjectStoreRegistry)."""
+        from .io.object_store import default_registry
+
+        default_registry().register(url, store)
+
     def register_table(self, name: str, data) -> None:
         if isinstance(data, TableProvider):
             self.catalog.register(name, data)

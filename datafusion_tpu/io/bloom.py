@@ -142,8 +142,10 @@ class BloomIndex:
     Offsets come from our own footer parse (pyarrow hides them); bitsets are
     read and cached on first probe of each (row group, column)."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, opener=None):
         self.path = path
+        # object-store-aware open (io/object_store.py); defaults to local
+        self._open = opener or (lambda p: open(p, "rb"))
         # {(rg, column): (offset, length-or-None)}; None until footer parsed
         self._offsets: Optional[Dict[Tuple[int, str], Tuple[int, Optional[int]]]] = None
         self._bitsets: Dict[Tuple[int, str], Optional[List[int]]] = {}
@@ -153,7 +155,7 @@ class BloomIndex:
             return self._offsets
         out: Dict[Tuple[int, str], Tuple[int, Optional[int]]] = {}
         try:
-            with open(self.path, "rb") as f:
+            with self._open(self.path) as f:
                 f.seek(0, os.SEEK_END)
                 size = f.tell()
                 f.seek(size - 8)
@@ -192,7 +194,7 @@ class BloomIndex:
         if loc is not None:
             offset, length = loc
             try:
-                with open(self.path, "rb") as f:
+                with self._open(self.path) as f:
                     f.seek(offset)
                     raw = f.read(length if length else 4096)
                     hdr, body = parse_struct(raw)

@@ -65,8 +65,9 @@ def _decode_plain(raw: bytes, ptype: int, logical: str):
 class PageIndex:
     """Lazy per-file access to parquet page indexes."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, opener=None):
         self.path = path
+        self._open = opener or (lambda p: open(p, "rb"))
         # {(rg, column): (ci_off, ci_len, oi_off, oi_len, physical_type)}
         self._offsets: Optional[Dict] = None
 
@@ -75,7 +76,7 @@ class PageIndex:
             return self._offsets
         out: Dict = {}
         try:
-            with open(self.path, "rb") as f:
+            with self._open(self.path) as f:
                 f.seek(0, os.SEEK_END)
                 size = f.tell()
                 f.seek(size - 8)
@@ -118,7 +119,7 @@ class PageIndex:
         if ci_len is None or oi_len is None or ptype is None:
             return None
         try:
-            with open(self.path, "rb") as f:
+            with self._open(self.path) as f:
                 f.seek(ci_off)
                 ci, _ = parse_struct(f.read(ci_len))
                 f.seek(oi_off)

@@ -264,17 +264,49 @@ def _equality_constraints(filters: Sequence[E.Expr]) -> List[Tuple[str, List[obj
 
 
 def discover(path: str, exts=(".parquet",)) -> Tuple[List[ScanFile], List[str]]:
-    """Expand a file/dir into scan files, extracting hive `key=value` path
-    segments as partition columns (reference: hive partition discovery in
-    datasource/src/url.rs + listing table). Directory walks go through the
-    session list-files cache (reference: CacheManager list-files cache),
-    keyed by the top directory's mtime."""
+    """Expand a file/dir/URL into scan files, extracting hive `key=value`
+    path segments as partition columns (reference: hive partition discovery
+    in datasource/src/url.rs + listing table). Paths resolve through the
+    object-store registry (io/object_store.py, the ObjectStoreRegistry
+    analog); local directory walks go through the session list-files cache
+    (reference: CacheManager list-files cache), keyed by the top directory's
+    mtime."""
+    from .object_store import LocalFileSystem, resolve as resolve_store
+
+    store, spath = resolve_store(path)
+    if not isinstance(store, LocalFileSystem):
+        return _store_listing(store, spath, tuple(exts))
+    path = spath
     if not os.path.isdir(path):
         return [ScanFile(path, {})], []
     from ..runtime.cache import default_cache_manager
 
     return default_cache_manager().listing(
         path, tuple(exts), lambda: _walk(path, tuple(exts)))
+
+
+def _store_listing(store, prefix: str,
+                   exts: Tuple[str, ...]) -> Tuple[List[ScanFile], List[str]]:
+    files: List[ScanFile] = []
+    pkeys: List[str] = []
+    base = prefix.strip("/")
+    for key, _size in store.list(prefix):
+        if not key.endswith(exts):
+            continue
+        rel = key.strip("/")
+        if base and rel.startswith(base):
+            rel = rel[len(base):].lstrip("/")
+        parts: Dict[str, object] = {}
+        for seg in rel.split("/")[:-1]:
+            if "=" in seg:
+                k, _, v = seg.partition("=")
+                parts[k] = _parse_partition_value(v)
+                if k not in pkeys:
+                    pkeys.append(k)
+        files.append(ScanFile(key, parts))
+    if not files:
+        raise PlanError(f"no files matching {exts} under {prefix}")
+    return files, pkeys
 
 
 def _walk(path: str, exts: Tuple[str, ...]) -> Tuple[List[ScanFile], List[str]]:
@@ -306,6 +338,9 @@ class ParquetDataset:
     partition columns attached as constants."""
 
     def __init__(self, path: str):
+        from .object_store import resolve as resolve_store
+
+        self.store, _ = resolve_store(path)
         self.files, self.partition_keys = discover(path)
         self._meta: Dict[str, object] = {}   # path -> pq.ParquetFile
         self._global_dicts: Dict[str, object] = {}
@@ -321,7 +356,7 @@ class ParquetDataset:
         if path not in self._bloom:
             from .bloom import BloomIndex
 
-            self._bloom[path] = BloomIndex(path)
+            self._bloom[path] = BloomIndex(path, opener=self.store.open)
         return self._bloom[path]
 
     def _physical_types(self) -> Dict[str, str]:
@@ -342,7 +377,7 @@ class ParquetDataset:
         if path not in self._pageidx:
             from .pageindex import PageIndex
 
-            self._pageidx[path] = PageIndex(path)
+            self._pageidx[path] = PageIndex(path, opener=self.store.open)
         return self._pageidx[path]
 
     def _logical_types(self) -> Dict[str, str]:
@@ -360,11 +395,18 @@ class ParquetDataset:
 
     def _pf(self, path: str):
         if path not in self._meta:
-            from ..runtime.cache import default_cache_manager
+            from .object_store import LocalFileSystem
 
-            # footers parse once per process (reference: CacheManager's
-            # parquet-metadata cache), not once per dataset/session
-            self._meta[path] = default_cache_manager().parquet_file(path)
+            if isinstance(self.store, LocalFileSystem):
+                from ..runtime.cache import default_cache_manager
+
+                # footers parse once per process (reference: CacheManager's
+                # parquet-metadata cache), not once per dataset/session
+                self._meta[path] = default_cache_manager().parquet_file(path)
+            else:
+                import pyarrow.parquet as pq
+
+                self._meta[path] = pq.ParquetFile(self.store.open(path))
         return self._meta[path]
 
     def arrow_schema(self):
