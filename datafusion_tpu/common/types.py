@@ -41,6 +41,8 @@ class TypeKind(enum.Enum):
     INTERVAL_DAYS = "interval_days"  # internal: calendar interval in days
     INTERVAL_MONTHS = "interval_months"
     LIST = "list"
+    STRUCT = "struct"
+    MAP = "map"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,13 +50,20 @@ class DataType:
     kind: TypeKind
     precision: Optional[int] = None  # DECIMAL only
     scale: Optional[int] = None  # DECIMAL only
-    elem: Optional["DataType"] = None  # LIST only: element type
+    elem: Optional["DataType"] = None  # LIST: element; MAP: value type
+    # STRUCT: ordered (name, type) field tuple; MAP: (("key", kt),)
+    fields: Optional[tuple] = None
 
     def __repr__(self) -> str:
         if self.kind is TypeKind.DECIMAL:
             return f"Decimal({self.precision},{self.scale})"
         if self.kind is TypeKind.LIST:
             return f"List({self.elem!r})"
+        if self.kind is TypeKind.STRUCT:
+            inner = ", ".join(f"{n}: {t!r}" for n, t in (self.fields or ()))
+            return f"Struct({inner})"
+        if self.kind is TypeKind.MAP:
+            return f"Map({self.fields[0][1]!r}, {self.elem!r})"
         return self.kind.value
 
     # ---- classification -------------------------------------------------
@@ -86,6 +95,14 @@ class DataType:
     @property
     def is_string(self) -> bool:
         return self.kind is TypeKind.STRING
+
+    @property
+    def is_struct(self) -> bool:
+        return self.kind is TypeKind.STRUCT
+
+    @property
+    def is_map(self) -> bool:
+        return self.kind is TypeKind.MAP
 
     @property
     def is_list(self) -> bool:
@@ -123,6 +140,8 @@ class DataType:
             # device representation: [capacity, width] of the element's
             # device dtype, plus per-row lengths (data/device.py)
             return self.elem.np_dtype()
+        if k in (TypeKind.STRUCT, TypeKind.MAP):
+            return np.dtype(np.int32)  # opaque sorted-dictionary codes
         raise NotImplementedError(k)
 
 
@@ -148,6 +167,21 @@ def decimal(precision: int, scale: int) -> DataType:
 
 def list_of(elem: DataType) -> DataType:
     return DataType(TypeKind.LIST, elem=elem)
+
+
+def struct(fields) -> DataType:
+    """Struct type: ordered (name, DataType) pairs. Device representation
+    is an int32 code into a SORTED dictionary of value tuples -- the same
+    order-preserving opaque encoding strings use (SURVEY.md §7 'variable
+    length data normalized to dictionary codes'), so group/sort/distinct
+    ride the ordinary code paths."""
+    return DataType(TypeKind.STRUCT, fields=tuple((str(n), t) for n, t in fields))
+
+
+def map_of(key: DataType, value: DataType) -> DataType:
+    """Map type: per-row sorted (key, value) pair tuples behind the same
+    opaque dictionary-code representation as struct."""
+    return DataType(TypeKind.MAP, elem=value, fields=(("key", key),))
 
 
 _NUMERIC_KINDS = frozenset(

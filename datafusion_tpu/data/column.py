@@ -226,6 +226,13 @@ def _infer_scalar_type(v) -> Optional[T.DataType]:
         return T.TIMESTAMP
     if isinstance(v, datetime.date):
         return T.DATE32
+    if isinstance(v, dict):
+        # python dicts ingest as STRUCT rows (pyarrow infers the same);
+        # build a map with T.map_of via an explicit types= override
+        fields = []
+        for n, x in v.items():
+            fields.append((str(n), _infer_scalar_type(x) or T.INT64))
+        return T.struct(fields)
     if isinstance(v, (list, tuple, np.ndarray)):
         elem = None
         for x in v:
@@ -258,6 +265,17 @@ def _infer_type(values) -> T.DataType:
                 return T.DATE32
             return T.TIMESTAMP
         raise TypeError(f"cannot infer column type from dtype {dt}")
+    # dicts: equal key sets across rows -> STRUCT; varying -> MAP
+    dicts = [v for v in values if isinstance(v, dict)]
+    if dicts:
+        keysets = {tuple(sorted(map(str, d.keys()))) for d in dicts}
+        if len(keysets) > 1:
+            kt = vt = None
+            for d in dicts:
+                for k, x in d.items():
+                    kt = kt or _infer_scalar_type(k)
+                    vt = vt or _infer_scalar_type(x)
+            return T.map_of(kt or T.STRING, vt or T.INT64)
     for v in values:
         t = _infer_scalar_type(v)
         if t is not None:
@@ -315,12 +333,59 @@ def column_from_values(values, dtype: Optional[T.DataType] = None) -> HostColumn
                            for x in v])
         return HostColumn(dtype, obj, validity, d)
 
+    if dtype.is_struct or dtype.is_map:
+        codes, d = _encode_opaque(vals, nulls, dtype)
+        return HostColumn(dtype, codes, validity, d)
+
     data = np.zeros(n, dtype=dtype.np_dtype())
     for i, v in enumerate(vals):
         if nulls[i]:
             continue
         data[i] = _coerce_elem(v, dtype)
     return HostColumn(dtype, data, validity)
+
+
+def _none_safe_key(x):
+    """Total order over logical values including None and nested pairs."""
+    if x is None:
+        return (0,)
+    if isinstance(x, tuple):
+        return (2,) + tuple(_none_safe_key(e) for e in x)
+    if isinstance(x, bool):
+        return (1, "b", int(x))
+    if isinstance(x, (int, float)):
+        return (1, "n", float(x), 0 if isinstance(x, int) else 1)
+    return (1, "s", str(x))
+
+
+def _canon_struct(v, dtype: T.DataType):
+    """Canonical value tuple for one struct/map row."""
+    if dtype.is_struct:
+        if isinstance(v, dict):
+            return tuple(v.get(n) for n, _t in dtype.fields)
+        return tuple(v)  # positional tuple/list
+    items = v.items() if isinstance(v, dict) else v
+    return tuple(sorted(((k, x) for k, x in items),
+                        key=lambda kv: _none_safe_key(kv[0])))
+
+
+def _encode_opaque(vals, nulls, dtype: T.DataType):
+    """Struct/map rows -> order-preserving int32 codes into a SORTED
+    dictionary of canonical value tuples (the string-column encoding scheme
+    generalized to composite values; codes group/sort/compare like any
+    dictionary column)."""
+    rows = [None if nulls[i] else _canon_struct(v, dtype)
+            for i, v in enumerate(vals)]
+    distinct = sorted({r for r in rows if r is not None}, key=_none_safe_key)
+    lut = {r: i for i, r in enumerate(distinct)}
+    codes = np.zeros(len(rows), dtype=np.int32)
+    for i, r in enumerate(rows):
+        if r is not None:
+            codes[i] = lut[r]
+    dvals = np.empty(len(distinct), dtype=object)
+    for i, r in enumerate(distinct):
+        dvals[i] = r
+    return codes, Dictionary(dvals)
 
 
 def _coerce_elem(v, dtype: T.DataType):

@@ -163,6 +163,18 @@ def _column_from_arrow(arr, at) -> HostColumn:
     import pyarrow as pa
     import pyarrow.types as pt
 
+    if pt.is_struct(at):
+        from ..common import types as _T
+
+        fields = [(f.name, _arrow_scalar_dtype(f.type)) for f in at]
+        return column_from_values(arr.to_pylist(), _T.struct(fields))
+    if pt.is_map(at):
+        from ..common import types as _T
+
+        dt = _T.map_of(_arrow_scalar_dtype(at.key_type),
+                       _arrow_scalar_dtype(at.item_type))
+        return column_from_values(arr.to_pylist(), dt)
+
     if pt.is_dictionary(at):
         arr = arr.cast(at.value_type)
         at = at.value_type
@@ -272,6 +284,11 @@ def _arrow_scalar_dtype(at) -> T.DataType:
 def _elem_logical(dtype: T.DataType, v, dictionary):
     if v is None:
         return None
+    if dtype.is_struct:
+        tup = dictionary.values[int(v)]
+        return {n: x for (n, _t), x in zip(dtype.fields, tup)}
+    if dtype.is_map:
+        return dict(dictionary.values[int(v)])
     if dtype.is_string:
         vals = dictionary.values if dictionary is not None else None
         return str(vals[int(v)]) if vals is not None and len(vals) else None
@@ -313,7 +330,7 @@ def _to_pandas_series(dtype: T.DataType, c: HostColumn):
     import pandas as pd
 
     v = c.validity
-    if dtype.is_string or dtype.is_list:
+    if dtype.is_string or dtype.is_list or dtype.is_struct or dtype.is_map:
         return pd.Series(_to_pylist_pandas(dtype, c), dtype=object)
     if dtype.is_decimal:
         data = c.data.astype(np.float64) / (10.0 ** dtype.scale)

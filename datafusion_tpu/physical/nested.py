@@ -71,6 +71,11 @@ NESTED_FNS = {
     "array_filter", "list_filter",
     "array_any_match", "any_match", "list_any_match",
     "array_all_match", "all_match", "list_all_match",
+    # struct / map (reference: functions-nested/src/{map.rs,map_extract.rs,
+    # map_keys.rs,map_values.rs}, functions/src/core/{getfield,named_struct})
+    "get_field", "named_struct", "struct", "row",
+    "map", "make_map", "map_keys", "map_values", "map_extract",
+    "map_contains_key", "element_at", "map_entries",
 }
 
 # higher-order functions: arg1 is a Lambda, evaluated by
@@ -149,6 +154,8 @@ def nested_function_type(e: E.ScalarFunction, schema) -> Tuple[T.DataType, bool]
         return T.list_of(body_t), ln
     argt = [infer(a, schema) for a in e.args]
     nullable = any(n for _, n in argt)
+    if f in _STRUCT_MAP_FNS:
+        return _struct_map_type(f, e, argt, nullable)
     if f == "make_array":
         elem = T.NULL
         for t, _ in argt:
@@ -296,10 +303,126 @@ def _literal_int(e: Optional[E.Expr], what: str) -> int:
 # ---------------------------------------------------------------------------
 
 
+_STRUCT_MAP_FNS = frozenset({
+    "get_field", "named_struct", "struct", "row", "map", "make_map",
+    "map_keys", "map_values", "map_extract", "map_contains_key",
+    "element_at", "map_entries",
+})
+
+
+def _literal_py(e: E.Expr):
+    """Python value of a literal expression tree (literals, negatives,
+    make_array of literals); None-able. Raises PlanError otherwise."""
+    if isinstance(e, E.Alias):
+        return _literal_py(e.expr)
+    if isinstance(e, E.Literal):
+        return e.value
+    if isinstance(e, E.Negative):
+        return -_literal_py(e.expr)
+    if isinstance(e, E.ScalarFunction) and canon(e.fname) == "make_array":
+        return [_literal_py(a) for a in e.args]
+    raise PlanError(
+        "struct/map construction supports literal arguments only; "
+        "struct-typed table columns ingest from pydict/arrow data")
+
+
+def _field_name(e: E.Expr) -> str:
+    v = _literal_py(e)
+    if not isinstance(v, str):
+        raise PlanError("get_field expects a literal field name")
+    return v
+
+
+def _pytype(v) -> T.DataType:
+    from ..data.column import _infer_scalar_type
+
+    t = _infer_scalar_type(v)
+    return t if t is not None else T.NULL
+
+
+def _struct_map_type(f: str, e: E.ScalarFunction, argt, nullable):
+
+    if f == "get_field":
+        base = argt[0][0]
+        if base.is_struct:
+            name = _field_name(e.args[1])
+            for n, t in base.fields:
+                if n == name:
+                    return t, True
+            raise PlanError(f"struct has no field {name!r}; fields: "
+                            f"{[n for n, _ in base.fields]}")
+        if base.is_map:
+            return base.elem, True
+        raise PlanError(f"get_field on non-struct/map type {base!r}")
+    if f == "element_at":
+        base = argt[0][0]
+        if base.is_map:
+            return base.elem, True
+        if base.is_list:
+            return base.elem, True
+        raise PlanError(f"element_at on non-map/list type {base!r}")
+    if f == "map_keys":
+        _need_map(argt[0][0], f)
+        return T.list_of(argt[0][0].fields[0][1]), nullable
+    if f in ("map_values", "map_extract"):
+        _need_map(argt[0][0], f)
+        return T.list_of(argt[0][0].elem), nullable
+    if f == "map_contains_key":
+        _need_map(argt[0][0], f)
+        return T.BOOL, nullable
+    if f == "map_entries":
+        _need_map(argt[0][0], f)
+        kt = argt[0][0].fields[0][1]
+        return T.list_of(T.struct((("key", kt), ("value", argt[0][0].elem)))), nullable
+    if f in ("named_struct", "struct", "row"):
+        if f == "named_struct":
+            pairs = [( _field_name(e.args[i]), e.args[i + 1])
+                     for i in range(0, len(e.args), 2)]
+        else:
+            pairs = [(f"c{i}", a) for i, a in enumerate(e.args)]
+        fields = []
+        for n, a in pairs:
+            v = _literal_py(a)
+            fields.append((n, _pytype(v)))
+        return T.struct(fields), False
+    # map / make_map
+    if f == "map" and len(e.args) == 2:
+        ks = _literal_py(e.args[0]) or []
+        vs = _literal_py(e.args[1]) or []
+        pairs = list(zip(ks, vs))
+    else:
+        vals = [_literal_py(a) for a in e.args]
+        pairs = list(zip(vals[0::2], vals[1::2]))
+    kt = vt = T.NULL
+    for k, v in pairs:
+        kt = _pytype(k) if kt.kind is T.TypeKind.NULL else kt
+        vt = _pytype(v) if vt.kind is T.TypeKind.NULL else vt
+    return T.map_of(kt if kt.kind is not T.TypeKind.NULL else T.INT64,
+                    vt if vt.kind is not T.TypeKind.NULL else T.INT64), False
+
+
+def _need_map(dt, f):
+    if not dt.is_map:
+        raise PlanError(f"{f} expects a map argument, got {dt!r}")
+
+
 def eval_nested_function(fname: str, args: List[DeviceColumn],
                          arg_exprs: Tuple[E.Expr, ...],
                          out_dtype: T.DataType, cap: int) -> DeviceColumn:
     f = canon(fname)
+
+    if f in _STRUCT_MAP_FNS and not (
+            f == "element_at" and args and args[0].dtype.is_list):
+        return _eval_struct_map(f, args, arg_exprs, out_dtype, cap)
+    if f == "element_at":
+        f = "array_element"
+    if f == "cardinality" and args and args[0].dtype.is_map:
+        col = args[0]
+        lens = [len(t) for t in col.dictionary.values] \
+            if col.dictionary is not None and col.dictionary.size else [0]
+        lut = jnp.asarray(np.asarray(lens, dtype=np.int64))
+        codes = jnp.clip(col.data.astype(jnp.int32), 0, lut.shape[0] - 1)
+        return DeviceColumn(lut[codes], col.validity, T.INT64)
 
     if f == "make_array":
         if not args:
@@ -748,3 +871,169 @@ def eval_lambda_function(fname: str, arg_exprs, rel, out_dtype: T.DataType
     all_true = ~any_false & ~any_null
     validity = col.valid() & (any_false | ~any_null)
     return DeviceColumn(all_true, validity, T.BOOL)
+
+
+# ---------------------------------------------------------------------------
+# struct / map evaluation: opaque sorted-dictionary codes + host-built LUTs
+# gathered on device (codes are per-column consistent, so every lookup is
+# one small-table gather -- the dictionary-encoded-strings playbook applied
+# to composite values)
+# ---------------------------------------------------------------------------
+
+
+def _lut_column(col: DeviceColumn, values, ft: T.DataType,
+                cap: int) -> DeviceColumn:
+    """Column of `values[code]` for a dictionary-coded struct/map column:
+    values is one python value per dictionary entry (None = NULL)."""
+    if ft.is_list or ft.is_struct or ft.is_map:
+        from ..data.column import column_from_values
+
+        if ft.is_list:
+            raise PlanError("nested list fields inside struct are not "
+                            "supported (depth-1 lists only)")
+        hc = column_from_values(list(values), ft)  # nested struct: re-encode
+        lut = np.asarray(hc.data, dtype=ft.np_dtype())
+        lut_valid = hc.valid_mask()
+        d = hc.dictionary
+    else:
+        from ..data.column import column_from_values
+
+        hc = column_from_values(list(values), ft)
+        lut = np.asarray(hc.data, dtype=ft.np_dtype())
+        lut_valid = hc.valid_mask()
+        d = hc.dictionary
+    if lut.size == 0:
+        lut = np.zeros(1, dtype=ft.np_dtype())
+        lut_valid = np.zeros(1, dtype=bool)
+    codes = jnp.clip(col.data.astype(jnp.int32), 0, lut.shape[0] - 1)
+    data = jnp.asarray(lut)[codes]
+    valid = col.valid() & jnp.asarray(lut_valid)[codes]
+    return DeviceColumn(data, valid, ft, d)
+
+
+def _entry_list_arrays(entries, elem: T.DataType):
+    """Per-dictionary-entry python lists -> (data2d, lengths, elem_valid,
+    dictionary) host arrays for a device list column LUT."""
+    D = max(len(entries), 1)
+    W = max([len(x) for x in entries] + [1])
+    dictionary = None
+    if elem.is_string:
+        flat = sorted({str(v) for row in entries for v in row if v is not None})
+        dictionary = Dictionary(np.array(flat, dtype=object))
+        lut = {v: i for i, v in enumerate(flat)}
+        entries = [[None if v is None else lut[str(v)] for v in row]
+                   for row in entries]
+    data = np.zeros((D, W), dtype=elem.np_dtype())
+    ev = np.zeros((D, W), dtype=bool)
+    lengths = np.zeros(D, dtype=np.int32)
+    from ..data.column import _coerce_elem
+
+    for i, row in enumerate(entries):
+        lengths[i] = len(row)
+        for j, v in enumerate(row):
+            if v is None:
+                continue
+            ev[i, j] = True
+            data[i, j] = v if elem.is_string else _coerce_elem(v, elem)
+    return data, lengths, ev, dictionary
+
+
+def _map_pairs(col: DeviceColumn):
+    return [list(t) for t in col.dictionary.values] \
+        if col.dictionary is not None and col.dictionary.size else [[]]
+
+
+def _eval_struct_map(f: str, args: List[DeviceColumn],
+                     arg_exprs: Tuple[E.Expr, ...], out_dtype: T.DataType,
+                     cap: int) -> DeviceColumn:
+    if f in ("named_struct", "struct", "row", "map", "make_map"):
+        # literal construction: one dictionary entry, constant codes
+        from ..data.column import _canon_struct
+
+        if f == "named_struct":
+            vals = [_literal_py(a) for a in arg_exprs]
+            value = {str(vals[i]): vals[i + 1] for i in range(0, len(vals), 2)}
+        elif f in ("struct", "row"):
+            value = {f"c{i}": _literal_py(a) for i, a in enumerate(arg_exprs)}
+        elif f == "map" and len(arg_exprs) == 2:
+            ks = _literal_py(arg_exprs[0]) or []
+            vs = _literal_py(arg_exprs[1]) or []
+            value = dict(zip(ks, vs))
+        else:
+            vals = [_literal_py(a) for a in arg_exprs]
+            value = dict(zip(vals[0::2], vals[1::2]))
+        tup = _canon_struct(value, out_dtype)
+        dvals = np.empty(1, dtype=object)
+        dvals[0] = tup
+        return DeviceColumn(jnp.zeros(cap, jnp.int32), None, out_dtype,
+                            Dictionary(dvals))
+
+    col = args[0]
+    dt = col.dtype
+
+    if f == "get_field" and dt.is_struct:
+        name = _field_name(arg_exprs[1])
+        idx = [n for n, _t in dt.fields].index(name)
+        ft = dict(dt.fields)[name]
+        entries = col.dictionary.values if col.dictionary is not None else []
+        vals = [t[idx] for t in entries]
+        return _lut_column(col, vals, ft, cap)
+
+    _need_map(dt, f)
+    pairs = _map_pairs(col)
+    kt, vt = dt.fields[0][1], dt.elem
+
+    if f in ("get_field", "element_at", "map_contains_key"):
+        key = _literal_py(arg_exprs[1])
+        vals = [dict(t).get(key) for t in pairs]
+        if f == "map_contains_key":
+            has = [key in dict(t) for t in pairs]
+            lut = jnp.asarray(np.asarray(has, dtype=bool))
+            codes = jnp.clip(col.data.astype(jnp.int32), 0, lut.shape[0] - 1)
+            return DeviceColumn(lut[codes], col.validity, T.BOOL)
+        return _lut_column(col, vals, vt, cap)
+
+    if f == "map_extract":
+        # reference semantics: a 0/1-element LIST of the value
+        key = _literal_py(arg_exprs[1])
+        rows = [([dict(t)[key]] if key in dict(t) else []) for t in pairs]
+        data, lengths, ev, d = _entry_list_arrays(rows, vt)
+        codes = jnp.clip(col.data.astype(jnp.int32), 0, data.shape[0] - 1)
+        return DeviceColumn(jnp.asarray(data)[codes], col.validity,
+                            T.list_of(vt), d, None,
+                            jnp.asarray(lengths)[codes],
+                            jnp.asarray(ev)[codes])
+
+    if f in ("map_keys", "map_values"):
+        j = 0 if f == "map_keys" else 1
+        elem = kt if f == "map_keys" else vt
+        rows = [[kv[j] for kv in t] for t in pairs]
+        data, lengths, ev, d = _entry_list_arrays(rows, elem)
+        codes = jnp.clip(col.data.astype(jnp.int32), 0, data.shape[0] - 1)
+        return DeviceColumn(jnp.asarray(data)[codes], col.validity,
+                            T.list_of(elem), d, None,
+                            jnp.asarray(lengths)[codes],
+                            jnp.asarray(ev)[codes])
+
+    if f == "map_entries":
+        # list of {key, value} structs: re-encode each pair tuple opaquely
+        st = out_dtype.elem
+        from ..data.column import _encode_opaque
+
+        flat_rows = [[tuple(kv) for kv in t] for t in pairs]
+        # encode every distinct pair across entries
+        distinct = sorted({p for row in flat_rows for p in row},
+                          key=lambda x: (str(x),))
+        lutp = {p: i for i, p in enumerate(distinct)}
+        rows = [[lutp[p] for p in row] for row in flat_rows]
+        data, lengths, ev, _ = _entry_list_arrays(rows, T.INT32)
+        dvals = np.empty(max(len(distinct), 1), dtype=object)
+        for i, p in enumerate(distinct):
+            dvals[i] = p
+        codes = jnp.clip(col.data.astype(jnp.int32), 0, data.shape[0] - 1)
+        return DeviceColumn(jnp.asarray(data)[codes], col.validity,
+                            T.list_of(st), Dictionary(dvals), None,
+                            jnp.asarray(lengths)[codes],
+                            jnp.asarray(ev)[codes])
+
+    raise PlanError(f"struct/map function {f!r} not implemented")

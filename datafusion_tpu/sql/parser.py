@@ -593,11 +593,16 @@ class Parser:
             if self.at("op", "::"):
                 self.next()
                 e = E.Cast(e, self.type_name())
-            elif self.at("op", "["):  # subscript: arr[i] (1-based)
+            elif self.at("op", "["):  # subscript: arr[i] (1-based) or
+                # struct/map field access s['name'] (get_field)
                 self.next()
                 idx = self.expr()
                 self.expect_op("]")
-                e = E.ScalarFunction("array_element", (e, idx))
+                base = idx.expr if isinstance(idx, E.Alias) else idx
+                if isinstance(base, E.Literal) and isinstance(base.value, str):
+                    e = E.ScalarFunction("get_field", (e, idx))
+                else:
+                    e = E.ScalarFunction("array_element", (e, idx))
             else:
                 return e
 
