@@ -430,17 +430,20 @@ def h2o_main(args):
     from datafusion_tpu.runtime.context import ExecContext
 
     t0 = time.time()
-    ctx = SessionContext()
-    ctx.register_table("x", generate_groupby(args.rows))
-    jn = generate_join(max(args.rows // 10, 1000))
-    for name, t in jn.items():
-        ctx.register_table(name if name != "x" else "jx", t)
+    # two sessions: the groupby suite and the join suite both name their
+    # fact table `x` (h2o convention, reference benchmarks/src/h2o.rs), so
+    # each gets its own catalog instead of rewriting query text
+    gctx = SessionContext()
+    gctx.register_table("x", generate_groupby(args.rows))
+    jctx = SessionContext()
+    for name, t in generate_join(max(args.rows // 10, 1000)).items():
+        jctx.register_table(name, t)
     if args.verbose:
         print(f"# generated h2o rows={args.rows} in {time.time()-t0:.1f}s, "
               f"backend={jax.devices()[0].platform}", file=sys.stderr)
-    # the join fact table registers as jx (x is the groupby table); alias it
-    queries = ([(f"groupby_q{i+1}", q) for i, q in enumerate(GROUPBY_QUERIES)]
-               + [(f"join_q{i+1}", q.replace("FROM x ", "FROM jx AS x "))
+    queries = ([(f"groupby_q{i+1}", q, gctx)
+                for i, q in enumerate(GROUPBY_QUERIES)]
+               + [(f"join_q{i+1}", q, jctx)
                   for i, q in enumerate(JOIN_QUERIES)])
     try:
         cpu_dev = jax.devices("cpu")[0]
@@ -451,10 +454,10 @@ def h2o_main(args):
     failed = {}
     check_failed = {}
     checked = 0
-    for name, sql in queries:
+    for name, sql, qctx in queries:
       try:
-        phys = FusedQuery(ctx.sql(sql).physical_plan())
-        ectx = ctx.exec_context()
+        phys = FusedQuery(qctx.sql(sql).physical_plan())
+        ectx = qctx.exec_context()
         t0 = time.time()
         rel = phys.execute(ectx)
         jax.block_until_ready(rel)
