@@ -1,0 +1,251 @@
+"""Port reference sqllogictest files into the local dialect, oracle-checked.
+
+The reference's primary test corpus is 193 .slt files / ~169k lines
+(datafusion/sqllogictest/test_files). This porter replays a reference file
+against THIS engine and emits a local .slt containing every record whose
+behavior matches the reference's committed expected output:
+
+  * `statement ok` records are kept when they execute here (table DDL via
+    CREATE TABLE ... AS VALUES, INSERT INTO, ...); unsupported statements
+    (SET, EXPLAIN snapshots, CREATE EXTERNAL TABLE on absent fixtures,
+    arrow_typeof, ...) are dropped along with anything that depends on them
+    -- dependent queries then fail to execute and are dropped too.
+  * `query` records are kept ONLY when our result matches the reference's
+    expected block (numerics compared by value: the reference prints f64 at
+    full precision, our dialect at %.3f; NULL/"(empty)" conventions are
+    shared). The emitted expected block is re-rendered in our format, but
+    its VALUES were verified against the reference engine's answers at port
+    time -- the corpus stays a genuine differential, not a self-snapshot.
+  * `statement error` / `query error` records are kept (without the
+    reference's message text, which is engine-specific) when we also error.
+  * `N values hashing to <md5>` blocks and skipif/onlyif records for other
+    engines are dropped.
+
+Provenance: the emitted files derive from Apache DataFusion's test corpus
+(Apache-2.0); each carries a header naming its source file and port stats.
+"""
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import List, Optional, Tuple
+
+from .slt import Record, format_rows
+
+_SKIP_SQL = re.compile(
+    r"^\s*(set\s|explain\b|describe\b|copy\b|create\s+external\b|"
+    r"create\s+unbounded\b|show\b)", re.IGNORECASE)
+
+
+@dataclasses.dataclass
+class RefRecord:
+    kind: str        # statement_ok | statement_error | query | query_error
+    sql: str
+    line: int
+    types: str = ""
+    sort_mode: str = "nosort"
+    expected: Tuple[str, ...] = ()
+    condition: str = ""   # "", "keep", "drop" (from skipif/onlyif)
+
+
+def parse_reference_slt(text: str) -> List[RefRecord]:
+    lines = text.splitlines()
+    out: List[RefRecord] = []
+    i, n = 0, len(lines)
+    condition = ""
+
+    def read_sql(j):
+        sql = []
+        while j < n and lines[j].strip() and lines[j].strip() != "----":
+            sql.append(lines[j])
+            j += 1
+        return "\n".join(sql).strip(), j
+
+    while i < n:
+        s = lines[i].strip()
+        if not s or s.startswith("#"):
+            i += 1
+            continue
+        low = s.lower()
+        if low.startswith(("hash-threshold", "halt", "control")):
+            i += 1
+            continue
+        if low.startswith(("skipif", "onlyif")):
+            eng = s.split()[1].lower() if len(s.split()) > 1 else ""
+            keep = (low.startswith("skipif") and eng != "datafusion") or \
+                   (low.startswith("onlyif") and eng == "datafusion")
+            condition = "keep" if keep else "drop"
+            i += 1
+            continue
+        start = i + 1
+        m = re.match(r"statement\s+(ok|error|count)\s*(.*)", s, re.IGNORECASE)
+        q = re.match(r"query\s+error(\s+.*)?$", s, re.IGNORECASE)
+        q2 = re.match(r"query\s+(\S+)\s*(\S+)?\s*(\S+)?\s*$", s, re.IGNORECASE)
+        if m:
+            i += 1
+            sql, i = read_sql(i)
+            kind = "statement_error" if m.group(1).lower() == "error" \
+                else "statement_ok"
+            out.append(RefRecord(kind, sql, start, condition=condition))
+        elif q:
+            i += 1
+            sql, i = read_sql(i)
+            out.append(RefRecord("query_error", sql, start,
+                                 condition=condition))
+        elif q2 and q2.group(1):
+            i += 1
+            sql, i = read_sql(i)
+            expected: List[str] = []
+            if i < n and lines[i].strip() == "----":
+                i += 1
+                while i < n and lines[i].strip():
+                    expected.append(lines[i].rstrip())
+                    i += 1
+            types = q2.group(1).upper()
+            sort_mode = (q2.group(2) or "nosort").lower()
+            if sort_mode not in ("nosort", "rowsort", "valuesort"):
+                sort_mode = "nosort"
+            out.append(RefRecord("query", sql, start, types=types,
+                                 sort_mode=sort_mode,
+                                 expected=tuple(expected),
+                                 condition=condition))
+        else:
+            i += 1  # unknown directive: skip the line
+            continue
+        condition = ""
+    return out
+
+
+def _norm_token(tok: str, tch: str):
+    if tok == "NULL":
+        return ("null",)
+    if tch == "I":
+        try:
+            return ("r", float(int(tok)))
+        except ValueError:
+            pass
+    if tch in ("I", "R"):
+        try:
+            f = float(tok)
+            if f != f:
+                return ("r", "nan")  # NaN: bitwise-equal token, not float !=
+            return ("r", round(f, 3))
+        except ValueError:
+            return ("t", tok)
+    if tch == "B":
+        return ("b", tok.lower() in ("true", "t", "1"))
+    return ("t", "" if tok == "(empty)" else tok)
+
+
+def _row_keys(rows: List[str], types: str, sep: Optional[str]):
+    """Normalized per-row token keys; None when a row cannot be tokenized
+    to the arity the type string promises."""
+    keys = []
+    for row in rows:
+        toks = row.split(sep) if sep else row.split()
+        if len(toks) != len(types):
+            if len(types) == 1:
+                toks = [row.strip()]
+            else:
+                return None
+        keys.append(tuple(_norm_token(t, tc) for t, tc in zip(toks, types)))
+    return keys
+
+
+def _match(actual_rows: List[str], ref_expected: Tuple[str, ...],
+           types: str, sort_mode: str) -> bool:
+    ref = list(ref_expected)
+    if len(ref) == 1 and re.match(r"\d+ values hashing to", ref[0]):
+        return False  # cannot verify hashed blocks
+    if sort_mode == "valuesort":
+        a = sorted(v for row in actual_rows for v in row.split("\t"))
+        b = sorted(v for row in ref for v in row.split())
+        if len(a) != len(b):
+            return False
+        return all(_norm_token(x, types[0]) == _norm_token(y, types[0])
+                   for x, y in zip(a, b))
+    ka = _row_keys(actual_rows, types, "\t")
+    kb = _row_keys(ref, types, None)
+    if ka is None or kb is None or len(ka) != len(kb):
+        # fall back to whitespace-collapsed full-line comparison
+        na = [" ".join(r.split("\t")) for r in actual_rows]
+        nb = [" ".join(r.split()) for r in ref]
+        if sort_mode == "rowsort":
+            na, nb = sorted(na), sorted(nb)
+        return na == nb
+    if sort_mode == "rowsort":
+        ka, kb = sorted(ka), sorted(kb)
+    return ka == kb
+
+
+def port_file(ref_path: str, out_path: str, ctx_factory) -> dict:
+    """Replay ref_path against a fresh context; write the surviving records
+    to out_path. Returns stats."""
+    with open(ref_path) as f:
+        refs = parse_reference_slt(f.read())
+    ctx = ctx_factory()
+    kept: List[Record] = []
+    stats = {"total": len(refs), "kept": 0, "skipped_stmt": 0,
+             "failed_stmt": 0, "mismatch": 0, "query_failed": 0,
+             "dropped_cond": 0, "error_kept": 0}
+    for r in refs:
+        if r.condition == "drop":
+            stats["dropped_cond"] += 1
+            continue
+        if r.kind == "statement_ok":
+            if _SKIP_SQL.match(r.sql):
+                stats["skipped_stmt"] += 1
+                continue
+            try:
+                ctx.sql(r.sql).collect()
+            except Exception:  # noqa: BLE001
+                stats["failed_stmt"] += 1
+                continue
+            kept.append(Record("statement_ok", r.sql, r.line))
+            stats["kept"] += 1
+            continue
+        if r.kind in ("statement_error", "query_error"):
+            try:
+                ctx.sql(r.sql).collect()
+            except Exception:  # noqa: BLE001
+                kept.append(Record("statement_error", r.sql, r.line))
+                stats["kept"] += 1
+                stats["error_kept"] += 1
+            continue
+        # query
+        types = re.sub(r"[^IRTBD]", "T", r.types)
+        try:
+            table = ctx.sql(r.sql).collect()
+            actual = format_rows(table, types, r.sort_mode)
+        except Exception:  # noqa: BLE001
+            stats["query_failed"] += 1
+            continue
+        if not _match(actual, r.expected, types, r.sort_mode):
+            stats["mismatch"] += 1
+            continue
+        kept.append(Record("query", r.sql, r.line, types=types,
+                           sort_mode=r.sort_mode, expected=tuple(actual)))
+        stats["kept"] += 1
+
+    lines = [
+        f"# Ported from apache/datafusion sqllogictest corpus "
+        f"(Apache-2.0): {ref_path}",
+        f"# {stats['kept']} of {stats['total']} records survived the port; "
+        "every kept query's values were verified against the reference's",
+        "# committed expected output at port time (testing/port_slt.py),",
+        "# then re-rendered in this dialect (tab-separated, %.3f reals).",
+        "",
+    ]
+    for rec in kept:
+        if rec.kind == "statement_ok":
+            lines += ["statement ok", rec.sql, ""]
+        elif rec.kind == "statement_error":
+            lines += ["statement error", rec.sql, ""]
+        else:
+            head = f"query {rec.types}"
+            if rec.sort_mode != "nosort":
+                head += f" {rec.sort_mode}"
+            lines += [head, rec.sql, "----", *rec.expected, ""]
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines))
+    return stats

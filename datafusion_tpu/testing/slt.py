@@ -123,6 +123,15 @@ def format_value(v, tch: str) -> str:
             return str(int(v))
         except (TypeError, ValueError):
             return str(v)
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        # ISO 'T' separator, trailing-zero-trimmed fraction: the reference
+        # engine's timestamp rendering (arrow-rs Display)
+        s = v.isoformat()
+        if "." in s:
+            s = s.rstrip("0").rstrip(".")
+        return s
     s = str(v)
     return "(empty)" if s == "" else s
 
