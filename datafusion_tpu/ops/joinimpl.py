@@ -231,6 +231,7 @@ def join_exists_minmax(probe_keys, build_keys, probe_sel, build_sel,
     pdata, bdata, pc, bc = _range_compare_domain(probe_col, build_col)
     # bounds-proven int32 narrowing: 64-bit scatter-min/max and gathers are
     # emulated on TPU (observed 3.4x on TPC-H Q21 before this)
+    sent_ok = False  # sentinels provably outside the value domain
     if jnp.issubdtype(bdata.dtype, jnp.integer) \
             and pc.bounds is not None and bc.bounds is not None:
         lo_b = min(int(pc.bounds[0]), int(bc.bounds[0]))
@@ -238,6 +239,9 @@ def join_exists_minmax(probe_keys, build_keys, probe_sel, build_sel,
         if -(1 << 31) < lo_b and hi_b < (1 << 31) - 1:
             pdata = pdata.astype(jnp.int32)
             bdata = bdata.astype(jnp.int32)
+            sent_ok = True
+        elif -(1 << 63) < lo_b and hi_b < (1 << 63) - 1:
+            sent_ok = True
     if pc.validity is not None:
         p_live = p_live & pc.validity
     if bc.validity is not None:
@@ -251,7 +255,12 @@ def join_exists_minmax(probe_keys, build_keys, probe_sel, build_sel,
         else jnp.iinfo(bdata.dtype).max
     need_min = op in ("gt", "ge", "neq")
     need_max = op in ("lt", "le", "neq")
-    parts = [jnp.zeros(domain, jnp.int32).at[bslot].add(1, mode="drop")]
+    # when sentinels cannot collide with real values (bounds-proven strict
+    # interior), a min/max left at its sentinel already proves "no build
+    # row": the per-key count scatter -- 73 ms over TPC-H Q21's 12M-slot
+    # domain, twice -- is redundant
+    parts = [] if sent_ok else \
+        [jnp.zeros(domain, jnp.int32).at[bslot].add(1, mode="drop")]
     if need_min:
         parts.append(jnp.full(domain, hi, bdata.dtype).at[bslot].min(
             jnp.where(b_live, bdata, hi), mode="drop"))
@@ -261,9 +270,13 @@ def join_exists_minmax(probe_keys, build_keys, probe_sel, build_sel,
     # ONE row gather retrieves cnt/min/max together (per-row gather cost)
     from . import kernels as K
     gathered = K.gather_rows(parts, pslot)
-    cnt = gathered[0] > 0
-    mn = gathered[1] if need_min else None
+    j = 0 if sent_ok else 1
+    mn = gathered[j] if need_min else None
     mx = gathered[-1] if need_max else None
+    if sent_ok:
+        cnt = (mn != hi) if need_min else (mx != lo)
+    else:
+        cnt = gathered[0] > 0
     if op == "lt":
         ok = pdata < mx
     elif op == "le":
