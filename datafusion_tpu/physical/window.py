@@ -366,7 +366,14 @@ class WindowExec(PhysicalPlan):
                                 None, T.FLOAT64)
         if f == "ntile":
             n = int(_lit(w.args[0]))
-            bucket = (row_in_part * n) // jnp.maximum(my_count, 1) + 1
+            cnt = jnp.maximum(my_count, 1)
+            size = cnt // n          # small-bucket size
+            big = cnt % n            # first `big` buckets hold size+1 rows
+            cut = big * (size + 1)
+            bucket = jnp.where(
+                row_in_part < cut,
+                row_in_part // jnp.maximum(size + 1, 1),
+                big + (row_in_part - cut) // jnp.maximum(size, 1)) + 1
             return DeviceColumn(bucket.astype(jnp.int64), None, T.INT64)
 
         if f in ("lead", "lag"):
@@ -381,12 +388,24 @@ class WindowExec(PhysicalPlan):
             same_part = seg[srcc] == seg
             valid = in_range & same_part & svalid[srcc] & ssel
             data = jnp.where(in_range, sdata[srcc], jnp.zeros_like(sdata))
-            if len(w.args) > 2:  # default value
-                dflt = eval_expr(w.args[2], rel).data[perm]
-                data = jnp.where(in_range & same_part, data, dflt)
-                valid = (in_range & same_part & svalid[srcc]) | ~(in_range & same_part)
-                valid = valid & ssel
-            return DeviceColumn(data, valid, argc.dtype, argc.dictionary)
+            dictionary = argc.dictionary
+            if len(w.args) > 2:  # default value (may be NULL or a string)
+                dc = eval_expr(w.args[2], rel)
+                if argc.dtype.is_string or dc.dtype.is_string:
+                    from .expr_compiler import unify_string_columns
+
+                    uc, dc = unify_string_columns(argc, dc)
+                    sdata = uc.data[perm]
+                    svalid = uc.valid()[perm]
+                    data = jnp.where(in_range, sdata[srcc],
+                                     jnp.zeros_like(sdata))
+                    dictionary = uc.dictionary
+                dflt = dc.data[perm]
+                dvalid = dc.valid()[perm]
+                hit = in_range & same_part
+                data = jnp.where(hit, data, dflt)
+                valid = jnp.where(hit, svalid[srcc], dvalid) & ssel
+            return DeviceColumn(data, valid, argc.dtype, dictionary)
 
         # aggregates over the window
         argc = eval_expr(w.args[0], rel) if w.args else None
@@ -415,9 +434,9 @@ class WindowExec(PhysicalPlan):
             return self._frame_agg(f, w, argc, x, avalid, ssel, fs, fe, fempty, out_t)
 
         if f == "first_value":
-            first_idx = K.segment_min(jnp.where(avalid, iota.astype(jnp.int32), jnp.int32(2**31 - 1)),
-                                      seg, avalid, G)
-            my = jnp.clip(first_idx[jnp.clip(seg, 0, G - 1)], 0, cap - 1)
+            # frame starts at the partition's first row; its value counts
+            # even when NULL (reference default-frame semantics)
+            my = jnp.clip(iota - row_in_part, 0, cap - 1).astype(jnp.int32)
             return DeviceColumn(x[my], avalid[my] & ssel, argc.dtype, argc.dictionary)
         if f == "last_value":
             # default frame: up to last peer of current row
