@@ -214,6 +214,163 @@ def cast_column(col: DeviceColumn, dtype: T.DataType, capacity: int) -> DeviceCo
     return DeviceColumn(col.data.astype(dtype.np_dtype()), v, dtype, bounds=b)
 
 
+# ---------------------------------------------------------------------------
+# numeric/temporal -> string casts (discovery-time dictionaries)
+# ---------------------------------------------------------------------------
+
+# Overflow-flag sink for expression-level discovery caches: the fused
+# executor (physical/fused.py) installs its _TraceCtx.flags list here while
+# tracing, so a string-cast whose cached value table misses a live value can
+# request re-discovery through the same protocol direct-join tables use.
+_FLAG_SINK: Optional[list] = None
+
+
+def set_flag_sink(sink):
+    global _FLAG_SINK
+    prev = _FLAG_SINK
+    _FLAG_SINK = sink
+    return prev
+
+
+def render_strings(vals: np.ndarray, dtype: T.DataType,
+                   fmt: Optional[str] = None) -> np.ndarray:
+    """Host-side SQL rendering of concrete values: CAST(x AS VARCHAR) and
+    to_char(x, fmt). Mirrors the Arrow display conventions the reference
+    inherits (bool 'true'/'false', dates ISO, decimals at full scale;
+    to_char: functions/src/datetime/to_char.rs, chrono = strftime here)."""
+    k = dtype.kind
+    if fmt is not None:
+        if k is T.TypeKind.DATE32:
+            objs = vals.astype("datetime64[D]").tolist()
+        elif k is T.TypeKind.TIMESTAMP:
+            objs = vals.astype("datetime64[us]").tolist()
+        else:
+            raise PlanError(f"to_char: unsupported input type {dtype}")
+        return np.array([o.strftime(fmt) if o is not None else ""
+                         for o in objs], dtype=object)
+    if k is T.TypeKind.BOOL:
+        return np.array(["true" if v else "false" for v in vals], dtype=object)
+    if dtype.is_decimal:
+        s = dtype.scale
+        out = []
+        for v in vals:
+            v = int(v)
+            if s == 0:
+                out.append(str(v))
+            else:
+                sign = "-" if v < 0 else ""
+                a = abs(v)
+                out.append(f"{sign}{a // 10 ** s}.{a % 10 ** s:0{s}d}")
+        return np.array(out, dtype=object)
+    if dtype.is_integer:
+        return np.array([str(int(v)) for v in vals], dtype=object)
+    if dtype.is_float:
+        return np.array([str(float(v)) for v in vals], dtype=object)
+    if k is T.TypeKind.DATE32:
+        return np.datetime_as_string(vals.astype("datetime64[D]")).astype(object)
+    if k is T.TypeKind.TIMESTAMP:
+        return np.datetime_as_string(vals.astype("datetime64[us]"),
+                                     unit="auto").astype(object)
+    raise PlanError(f"cast {dtype} -> string not supported")
+
+
+def string_cast_column(node, col: DeviceColumn, rel: DeviceRelation,
+                       fmt: Optional[str] = None) -> DeviceColumn:
+    """CAST(non-string AS VARCHAR) / to_char under the static-dictionary
+    model: dictionaries are static pytree aux, so the value->string table is
+    built host-side from the column's live DISTINCT values whenever data is
+    concrete (discovery / per-op execution) and cached on the expr node; the
+    traced program maps values to codes with a sorted-table lookup.  A live
+    value absent from the cached table raises the fused overflow flag ->
+    re-discovery rebuilds the dictionary (the direct-join staleness
+    protocol, fused.py)."""
+    import jax
+
+    live = rel.sel
+    if col.validity is not None:
+        live = live & col.validity
+    data = col.data
+    if data.dtype == jnp.bool_:
+        data = data.astype(jnp.int8)
+    cache_key = (fmt, col.dtype)
+    state = getattr(node, "_str_cast_state", None)
+    if state is not None and state[0] != cache_key:
+        state = None
+    if not isinstance(data, jax.core.Tracer):
+        vals = np.asarray(data)
+        lv = vals[np.asarray(live)]
+        uniq = np.unique(lv) if lv.size else np.zeros(1, vals.dtype)
+        strs = render_strings(uniq, col.dtype, fmt)
+        dict_vals, codes = np.unique(strs, return_inverse=True)
+        state = (cache_key, uniq, codes.astype(np.int32),
+                 Dictionary(np.asarray(dict_vals, dtype=object)))
+        object.__setattr__(node, "_str_cast_state", state)  # frozen dataclass
+    if state is None:
+        raise PlanError(
+            "string cast requires a concrete discovery pass before tracing")
+    _, uniq, codes, dictionary = state
+    table = jnp.asarray(uniq)
+    d = data.astype(table.dtype)
+    idx = jnp.clip(jnp.searchsorted(table, d), 0, len(uniq) - 1)
+    got = table[idx]
+    hit = got == d
+    if jnp.issubdtype(table.dtype, jnp.floating):
+        hit = hit | (jnp.isnan(got) & jnp.isnan(d))
+    if _FLAG_SINK is not None:
+        _FLAG_SINK.append(jnp.any(~hit & live))
+    out_codes = jnp.where(hit, jnp.asarray(codes)[idx], 0).astype(jnp.int32)
+    return DeviceColumn(out_codes, col.validity, T.STRING, dictionary)
+
+
+def collect_string_cast_nodes(operator) -> Tuple[E.Expr, ...]:
+    """Expr nodes inside an operator's expression attributes that need a
+    host-built string dictionary (CAST(x AS VARCHAR) / to_char): operators
+    evaluate expressions under jit, so PhysicalPlan._timed pre-builds their
+    state against the concrete input relation before tracing."""
+    out, seen = [], set()
+
+    def walk(x):
+        if id(x) in seen:
+            return
+        seen.add(id(x))
+        if isinstance(x, E.Cast) and x.dtype.is_string:
+            out.append(x)
+        elif isinstance(x, E.ScalarFunction) and x.fname == "to_char":
+            out.append(x)
+        for c in x.children():
+            walk(c)
+
+    for v in vars(operator).values():
+        if isinstance(v, E.Expr):
+            walk(v)
+        elif isinstance(v, (tuple, list)):
+            for x in v:
+                if isinstance(x, E.Expr):
+                    walk(x)
+    return tuple(out)
+
+
+def prepare_string_casts(nodes: Tuple[E.Expr, ...], args) -> None:
+    """Eagerly evaluate each node's input sub-expression against the first
+    compatible concrete relation in args and (re)build its cached
+    dictionary state via string_cast_column."""
+    rels = [a for a in args if isinstance(a, DeviceRelation)]
+    for node in nodes:
+        src_expr = node.expr if isinstance(node, E.Cast) else node.args[0]
+        fmt = None
+        if isinstance(node, E.ScalarFunction):
+            f = node.args[1]
+            fmt = str(f.value) if isinstance(f, E.Literal) else None
+        for rel in rels:
+            try:
+                src = eval_expr(src_expr, rel)
+                if not src.dtype.is_string:
+                    string_cast_column(node, src, rel, fmt=fmt)
+                break
+            except Exception:  # noqa: BLE001 -- try the next relation
+                continue
+
+
 def _literal_column(e: E.Literal, capacity: int) -> DeviceColumn:
     t = e.dtype
     if e.value is None:
@@ -392,7 +549,10 @@ def eval_expr(e: E.Expr, rel: DeviceRelation) -> DeviceColumn:
     if isinstance(e, E.SortSpec):
         return eval_expr(e.expr, rel)
     if isinstance(e, E.Cast):
-        return cast_column(eval_expr(e.expr, rel), e.dtype, cap)
+        src = eval_expr(e.expr, rel)
+        if e.dtype.is_string and not src.dtype.is_string:
+            return string_cast_column(e, src, rel)
+        return cast_column(src, e.dtype, cap)
     if isinstance(e, E.Negative):
         c = eval_expr(e.expr, rel)
         return DeviceColumn(-c.data, c.validity, c.dtype)
@@ -441,6 +601,14 @@ def eval_expr(e: E.Expr, rel: DeviceRelation) -> DeviceColumn:
 
             out_t, _ = infer(e, schema)
             return nested.eval_lambda_function(e.fname, e.args, rel, out_t)
+        if e.fname == "to_char" and len(e.args) == 2:
+            src = eval_expr(e.args[0], rel)
+            if src.dtype.is_string:
+                return src
+            fmt = e.args[1]
+            if not isinstance(fmt, E.Literal):
+                raise PlanError("to_char format must be a literal")
+            return string_cast_column(e, src, rel, fmt=str(fmt.value))
         args = [eval_expr(a, rel) for a in e.args]
         from ..expr.udf import active_registry, eval_scalar_udf
 

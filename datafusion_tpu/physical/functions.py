@@ -63,7 +63,9 @@ def builtin_function_names() -> set:
         "char", "to_hex", "uuid", "encode", "decode", "find_in_set",
         "factorial", "gcd", "lcm", "to_unixtime", "cot", "nanvl",
         "make_date", "to_timestamp", "from_unixtime", "date_bin", "greatest",
-        "least", "arrow_typeof", "arrow_cast", "version",
+        "least", "arrow_typeof", "arrow_cast", "version", "to_char",
+        "to_local_time", "substr_index", "substring_index", "regexp_count",
+        "regexp_instr",
     }
     return out
 
@@ -211,6 +213,14 @@ def scalar_function_type(e: E.ScalarFunction, schema: Schema) -> Tuple[T.DataTyp
             if base.is_numeric and t.is_numeric and t != base:
                 base = T.common_numeric_type(base, t)
         return base, all(n for _, n in argt)
+    if f == "to_char":
+        return T.STRING, nullable
+    if f == "to_local_time":
+        return argt[0][0], nullable
+    if f in ("substr_index", "substring_index"):
+        return T.STRING, nullable
+    if f in ("regexp_count", "regexp_instr"):
+        return T.INT64, nullable
     if f == "arrow_typeof":
         return T.STRING, False
     if f == "arrow_cast":
@@ -690,6 +700,45 @@ def eval_scalar_function(
             return np.array(out, "U")
 
         return transform_dictionary(args[0], fn)
+
+    if f in ("substr_index", "substring_index"):
+        # MySQL semantics (reference: unicode/substrindex.rs): n>0 keeps
+        # everything before the n-th delimiter from the left, n<0 from the
+        # right; |n| >= occurrences returns the whole string.
+        delim = str(_literal_value(arg_exprs[1]))
+        n = int(_literal_value(arg_exprs[2]))
+
+        def fn(vals):
+            out = []
+            for v in vals:
+                if n == 0 or not delim:
+                    out.append("")
+                    continue
+                parts = v.split(delim)
+                out.append(delim.join(parts[:n] if n > 0 else parts[n:]))
+            return np.array(out, "U")
+
+        return transform_dictionary(args[0], fn)
+
+    if f in ("regexp_count", "regexp_instr"):
+        # reference: regex/regexpcount.rs, regex/regexpinstr.rs (2-arg forms)
+        pat = str(_literal_value(arg_exprs[1]))
+        rx = re.compile(pat)
+        a = args[0]
+        d = a.dictionary
+        vals = np.asarray(d.values, "U") if d and len(d.values) else np.array([""], "U1")
+        if f == "regexp_count":
+            lut = np.array([len(rx.findall(v)) for v in vals], np.int64)
+        else:
+            lut = np.array([(rx.search(v).start() + 1) if rx.search(v) else 0
+                            for v in vals], np.int64)
+        return DeviceColumn(jnp.asarray(lut)[jnp.clip(a.data, 0, len(lut) - 1)],
+                            validity, T.INT64)
+
+    if f == "to_local_time":
+        # session timezone is UTC and timestamps are naive: identity
+        # (reference: datetime/to_local_time.rs strips the tz offset)
+        return DeviceColumn(args[0].data, validity, args[0].dtype)
 
     if f == "overlay":
         repl = str(_literal_value(arg_exprs[1]))

@@ -109,7 +109,15 @@ class FusedQuery:
 
         def fused(inputs: Tuple[DeviceRelation, ...]):
             tctx = _TraceCtx()
-            rel = _trace(self.plan, inputs, leaf_index, tctx)
+            # expression-level discovery caches (string casts) report
+            # staleness through the same flag list as operator-level ones
+            from . import expr_compiler as _EC
+
+            prev_sink = _EC.set_flag_sink(tctx.flags)
+            try:
+                rel = _trace(self.plan, inputs, leaf_index, tctx)
+            finally:
+                _EC.set_flag_sink(prev_sink)
             # reduce overflow flags to ONE scalar inside the program: the
             # host-side check is then a single device_get -- a second
             # round-trip per execution otherwise (~24ms via the remote

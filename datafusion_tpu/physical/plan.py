@@ -71,6 +71,17 @@ class PhysicalPlan:
         from ..runtime.tracing import TRACER
 
         ctx.check_cancelled()
+        # string-cast dictionaries must be built host-side from concrete
+        # data before the jitted fn traces (expr_compiler.string_cast_column)
+        hosts = getattr(self, "_host_cast_nodes", None)
+        if hosts is None:
+            from .expr_compiler import collect_string_cast_nodes
+
+            hosts = self._host_cast_nodes = collect_string_cast_nodes(self)
+        if hosts:
+            from .expr_compiler import prepare_string_casts
+
+            prepare_string_casts(hosts, args)
         t0 = time.perf_counter()
         with TRACER.span(self._line()):
             out = fn(*args)
@@ -748,6 +759,15 @@ class AggregateExec(PhysicalPlan):
                 )
             return self._timed(ctx, fn, rel)
         t0 = time.perf_counter()
+        hosts = getattr(self, "_host_cast_nodes", None)
+        if hosts is None:
+            from .expr_compiler import collect_string_cast_nodes
+
+            hosts = self._host_cast_nodes = collect_string_cast_nodes(self)
+        if hosts:
+            from .expr_compiler import prepare_string_casts
+
+            prepare_string_casts(hosts, (rel,))
         sorted_states = self._sort_fn(rel)
         num_groups = int(sorted_states[0][-1])
         cap = bucket_capacity(max(num_groups, 1))

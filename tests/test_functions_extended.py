@@ -68,3 +68,55 @@ def test_approx_distinct(ctx):
     assert out["d"] == [3]
     out = q(ctx, "SELECT g, approx_distinct(s) AS d FROM t GROUP BY g ORDER BY g")
     assert out["d"] == [2, 2]
+
+
+def test_string_cast_numeric():
+    """CAST(non-string AS VARCHAR): discovery-built dictionaries
+    (expr_compiler.string_cast_column; reference: Arrow cast-to-utf8)."""
+    c = SessionContext()
+    c.register_table("n", {
+        "i": [1, 22, None, -5, 22],
+        "f": [1.5, 2.0, None, -0.25, 2.0],
+        "b": [True, False, None, True, False],
+    })
+    out = c.sql("SELECT CAST(i AS VARCHAR) AS si, CAST(f AS VARCHAR) AS sf,"
+                " CAST(b AS VARCHAR) AS sb FROM n").to_pydict()
+    assert out["si"] == ["1", "22", None, "-5", "22"]
+    assert out["sf"] == ["1.5", "2.0", None, "-0.25", "2.0"]
+    assert out["sb"] == ["true", "false", None, "true", "false"]
+    # casts flow through grouping / ordering / concat like native strings
+    out = c.sql("SELECT CAST(i AS VARCHAR) AS k, count(*) AS c FROM n"
+                " GROUP BY 1 ORDER BY 1").to_pydict()
+    assert out["k"] == ["-5", "1", "22", None] and out["c"] == [1, 1, 2, 1]
+    out = c.sql("SELECT CAST(i AS VARCHAR) || '/' || CAST(b AS VARCHAR) AS j"
+                " FROM n WHERE i = 22").to_pydict()
+    assert out["j"] == ["22/false", "22/false"]
+
+
+def test_string_cast_temporal_decimal():
+    c = SessionContext()
+    c.register_table("d", {"s": ["2020-05-06", "1999-12-31"], "x": [1.25, 3.5]})
+    out = c.sql("SELECT CAST(CAST(s AS DATE) AS VARCHAR) AS sd,"
+                " CAST(CAST(x AS DECIMAL(10,2)) AS VARCHAR) AS dx,"
+                " to_char(CAST(s AS DATE), '%d/%m/%Y') AS fmt FROM d").to_pydict()
+    assert out["sd"] == ["2020-05-06", "1999-12-31"]
+    assert out["dx"] == ["1.25", "3.50"]
+    assert out["fmt"] == ["06/05/2020", "31/12/1999"]
+    out = c.sql("SELECT CAST(CAST('2020-05-06 07:08:09' AS TIMESTAMP)"
+                " AS VARCHAR) AS ts").to_pydict()
+    assert out["ts"] == ["2020-05-06T07:08:09"]
+
+
+def test_substr_index_regexp_tail(ctx):
+    out = q(ctx, "SELECT substr_index('www.apache.org', '.', 2) AS a,"
+                 " substr_index('www.apache.org', '.', -2) AS b,"
+                 " substr_index('www.apache.org', '.', 99) AS c")
+    assert out["a"] == ["www.apache"]
+    assert out["b"] == ["apache.org"]
+    assert out["c"] == ["www.apache.org"]
+    out = q(ctx, "SELECT regexp_count(s, 'a') AS c, regexp_instr(s, 'an') AS i"
+                 " FROM t ORDER BY s LIMIT 3")
+    assert out["c"] == [1, 1, 3]   # apple, apple, banana
+    assert out["i"] == [0, 0, 2]
+    out = q(ctx, "SELECT to_local_time(CAST('2020-01-01 10:00:00' AS TIMESTAMP)) AS t")
+    assert str(out["t"][0]).startswith("2020-01-01 10:00:00")
