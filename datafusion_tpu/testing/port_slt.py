@@ -26,11 +26,35 @@ Provenance: the emitted files derive from Apache DataFusion's test corpus
 """
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import re
+import signal
 from typing import List, Optional, Tuple
 
 from .slt import Record, format_rows
+
+
+@contextlib.contextmanager
+def _record_deadline(seconds: int):
+    """SIGALRM guard: one pathological record (a query whose compile or
+    evaluation never finishes) must not stall a whole-file port. Only
+    effective in the main thread; no-op elsewhere."""
+
+    def onalarm(signum, frame):
+        raise TimeoutError("slt record exceeded port deadline")
+
+    try:
+        prev = signal.signal(signal.SIGALRM, onalarm)
+    except ValueError:  # not the main thread
+        yield
+        return
+    signal.alarm(seconds)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, prev)
 
 _SKIP_SQL = re.compile(
     r"^\s*(set\s|explain\b|describe\b|copy\b|create\s+external\b|"
@@ -197,7 +221,8 @@ def port_file(ref_path: str, out_path: str, ctx_factory) -> dict:
                 stats["skipped_stmt"] += 1
                 continue
             try:
-                ctx.sql(r.sql).collect()
+                with _record_deadline(30):
+                    ctx.sql(r.sql).collect()
             except Exception:  # noqa: BLE001
                 stats["failed_stmt"] += 1
                 continue
@@ -206,7 +231,10 @@ def port_file(ref_path: str, out_path: str, ctx_factory) -> dict:
             continue
         if r.kind in ("statement_error", "query_error"):
             try:
-                ctx.sql(r.sql).collect()
+                with _record_deadline(30):
+                    ctx.sql(r.sql).collect()
+            except TimeoutError:  # noqa: PERF203 -- hang is not an error-match
+                continue
             except Exception:  # noqa: BLE001
                 kept.append(Record("statement_error", r.sql, r.line))
                 stats["kept"] += 1
@@ -215,8 +243,9 @@ def port_file(ref_path: str, out_path: str, ctx_factory) -> dict:
         # query
         types = re.sub(r"[^IRTBD]", "T", r.types)
         try:
-            table = ctx.sql(r.sql).collect()
-            actual = format_rows(table, types, r.sort_mode)
+            with _record_deadline(30):
+                table = ctx.sql(r.sql).collect()
+                actual = format_rows(table, types, r.sort_mode)
         except Exception:  # noqa: BLE001
             stats["query_failed"] += 1
             continue
