@@ -192,6 +192,14 @@ class SessionContext:
             doc = _json.loads(doc)
         return DataFrame(self, plan_from_substrait(doc, self.catalog))
 
+    def from_proto(self, data: bytes) -> "DataFrame":
+        """Bind a DataFusion-protobuf-serialized LogicalPlanNode against
+        this session's catalog (reference analog:
+        proto/src/bytes/mod.rs logical_plan_from_bytes)."""
+        from .interchange.dfproto import plan_from_proto_bytes
+
+        return DataFrame(self, plan_from_proto_bytes(data, self.catalog))
+
     @with_registry
     def sql(self, query: str) -> "DataFrame":
         """Run one or more SQL statements; DDL executes eagerly, the last
@@ -579,6 +587,14 @@ class DataFrame:
         from .interchange.substrait import plan_to_substrait
 
         return plan_to_substrait(self._plan)
+
+    def to_proto(self) -> bytes:
+        """Serialize this DataFrame's logical plan to DataFusion's protobuf
+        wire format (reference analog: proto/src/bytes/mod.rs
+        logical_plan_to_bytes)."""
+        from .interchange.dfproto import plan_to_proto_bytes
+
+        return plan_to_proto_bytes(self._plan)
 
     @with_registry
     def optimized_plan(self) -> L.LogicalPlan:
