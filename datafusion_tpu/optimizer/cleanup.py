@@ -252,11 +252,101 @@ def aggregate_statistics_rule(plan: L.LogicalPlan) -> L.LogicalPlan:
     return L.transform_up(plan, f)
 
 
+def optimize_unions_rule(plan: L.LogicalPlan) -> L.LogicalPlan:
+    """Flatten nested unions and collapse single-input unions (reference:
+    OptimizeUnions, optimizer/src/optimize_unions.rs). UNION [ALL] of a
+    UNION ALL splices the inner inputs; a distinct union additionally
+    splices inner distinct unions and strips inner Distinct wrappers (one
+    top-level dedup subsumes them)."""
+
+    def rename_like(q: L.LogicalPlan, schema) -> L.LogicalPlan:
+        if [f.name for f in q.schema.fields] == [f.name for f in schema.fields]:
+            return q
+        return L.Projection(q, [
+            E.Alias(E.Column(cf.name, cf.qualifier), uf.name)
+            for cf, uf in zip(q.schema.fields, schema.fields)])
+
+    def f(p: L.LogicalPlan) -> L.LogicalPlan:
+        if not isinstance(p, L.Union):
+            return p
+        if len(p.inputs) == 1:
+            only = rename_like(p.inputs[0], p.schema)
+            return only if p.all else L.Distinct(only)
+        flat: list = []
+        changed = False
+        for c in p.inputs:
+            if isinstance(c, L.Union) and (c.all or not p.all):
+                flat.extend(c.inputs)
+                changed = True
+            elif not p.all and isinstance(c, L.Distinct):
+                flat.append(c.input)
+                changed = True
+            else:
+                flat.append(c)
+        if not changed:
+            return p
+        # output names come from the first input; keep the original ones
+        return rename_like(L.Union(flat, p.all), p.schema)
+
+    return L.transform_up(plan, f)
+
+
+def unions_to_filter_rule(plan: L.LogicalPlan) -> L.LogicalPlan:
+    """UNION DISTINCT branches that differ only by their filter predicate
+    collapse into one branch filtered by the disjunction (reference:
+    UnionsToFilter, optimizer/src/unions_to_filter.rs). The planner emits
+    UNION as Distinct(Union ALL); each branch may carry a projection above
+    its filter. Branch equality is structural (identical projection exprs,
+    identical display of everything below the Filter)."""
+
+    def strip(c: L.LogicalPlan):
+        """-> (projection exprs or None, filter predicate, base) or None."""
+        proj = None
+        if isinstance(c, L.Projection):
+            proj = c.proj_exprs
+            c = c.input
+        if isinstance(c, L.Filter):
+            return proj, c.predicate, c.input
+        return None
+
+    def collapse(u: L.Union):
+        parts = [strip(c) for c in u.inputs]
+        if any(x is None for x in parts):
+            return None
+        base_repr = parts[0][2].display()
+        if any(x[0] != parts[0][0] or x[2].display() != base_repr
+               for x in parts[1:]):
+            return None
+        pred = parts[0][1]
+        for _, q, _ in parts[1:]:
+            pred = E.BinaryOp(E.Op.OR, pred, q)
+        out: L.LogicalPlan = L.Filter(parts[0][2], pred)
+        if parts[0][0] is not None:
+            out = L.Projection(out, parts[0][0])
+        return out
+
+    def f(p: L.LogicalPlan) -> L.LogicalPlan:
+        u = None
+        if isinstance(p, L.Distinct) and isinstance(p.input, L.Union) \
+                and p.input.all and len(p.input.inputs) >= 2:
+            u = p.input
+        elif isinstance(p, L.Union) and not p.all and len(p.inputs) >= 2:
+            u = p
+        if u is None:
+            return p
+        one = collapse(u)
+        return p if one is None else L.Distinct(one)
+
+    return L.transform_up(plan, f)
+
+
 def cleanup_rules(plan: L.LogicalPlan) -> L.LogicalPlan:
     plan = eliminate_filter_rule(plan)
     plan = eliminate_limit_rule(plan)
     plan = dedup_exprs_rule(plan)
     plan = eliminate_groupby_constant_rule(plan)
     plan = aggregate_statistics_rule(plan)
+    plan = optimize_unions_rule(plan)
+    plan = unions_to_filter_rule(plan)
     plan = propagate_empty_rule(plan)
     return plan
