@@ -1,5 +1,8 @@
-"""ClickBench: all 43 queries execute; oracle spot-checks vs pandas
-(BASELINE config #5: high-cardinality group-bys, string filters, skewed keys)."""
+"""ClickBench: all 43 queries execute, 38 value-checked against a sqlite
+differential oracle (BASELINE config #5: high-cardinality group-bys, string
+filters, skewed keys)."""
+import sqlite3
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -10,6 +13,12 @@ from datafusion_tpu.models.clickbench.queries import QUERIES, query
 
 N_ROWS = 20_000
 
+# sqlite cannot run these: 18 extract(minute ...), 28 regexp_replace,
+# 42 date_trunc; 36/37 are ORDER BY ... LIMIT with ties at the cutoff, so
+# the retained rows are legitimately engine-dependent (both engines'
+# results are valid answers).
+SQLITE_SKIP = {18, 28, 36, 37, 42}
+
 
 @pytest.fixture(scope="module")
 def cb():
@@ -19,11 +28,38 @@ def cb():
     return ctx, t.to_pandas()
 
 
+@pytest.fixture(scope="module")
+def cb_sqlite(cb):
+    _, df = cb
+    conn = sqlite3.connect(":memory:")
+    conn.create_function("length", 1,
+                         lambda s: len(s) if s is not None else None)
+    df = df.copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c].dtype):
+            fmt = ("%Y-%m-%d %H:%M:%S"
+                   if (df[c].dt.hour.fillna(0) != 0).any() else "%Y-%m-%d")
+            df[c] = df[c].dt.strftime(fmt).where(df[c].notna(), None)
+    df.to_sql("hits", conn, index=False)
+    yield conn
+    conn.close()
+
+
 @pytest.mark.parametrize("qid", range(len(QUERIES)))
-def test_clickbench_query_executes(cb, qid):
+def test_clickbench_query(cb, cb_sqlite, qid):
+    """Execute; when sqlite can run the query too, the frames must agree
+    (the TPC-DS differential-oracle discipline, models/tpcds/sqlite_oracle)."""
+    from datafusion_tpu.models.tpcds.sqlite_oracle import (frames_match,
+                                                           run_sqlite)
+
     ctx, _ = cb
-    out = ctx.sql(query(qid, N_ROWS)).collect()
-    assert out.num_rows >= 0  # executed without error
+    ours = ctx.sql(query(qid, N_ROWS)).to_pandas()
+    assert ours is not None
+    if qid in SQLITE_SKIP:
+        return
+    ref = run_sqlite(cb_sqlite, query(qid, N_ROWS))
+    mismatch = frames_match(ours, ref, ordered=False)
+    assert mismatch is None, mismatch
 
 
 def test_oracle_counts_and_distinct(cb):
