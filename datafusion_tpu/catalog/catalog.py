@@ -328,8 +328,10 @@ class ParquetTable(TableProvider):
             for (p, rg), m in self._ds._unit_masks.items()))
         key = (_device_key(ctx), units, mask_sig, proj)
         if key not in self._device:
+            threads = int(ctx.opt("execution.parquet_scan_threads", 8)) \
+                if ctx is not None else 8
             at = self._ds.read_units([(p, list(rgs)) for p, rgs in units],
-                                     projection)
+                                     projection, threads=threads)
             self._device[key] = to_device(Table.from_arrow(at),
                                           device=ctx.device if ctx else None)
         return self._device[key]
@@ -386,23 +388,50 @@ class ParquetTable(TableProvider):
             at = self._ds.read(filters, projection)  # empty, schema-correct
             yield to_device(Table.from_arrow(at), device=device)
             return
+        threads = int(ctx.opt("execution.parquet_scan_threads", 8)) \
+            if ctx is not None else 8
+        ahead = bool(ctx.opt("execution.parquet_scan_ahead", True)) \
+            if ctx is not None else True
+
+        def fetch(units):
+            return Table.from_arrow(
+                self._ds.read_units(units, projection, threads=threads))
+
+        pool = pending = None
+        if ahead and len(batches) > 1:
+            # scan-ahead: batch i+1 reads from disk while batch i encodes
+            # and executes on device (file_stream.rs readahead analog)
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=1)
+            pending = pool.submit(fetch, batches[0])
         bounds = None
-        for units in batches:
-            t = Table.from_arrow(self._ds.read_units(units, projection))
-            cols = []
-            for f, c in zip(t.schema.fields, t.columns):
-                if f.dtype.is_string:
-                    shared = self._shared_dictionary(f.name)
-                    if shared is not None:
-                        c = c.remap_dictionary(shared)
-                cols.append(c)
-            t = Table(t.schema, cols)
-            if bounds is None:
-                bounds = self._chunk_bounds(t)
-            for start in range(0, t.num_rows, cap):
-                yield to_device(t, capacity=cap, device=device,
-                                row_range=(start, min(start + cap, t.num_rows)),
-                                bounds=bounds)
+        try:
+            for bi, units in enumerate(batches):
+                if pending is not None:
+                    t = pending.result()
+                    pending = (pool.submit(fetch, batches[bi + 1])
+                               if bi + 1 < len(batches) else None)
+                else:
+                    t = fetch(units)
+                cols = []
+                for f, c in zip(t.schema.fields, t.columns):
+                    if f.dtype.is_string:
+                        shared = self._shared_dictionary(f.name)
+                        if shared is not None:
+                            c = c.remap_dictionary(shared)
+                    cols.append(c)
+                t = Table(t.schema, cols)
+                if bounds is None:
+                    bounds = self._chunk_bounds(t)
+                for start in range(0, t.num_rows, cap):
+                    yield to_device(t, capacity=cap, device=device,
+                                    row_range=(start,
+                                               min(start + cap, t.num_rows)),
+                                    bounds=bounds)
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False, cancel_futures=True)
 
 
 def _expand_files(path: str, exts) -> List[str]:

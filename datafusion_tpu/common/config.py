@@ -58,6 +58,13 @@ _opt("execution.memory_pool", "greedy",
      "one large sort cannot starve its siblings; FairSpillPool analog).")
 _opt("execution.spill_dir", "",
      "Directory for host->disk spill files (empty = host RAM only).")
+_opt("execution.parquet_scan_threads", 8,
+     "Concurrent row-group reads per parquet scan (1 = serial). pyarrow "
+     "releases the GIL during IO/decompression, so a small pool overlaps "
+     "disk reads with decode (file_stream.rs async-opener analog).")
+_opt("execution.parquet_scan_ahead", True,
+     "Chunked parquet scans prefetch the next batch of row groups on a "
+     "background thread while the current chunk executes on device.")
 _opt("execution.spill_max_host_bytes", 0,
      "Host-RAM budget for spilled relations; beyond it the oldest spills "
      "demote to .npz files under execution.spill_dir (0 = unlimited).")

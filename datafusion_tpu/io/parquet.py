@@ -556,16 +556,30 @@ class ParquetDataset:
         return file_cols, want_parts
 
     def read_units(self, units: Sequence[Tuple[str, List[int]]],
-                   columns: Optional[Sequence[str]] = None):
+                   columns: Optional[Sequence[str]] = None,
+                   threads: int = 1):
         """Arrow table of the given (path, row-group ids) units; only
-        `columns` are read from disk; partition columns attached."""
+        `columns` are read from disk; partition columns attached.
+
+        threads > 1 reads units concurrently (reference analog: the
+        datasource's per-partition async file openers overlapping IO with
+        decode, datasource/src/file_stream.rs); pyarrow releases the GIL
+        during IO/decompression so a small thread pool overlaps for real.
+        Each task opens a private ParquetFile handle -- shared handles are
+        not safe for concurrent reads."""
         import pyarrow as pa
 
         file_cols, want_parts = self._split_columns(columns)
-        chunks = []
         by_file = {f.path: f for f in self.files}
-        for path, rgs in units:
-            pf = self._pf(path)
+        parallel = threads > 1 and len(units) > 1
+
+        def read_one(path, rgs):
+            if parallel:
+                import pyarrow.parquet as pq
+
+                pf = pq.ParquetFile(path)
+            else:
+                pf = self._pf(path)
             t = pf.read_row_groups(list(rgs), columns=file_cols)
             if self._unit_masks:
                 # page-index row masks: drop definitely-false pages' rows
@@ -587,7 +601,16 @@ class ParquetDataset:
                 arr = pa.nulls(t.num_rows) if v is None else pa.array(
                     [v] * t.num_rows)
                 t = t.append_column(k, arr)
-            chunks.append(t)
+            return t
+
+        if parallel:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                    max_workers=min(int(threads), len(units))) as ex:
+                chunks = list(ex.map(lambda u: read_one(*u), units))
+        else:
+            chunks = [read_one(*u) for u in units]
         if not chunks:
             sch = self.arrow_schema()
             if columns is not None:
