@@ -825,7 +825,13 @@ def eval_scalar_function(
     if f in ("gcd", "lcm"):
         a = args[0].data.astype(jnp.int64)
         b = args[1].data.astype(jnp.int64)
-        out = jnp.gcd(a, b) if f == "gcd" else jnp.lcm(a, b)
+        # |i64::MIN| does not fit int64 -- jnp.gcd's Euclid loop never
+        # terminates on it. abs() wraps MIN to itself and the uint64
+        # reinterpretation is exactly 2^63, so the loop runs in uint64.
+        au = jnp.abs(a).astype(jnp.uint64)
+        bu = jnp.abs(b).astype(jnp.uint64)
+        out = (jnp.gcd(au, bu) if f == "gcd"
+               else jnp.lcm(au, bu)).astype(jnp.int64)
         return DeviceColumn(out, validity, T.INT64)
 
     if f == "cot":

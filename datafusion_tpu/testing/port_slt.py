@@ -202,11 +202,34 @@ def _match(actual_rows: List[str], ref_expected: Tuple[str, ...],
     return ka == kb
 
 
+def _inline_includes(path: str, seen=None) -> str:
+    """Expand `include ./x.slt.part` directives (the reference corpus keeps
+    shared DDL in .part files), recursively, relative to the including
+    file."""
+    import os
+
+    seen = seen or set()
+    rp = os.path.realpath(path)
+    if rp in seen:
+        return ""
+    seen.add(rp)
+    out = []
+    with open(path) as f:
+        for line in f:
+            s = line.strip()
+            if s.lower().startswith("include "):
+                inc = os.path.join(os.path.dirname(path), s.split(None, 1)[1])
+                if os.path.exists(inc):
+                    out.append(_inline_includes(inc, seen))
+                continue
+            out.append(line)
+    return "".join(out)
+
+
 def port_file(ref_path: str, out_path: str, ctx_factory) -> dict:
     """Replay ref_path against a fresh context; write the surviving records
     to out_path. Returns stats."""
-    with open(ref_path) as f:
-        refs = parse_reference_slt(f.read())
+    refs = parse_reference_slt(_inline_includes(ref_path))
     ctx = ctx_factory()
     kept: List[Record] = []
     stats = {"total": len(refs), "kept": 0, "skipped_stmt": 0,

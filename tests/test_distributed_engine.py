@@ -38,10 +38,8 @@ def mesh():
     return make_mesh(8)
 
 
-# every TPC-H query shape: dense agg (1), multi-join (3,5,10), semi/anti and
-# correlated subqueries (4,21,22), global agg (6,14), distinct-ish (16),
-# high-cardinality groups (18)
-DIST_QUERY_IDS = [1, 3, 4, 5, 6, 10, 14, 16, 18, 21, 22]
+# ALL 22 TPC-H queries run distributed and match the single-device engine
+DIST_QUERY_IDS = list(ALL_QUERY_IDS)
 
 
 @pytest.mark.parametrize("qid", DIST_QUERY_IDS)
