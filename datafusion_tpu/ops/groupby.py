@@ -153,10 +153,13 @@ def phase_sort(
         validity = next(it) if hasv else None
         if kind == "g":
             c = group_cols[i]
-            sg.append(DeviceColumn(data, validity, c.dtype, c.dictionary))
+            # permutation gathers keep the value multiset: bounds carry over
+            sg.append(DeviceColumn(data, validity, c.dtype, c.dictionary,
+                                   bounds=c.bounds))
         elif kind == "a":
             c = agg_args[i]
-            sa.append(DeviceColumn(data, validity, c.dtype, c.dictionary))
+            sa.append(DeviceColumn(data, validity, c.dtype, c.dictionary,
+                                   bounds=c.bounds))
         else:
             sf.append(data)
 
@@ -344,7 +347,11 @@ def phase_reduce(
     for c in sg:
         data = next(gat)
         validity = None if c.validity is None else (next(gat) & out_sel)
-        out_keys.append(DeviceColumn(data, validity, c.dtype, c.dictionary))
+        # group keys are input values: input bounds stay valid, and they
+        # keep direct-address joins against the aggregate output eligible
+        # (TPC-H Q17's partkey join: 3 full-capacity sorts -> 1 gather)
+        out_keys.append(DeviceColumn(data, validity, c.dtype, c.dictionary,
+                                     bounds=c.bounds))
 
     out_aggs = []
     for spec in specs:

@@ -634,12 +634,15 @@ class AggregateExec(PhysicalPlan):
             code = (iota_g // st) % size
             if c.dtype.kind is T.TypeKind.BOOL:
                 data = code > 0
+                b = None
             else:
                 data = code.astype(c.data.dtype)
                 off = _dense_int_offset(c)
                 if off:
                     data = data + jnp.asarray(off, c.data.dtype)
-            out_keys.append(DeviceColumn(data, None, c.dtype, c.dictionary))
+                b = (int(off or 0), int(off or 0) + int(size) - 1)
+            out_keys.append(DeviceColumn(data, None, c.dtype, c.dictionary,
+                                         bounds=b))
         return out_keys
 
     def _dense_transform(self, rel: DeviceRelation, sizes, ngroups,
