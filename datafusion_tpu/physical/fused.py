@@ -27,7 +27,7 @@ from typing import Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..common.errors import ExecutionError
+from ..common.errors import ExecutionError, PlanError
 from ..data.device import DeviceRelation, bucket_capacity
 from ..logical.plan import JoinType
 from ..runtime.context import ExecContext
@@ -76,8 +76,11 @@ class FusedQuery:
                 inputs0 = tuple(leaf.execute(disc_ctx) for leaf in self.leaves)
                 jax.eval_shape(fused, inputs0)
                 self._fused = fused
-            except ExecutionError:
-                self._fused = False  # plan not fusible; keep per-op execution
+            except (ExecutionError, PlanError):
+                # not fusible -- including leaves that cannot execute outside
+                # their operator's control (worktable scans are only legal
+                # inside the recursion that drives them)
+                self._fused = False  # keep per-op execution
             if self._fused is False and disc_ctx is not ctx:
                 return self.plan.execute(ctx)  # per-op on the real backend
             if disc_ctx is ctx:
