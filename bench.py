@@ -263,6 +263,21 @@ def main():
         hist = {}
     qids = sorted(qids, key=lambda q: (hist.get(q, float("inf")), q))
 
+    # CPU discovery dominates warm starts (Q21: ~145 s of a 150 s
+    # compile+first with the XLA cache already hot); persist the per-node
+    # discovery results and skip discovery next process. Stale hints are
+    # safe: every hinted capacity/strategy is guarded by an in-program
+    # overflow flag that triggers real re-discovery.
+    import pickle
+
+    hints_path = os.path.expanduser(
+        f"~/.cache/datafusion_tpu_xla/discovery_hints_tpch_sf{args.sf}.pkl")
+    try:
+        with open(hints_path, "rb") as f:
+            all_hints = pickle.load(f)
+    except Exception:  # noqa: BLE001 -- first run / unreadable
+        all_hints = {}
+
     ectx = ctx.exec_context()
     for qid in qids:
       if guard.remaining() < 20:
@@ -271,11 +286,21 @@ def main():
       try:
         t0 = time.time()
         phys = FusedQuery(ctx.sql(query(qid, args.sf)).physical_plan())
+        if qid in all_hints:
+            phys.plant_hints(all_hints[qid])
         # warmup: trace+compile (+ capacity discovery syncs)
         rel = phys.execute(ectx)
         jax.block_until_ready(rel)
         compile_s = time.time() - t0
         hist[qid] = compile_s
+        try:
+            hints = phys.discovery_hints()
+            if hints is not None:
+                all_hints[qid] = hints
+                with open(hints_path, "wb") as f:
+                    pickle.dump(all_hints, f)
+        except Exception:  # noqa: BLE001 -- hints are best-effort
+            pass
         try:
             os.makedirs(os.path.dirname(hist_path), exist_ok=True)
             with open(hist_path, "w") as f:

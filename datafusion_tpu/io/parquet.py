@@ -569,9 +569,15 @@ class ParquetDataset:
         not safe for concurrent reads."""
         import pyarrow as pa
 
+        import os
+
         file_cols, want_parts = self._split_columns(columns)
         by_file = {f.path: f for f in self.files}
-        parallel = threads > 1 and len(units) > 1
+        # object-store URLs must resolve through the shared (store-backed)
+        # handle, which is not safe for concurrent reads: parallelize only
+        # all-local unit lists
+        parallel = threads > 1 and len(units) > 1 \
+            and all(os.path.isfile(p) for p, _ in units)
 
         def read_one(path, rgs):
             if parallel:

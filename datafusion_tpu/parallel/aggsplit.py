@@ -430,6 +430,18 @@ def sorted_partial_final(p, rel: DeviceRelation, axis: str, options=None) -> Opt
                                               axis, slot_cap=cap)
     rkeys, rstates = jax.tree.unflatten(treedef, outs[:nleaves])
     rplanes = outs[nleaves:]
+    # receive buffers zero-fill unoccupied slots; bounds promise EVERY
+    # physical slot is in-interval (the packed-sort-key contract), so widen
+    # to cover 0 before the final-phase sort packs keys from them
+    def _cover_zero(c: DeviceColumn) -> DeviceColumn:
+        if c.bounds is None:
+            return c
+        b = (min(int(c.bounds[0]), 0), max(int(c.bounds[1]), 0))
+        return DeviceColumn(c.data, c.validity, c.dtype, c.dictionary, b,
+                            c.lengths, c.elem_valid, c.meta)
+
+    rkeys = tuple(_cover_zero(c) for c in rkeys)
+    rstates = tuple(_cover_zero(c) for c in rstates)
 
     # Final: merge received states per group (HLL planes ride the sort as
     # 2-D payload rows, then union by a per-group scatter-max)

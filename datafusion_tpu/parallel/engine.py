@@ -60,7 +60,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..common.errors import ExecutionError
-from ..data.device import DeviceRelation
+from ..data.device import DeviceColumn, DeviceRelation
 from ..expr import nodes as E
 from ..logical.plan import JoinType
 from ..ops import kernels as K
@@ -229,9 +229,19 @@ def _exchange_rel(rel: DeviceRelation, h: jax.Array, dctx: _DCtx,
     if slot_cap < cap:
         dctx.flags.append(dropped > 0)
     new_cols = tuple(jax.tree.unflatten(treedef, outs))
+    # receive buffers zero-fill unoccupied slots; bounds metadata promises
+    # EVERY physical slot is in-interval (the packed-sort-key contract), so
+    # widen each column's bounds to cover 0
+    fixed = []
+    for c in new_cols:
+        b = c.bounds
+        if b is not None:
+            b = (min(int(b[0]), 0), max(int(b[1]), 0))
+        fixed.append(DeviceColumn(c.data, c.validity, c.dtype, c.dictionary,
+                                  b, c.lengths, c.elem_valid, c.meta))
     dctx.note_cap(n * slot_cap)
     return DeviceRelation(schema if schema is not None else rel.schema,
-                          new_cols, new_sel)
+                          tuple(fixed), new_sel)
 
 
 def _exchange_by_group(p: PP.AggregateExec, rel: DeviceRelation,

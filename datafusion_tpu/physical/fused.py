@@ -59,8 +59,70 @@ class FusedQuery:
         for c in p.children():
             self._collect_leaves(c, out)
 
+    # -- discovery hints ------------------------------------------------
+    # CPU discovery re-executes the whole plan per-op and can dwarf the
+    # (cached) XLA compile in a fresh process (TPC-H Q21 at SF1: ~145 s of
+    # a 150 s warm start). These helpers export/import the per-node
+    # discovery results so a later process can skip straight to the fused
+    # program; stale hints are safe -- every hinted quantity is guarded by
+    # an in-program overflow flag that forces a real re-discovery.
+    DISCOVERY_ATTRS = {
+        "CompactExec": ("_decision",),
+        "AggregateExec": ("_last_cap", "_last_width"),
+        "JoinExec": ("_direct_ok", "_bucket_B", "_last_co"),
+    }
+
+    def _nodes_preorder(self):
+        out = []
+
+        def walk(p):
+            out.append(p)
+            for c in p.children():
+                walk(c)
+
+        walk(self.plan)
+        return out
+
+    def discovery_hints(self):
+        """Picklable per-node discovery state (pre-order), or None when the
+        plan has not executed/discovered yet."""
+        if self._fused in (None, False):
+            return None
+        out = []
+        for p in self._nodes_preorder():
+            attrs = {}
+            for a in self.DISCOVERY_ATTRS.get(type(p).__name__, ()):
+                if hasattr(p, a):
+                    attrs[a] = getattr(p, a)
+            out.append((type(p).__name__, attrs))
+        return out
+
+    def plant_hints(self, hints) -> bool:
+        """Install previously exported discovery state; True when the plan
+        shape matches. The next execute() skips the CPU discovery pass."""
+        nodes = self._nodes_preorder()
+        if hints is None or len(nodes) != len(hints):
+            return False
+        if any(type(p).__name__ != t for p, (t, _) in zip(nodes, hints)):
+            return False
+        for p, (_, attrs) in zip(nodes, hints):
+            for a, v in attrs.items():
+                setattr(p, a, v)
+        self._hinted = True
+        return True
+
     # ------------------------------------------------------------------
     def execute(self, ctx: ExecContext) -> DeviceRelation:
+        if self._fused is None and getattr(self, "_hinted", False):
+            self._hinted = False  # one shot: failures fall back to discovery
+            try:
+                fused = self._build_fused()
+                disc_ctx = self._discovery_ctx(ctx)
+                inputs0 = tuple(leaf.execute(disc_ctx) for leaf in self.leaves)
+                jax.eval_shape(fused, inputs0)
+                self._fused = fused
+            except (ExecutionError, PlanError):
+                self._fused = None  # plant incomplete: run real discovery
         if self._fused is None:
             # discovery on the CPU backend: capacities depend only on data,
             # and CPU per-operator compiles are ~100x cheaper than TPU ones.

@@ -521,6 +521,7 @@ class AggregateExec(PhysicalPlan):
     # (aggregates/group_values/single_group_by/), where key type knowledge
     # removes the general hash table.
     DENSE_LIMIT = 16384
+    PALLAS_MAX_GROUPS = 256  # see _dense_transform: unrolled-kernel budget
 
     def _dense_sizes(self, rel: DeviceRelation):
         from ..expr.udf import active_registry
@@ -655,6 +656,13 @@ class AggregateExec(PhysicalPlan):
         # ---- Pallas fused exact product-sum path (ops/pallas_agg.py) -----
         agg_exprs = self._agg_fns()
         if pallas_mode is not None and rel.capacity % 2048 != 0:
+            pallas_mode = None
+        # the kernel unrolls a per-group loop: trace time AND per-block
+        # compute scale with ngroups. Its win is few-groups/many-rows (Q1:
+        # G=8, 189x over the XLA scatter lowering); at G~10k it matched
+        # plain XLA while costing ~60s of TRACING per process (measured:
+        # Q21 G=10000 pallas 490ms vs 488ms without)
+        if pallas_mode is not None and ngroups > self.PALLAS_MAX_GROUPS:
             pallas_mode = None
         pallas_pairs = []
         pallas_slot = {}  # spec index -> pair slot ('sum'/'avg') 
