@@ -37,6 +37,7 @@ class TypeKind(enum.Enum):
     DECIMAL = "decimal"
     DATE32 = "date32"
     TIMESTAMP = "timestamp"  # microseconds
+    TIME = "time"  # microseconds since midnight (reference: Time64)
     STRING = "string"
     INTERVAL_DAYS = "interval_days"  # internal: calendar interval in days
     INTERVAL_MONTHS = "interval_months"
@@ -128,6 +129,8 @@ class DataType:
             return np.dtype(np.int32)
         if k is TypeKind.TIMESTAMP:
             return np.dtype(np.int64)
+        if k is TypeKind.TIME:
+            return np.dtype(np.int64)
         if k is TypeKind.STRING:
             return np.dtype(np.int32)  # dictionary codes
         if k is TypeKind.INTERVAL_DAYS:
@@ -156,6 +159,7 @@ FLOAT32 = DataType(TypeKind.FLOAT32)
 FLOAT64 = DataType(TypeKind.FLOAT64)
 DATE32 = DataType(TypeKind.DATE32)
 TIMESTAMP = DataType(TypeKind.TIMESTAMP)
+TIME = DataType(TypeKind.TIME)
 STRING = DataType(TypeKind.STRING)
 INTERVAL_DAYS = DataType(TypeKind.INTERVAL_DAYS)
 INTERVAL_MONTHS = DataType(TypeKind.INTERVAL_MONTHS)

@@ -168,6 +168,12 @@ class HostColumn:
             out = self.data.astype("datetime64[D]")
         elif t.kind is T.TypeKind.TIMESTAMP:
             out = self.data.astype("datetime64[us]")
+        elif t.kind is T.TypeKind.TIME:
+            import datetime as _dt
+
+            base = _dt.datetime(1970, 1, 1)
+            out = np.array([(base + _dt.timedelta(microseconds=int(v))).time()
+                            for v in self.data], dtype=object)
         else:
             out = self.data
         if self.validity is not None:
@@ -395,6 +401,17 @@ def _coerce_elem(v, dtype: T.DataType):
         return _date_days(v)
     if dtype.kind is T.TypeKind.TIMESTAMP:
         return _ts_micros(v)
+    if dtype.kind is T.TypeKind.TIME:
+        import datetime
+
+        if isinstance(v, datetime.time):
+            return ((v.hour * 60 + v.minute) * 60 + v.second) * 1_000_000 \
+                + v.microsecond
+        if isinstance(v, str):
+            from ..utils.dates import time_str_to_us
+
+            return time_str_to_us(v)
+        return int(v)
     if dtype.kind is T.TypeKind.BOOL:
         return bool(v)
     if dtype.is_integer or dtype.kind in (T.TypeKind.INTERVAL_DAYS,

@@ -227,6 +227,12 @@ def _column_from_arrow(arr, at) -> HostColumn:
         a = us.fill_null(0) if v is not None else us
         data = np.asarray(a.cast(pa.int64()))
         return HostColumn(T.TIMESTAMP, data.astype(np.int64), v)
+    if pt.is_time(at):
+        v = _arrow_validity(arr)
+        us = arr.cast(pa.time64("us"))
+        a = us.fill_null(0) if v is not None else us
+        data = np.asarray(a.cast(pa.int64()))
+        return HostColumn(T.TIME, data.astype(np.int64), v)
     if pt.is_list(at) or pt.is_large_list(at) or pt.is_fixed_size_list(at):
         elem = _arrow_scalar_dtype(at.value_type)
         v = _arrow_validity(arr)
@@ -300,6 +306,11 @@ def _elem_logical(dtype: T.DataType, v, dictionary):
         return datetime.date(1970, 1, 1) + datetime.timedelta(days=int(v))
     if dtype.kind is T.TypeKind.TIMESTAMP:
         return np.datetime64(int(v), "us").astype("datetime64[us]").item()
+    if dtype.kind is T.TypeKind.TIME:
+        import datetime
+
+        return (datetime.datetime(1970, 1, 1)
+                + datetime.timedelta(microseconds=int(v))).time()
     if dtype.kind is T.TypeKind.BOOL:
         return bool(v)
     if dtype.is_integer:
@@ -386,6 +397,9 @@ def _to_arrow_array(dtype: T.DataType, c: HostColumn):
         return pa.array(c.data.astype(np.int32), type=pa.date32(), mask=mask)
     if k is T.TypeKind.TIMESTAMP:
         return pa.array(c.data.astype(np.int64), type=pa.timestamp("us"),
+                        mask=mask)
+    if k is T.TypeKind.TIME:
+        return pa.array(c.data.astype(np.int64), type=pa.time64("us"),
                         mask=mask)
     if k is T.TypeKind.BOOL:
         return pa.array(c.data.astype(np.bool_), mask=mask)

@@ -169,6 +169,8 @@ def cast_column(col: DeviceColumn, dtype: T.DataType, capacity: int) -> DeviceCo
             lut = DU.dates_from_strings(vals) if len(vals) else np.zeros(1, np.int32)
         elif dtype.kind is T.TypeKind.TIMESTAMP:
             lut = vals.astype("datetime64[us]").astype(np.int64) if len(vals) else np.zeros(1, np.int64)
+        elif dtype.kind is T.TypeKind.TIME:
+            lut = DU.times_from_strings(vals) if len(vals) else np.zeros(1, np.int64)
         elif dtype.is_numeric:
             fl = vals.astype(np.float64) if len(vals) else np.zeros(1)
             if dtype.is_decimal:
@@ -193,6 +195,9 @@ def cast_column(col: DeviceColumn, dtype: T.DataType, capacity: int) -> DeviceCo
         q = col.data // (10 ** col.dtype.scale)
         neg_fix = ((col.data % (10 ** col.dtype.scale)) != 0) & (col.data < 0)
         return DeviceColumn((q + neg_fix.astype(q.dtype)).astype(dtype.np_dtype()), v, dtype)
+    if dtype.kind is T.TypeKind.TIME and col.dtype.kind is T.TypeKind.TIMESTAMP:
+        us_day = np.int64(86_400_000_000)
+        return DeviceColumn(((col.data % us_day) + us_day) % us_day, v, dtype)
     if dtype.kind is T.TypeKind.TIMESTAMP and col.dtype.kind is T.TypeKind.DATE32:
         return DeviceColumn(col.data.astype(jnp.int64) * np.int64(86_400_000_000), v, dtype)
     if dtype.kind is T.TypeKind.DATE32 and col.dtype.kind is T.TypeKind.TIMESTAMP:
@@ -271,6 +276,8 @@ def render_strings(vals: np.ndarray, dtype: T.DataType,
     if k is T.TypeKind.TIMESTAMP:
         return np.datetime_as_string(vals.astype("datetime64[us]"),
                                      unit="auto").astype(object)
+    if k is T.TypeKind.TIME:
+        return np.array([DU.us_to_time_str(v) for v in vals], dtype=object)
     raise PlanError(f"cast {dtype} -> string not supported")
 
 

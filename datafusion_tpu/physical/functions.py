@@ -65,7 +65,7 @@ def builtin_function_names() -> set:
         "make_date", "to_timestamp", "from_unixtime", "date_bin", "greatest",
         "least", "arrow_typeof", "arrow_cast", "version", "to_char",
         "to_local_time", "substr_index", "substring_index", "regexp_count",
-        "regexp_instr",
+        "regexp_instr", "to_time", "make_time", "current_time",
     }
     return out
 
@@ -215,6 +215,10 @@ def scalar_function_type(e: E.ScalarFunction, schema: Schema) -> Tuple[T.DataTyp
         return base, all(n for _, n in argt)
     if f == "to_char":
         return T.STRING, nullable
+    if f in ("to_time", "make_time"):
+        return T.TIME, nullable
+    if f == "current_time":
+        return T.TIME, False
     if f == "to_local_time":
         return argt[0][0], nullable
     if f in ("substr_index", "substring_index"):
@@ -333,6 +337,18 @@ def eval_scalar_function(
         else:
             part, datecol = f, args[0]
         days = datecol.data
+        if datecol.dtype.kind is T.TypeKind.TIME:
+            us = datecol.data
+            secs = us // np.int64(1_000_000)
+            try:
+                val = {"hour": (secs // 3600) % 24,
+                       "minute": (secs // 60) % 60,
+                       "second": secs % 60,
+                       "microsecond": us % np.int64(60_000_000),
+                       "millisecond": (us % np.int64(60_000_000)) // 1000}[part]
+            except KeyError:
+                raise PlanError(f"unsupported TIME part {part!r}") from None
+            return DeviceColumn(val.astype(jnp.int64), validity, T.INT64)
         if datecol.dtype.kind is T.TypeKind.TIMESTAMP:
             us = days
             if part in ("hour", "minute", "second"):
@@ -739,6 +755,34 @@ def eval_scalar_function(
         # session timezone is UTC and timestamps are naive: identity
         # (reference: datetime/to_local_time.rs strips the tz offset)
         return DeviceColumn(args[0].data, validity, args[0].dtype)
+
+    if f == "to_time":
+        a = args[0]
+        if a.dtype.kind is T.TypeKind.TIME:
+            return a
+        if a.dtype.kind is T.TypeKind.TIMESTAMP:
+            us_day = np.int64(86_400_000_000)
+            return DeviceColumn(((a.data % us_day) + us_day) % us_day,
+                                validity, T.TIME)
+        from .expr_compiler import cast_column
+
+        return cast_column(a, T.TIME, capacity)
+
+    if f == "make_time":
+        # make_time(hour, minute, second) (reference: datetime/make_time.rs)
+        h = args[0].data.astype(jnp.int64)
+        m = args[1].data.astype(jnp.int64)
+        s = _to_float(args[2])
+        us = ((h * 60 + m) * 60) * 1_000_000 + jnp.rint(s * 1e6).astype(jnp.int64)
+        return DeviceColumn(us, validity, T.TIME)
+
+    if f == "current_time":
+        import datetime as _dt
+
+        now = _dt.datetime.now(_dt.timezone.utc).time()
+        us = ((now.hour * 60 + now.minute) * 60 + now.second) * 1_000_000 \
+            + now.microsecond
+        return DeviceColumn(jnp.full(capacity, us, jnp.int64), None, T.TIME)
 
     if f == "overlay":
         repl = str(_literal_value(arg_exprs[1]))

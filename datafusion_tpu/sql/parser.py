@@ -639,6 +639,8 @@ class Parser:
             return T.DATE32
         if name == "timestamp":
             return T.TIMESTAMP
+        if name == "time":
+            return T.TIME
         if name in ("boolean", "bool"):
             return T.BOOL
         raise ParseError(f"unknown type {name!r}")
@@ -692,6 +694,13 @@ class Parser:
                     import numpy as np
 
                     return E.Literal(int(np.datetime64(s, "us").astype(np.int64)), T.TIMESTAMP)
+            if kw == "time":
+                if self.peek(1).kind == "string":
+                    self.next()
+                    s = self.next().value
+                    from ..utils.dates import time_str_to_us
+
+                    return E.Literal(time_str_to_us(s), T.TIME)
             if kw == "interval":
                 self.next()
                 tv = self.next()

@@ -69,3 +69,28 @@ def date_str_to_days(s: str) -> int:
         # numpy insists on ISO padding, so normalize y-m-d by hand
         y, m, d = (int(p) for p in s.strip().split("-"))
         return int(np.datetime64(f"{y:04d}-{m:02d}-{d:02d}", "D").astype(np.int32))
+
+
+def time_str_to_us(s: str) -> int:
+    """'HH:MM[:SS[.ffffff]]' -> microseconds since midnight (the TIME
+    device representation; reference: Time64Microsecond)."""
+    parts = s.strip().split(":")
+    h = int(parts[0])
+    m = int(parts[1]) if len(parts) > 1 else 0
+    sec = float(parts[2]) if len(parts) > 2 else 0.0
+    return int(round(((h * 60 + m) * 60 + sec) * 1_000_000))
+
+
+def times_from_strings(vals: np.ndarray) -> np.ndarray:
+    return np.array([time_str_to_us(str(v)) for v in vals], dtype=np.int64)
+
+
+def us_to_time_str(us: int) -> str:
+    us = int(us)
+    s, frac = divmod(us, 1_000_000)
+    h, rem = divmod(s, 3600)
+    m, sec = divmod(rem, 60)
+    out = f"{h:02d}:{m:02d}:{sec:02d}"
+    if frac:
+        out += f".{frac:06d}".rstrip("0")
+    return out

@@ -120,3 +120,33 @@ def test_substr_index_regexp_tail(ctx):
     assert out["i"] == [0, 0, 2]
     out = q(ctx, "SELECT to_local_time(CAST('2020-01-01 10:00:00' AS TIMESTAMP)) AS t")
     assert str(out["t"][0]).startswith("2020-01-01 10:00:00")
+
+
+def test_time_type():
+    """TIME (us-since-midnight, reference Time64): literals, casts, extract,
+    to_time/make_time, ordering/grouping (datetime/{to_time,make_time}.rs)."""
+    import datetime
+
+    c = SessionContext()
+    out = c.sql("SELECT TIME '13:45:30' AS t, to_time('07:08:09.5') AS tt,"
+                " make_time(1, 2, 3) AS mt").to_pydict()
+    assert out["t"] == [datetime.time(13, 45, 30)]
+    assert out["tt"] == [datetime.time(7, 8, 9, 500000)]
+    assert out["mt"] == [datetime.time(1, 2, 3)]
+    out = c.sql("SELECT CAST('10:20:30' AS TIME) AS a,"
+                " CAST(TIME '10:20:30' AS VARCHAR) AS s").to_pydict()
+    assert out["a"] == [datetime.time(10, 20, 30)] and out["s"] == ["10:20:30"]
+    out = c.sql("SELECT extract(hour FROM TIME '13:45:30') h,"
+                " extract(second FROM TIME '13:45:30') s").to_pydict()
+    assert out["h"] == [13] and out["s"] == [30]
+    out = c.sql("SELECT to_time(CAST('2020-01-01 22:33:44' AS TIMESTAMP)) AS t").to_pydict()
+    assert out["t"] == [datetime.time(22, 33, 44)]
+    c.register_table("u", {"s": ["12:00:00", "01:30:00", "12:00:00"]})
+    c.sql("CREATE TABLE v AS SELECT CAST(s AS TIME) AS tm FROM u").collect()
+    out = c.sql("SELECT tm, count(*) c FROM v GROUP BY tm ORDER BY tm").to_pydict()
+    assert out["tm"] == [datetime.time(1, 30), datetime.time(12, 0)]
+    assert out["c"] == [1, 2]
+    # arrow round-trip keeps time64
+    at = c.sql("SELECT TIME '05:06:07' AS t").collect().to_arrow()
+    import pyarrow as pa
+    assert at.schema.field("t").type == pa.time64("us")
