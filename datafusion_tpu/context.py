@@ -34,6 +34,7 @@ class SessionContext:
         self.options = ConfigOptions(self.config)
         self.device = device
         self.functions = FunctionRegistry()
+        self._prepared: Dict[str, object] = {}  # PREPARE name -> A.Prepare
         self._cancel = threading.Event()
         # back-link for session-scoped virtual tables
         # (information_schema.df_settings / routines)
@@ -219,6 +220,31 @@ class SessionContext:
         return out
 
     def _run_statement(self, stmt, A, SqlPlanner) -> Optional["DataFrame"]:
+        if isinstance(stmt, A.Prepare):
+            # reference: LogicalPlan::Statement(Prepare) stored on the
+            # session; EXECUTE re-plans with params substituted
+            # (expr/src/logical_plan/plan.rs replace_params_with_values)
+            self._prepared[stmt.name.lower()] = stmt
+            return None
+        if isinstance(stmt, A.Execute):
+            prep = self._prepared.get(stmt.name.lower())
+            if prep is None:
+                raise PlanError(f"prepared statement {stmt.name!r} not found")
+            values = []
+            for i, p in enumerate(stmt.params):
+                if not isinstance(p, E.Literal):
+                    raise PlanError("EXECUTE parameters must be literals")
+                if prep.param_types and i < len(prep.param_types):
+                    values.append(E.Literal(p.value, prep.param_types[i]))
+                else:
+                    values.append(p)
+            bound = _replace_params(prep.stmt, values)
+            return self._run_statement(bound, A, SqlPlanner)
+        if isinstance(stmt, A.Deallocate):
+            if stmt.name.lower() not in self._prepared:
+                raise PlanError(f"prepared statement {stmt.name!r} not found")
+            del self._prepared[stmt.name.lower()]
+            return None
         if isinstance(stmt, A.SelectStmt):
             return DataFrame(self, SqlPlanner(self.catalog).plan_statement(stmt))
         if isinstance(stmt, A.Explain):
@@ -737,3 +763,29 @@ class DataFrame:
 
     def show(self, limit: int = 20):
         print(self.limit(limit).to_pandas().to_string(index=False))
+
+
+def _replace_params(obj, values):
+    """Rebuild a parsed-statement tree with $N placeholders replaced by the
+    EXECUTE argument literals (reference:
+    LogicalPlan::replace_params_with_values, expr/src/logical_plan/plan.rs).
+    Walks AST/Expr dataclasses, tuples and lists generically."""
+    import dataclasses
+
+    if isinstance(obj, E.Placeholder):
+        idx = int(obj.pid.lstrip("$")) - 1
+        if not 0 <= idx < len(values):
+            raise PlanError(f"no value for placeholder {obj.pid}")
+        return values[idx]
+    if isinstance(obj, (list, tuple)):
+        out = [_replace_params(x, values) for x in obj]
+        return type(obj)(out)
+    if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+        changes = {}
+        for f in dataclasses.fields(obj):
+            v = getattr(obj, f.name)
+            nv = _replace_params(v, values)
+            if nv is not v:
+                changes[f.name] = nv
+        return dataclasses.replace(obj, **changes) if changes else obj
+    return obj

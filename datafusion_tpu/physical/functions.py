@@ -398,6 +398,9 @@ def eval_scalar_function(
     if f == "date_trunc":
         unit = str(_literal_value(arg_exprs[0])).lower()
         datecol = args[1]
+        if datecol.dtype.kind is T.TypeKind.TIME:
+            raise PlanError("date_trunc does not support TIME input "
+                            "(reference: datetime/date_trunc.rs signatures)")
         if datecol.dtype.kind is T.TypeKind.TIMESTAMP:
             us = datecol.data
             divs = {"second": 1_000_000, "minute": 60_000_000,
@@ -769,7 +772,17 @@ def eval_scalar_function(
         return cast_column(a, T.TIME, capacity)
 
     if f == "make_time":
-        # make_time(hour, minute, second) (reference: datetime/make_time.rs)
+        # make_time(hour, minute, second) (reference: datetime/make_time.rs);
+        # literal arguments validate eagerly like the reference's error path
+        try:
+            lh, lm, ls = (_literal_value(a) for a in arg_exprs)
+            if not (0 <= int(lh) <= 23 and 0 <= int(lm) <= 59
+                    and 0 <= float(ls) < 60):
+                raise PlanError(f"make_time: out of range ({lh}, {lm}, {ls})")
+        except PlanError:
+            raise
+        except Exception:  # noqa: BLE001 -- non-literal args: no static check
+            pass
         h = args[0].data.astype(jnp.int64)
         m = args[1].data.astype(jnp.int64)
         s = _to_float(args[2])

@@ -174,3 +174,23 @@ class CopyTo:
     source: object  # SelectStmt | table name str
     path: str
     format: str  # parquet | csv
+
+
+@dataclasses.dataclass
+class Prepare:
+    """PREPARE name [(types)] AS statement (reference:
+    sql/src/statement.rs Statement::Prepare -> LogicalPlan::Prepare)."""
+    name: str
+    param_types: object  # Optional[List[DataType]]
+    stmt: object
+
+
+@dataclasses.dataclass
+class Execute:
+    name: str
+    params: list
+
+
+@dataclasses.dataclass
+class Deallocate:
+    name: str

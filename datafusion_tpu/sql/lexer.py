@@ -119,6 +119,13 @@ def tokenize(sql: str) -> List[Token]:
             out.append(Token("op", ch, i))
             i += 1
             continue
+        if ch == "$" and i + 1 < n and sql[i + 1].isdigit():
+            j = i + 1
+            while j < n and sql[j].isdigit():
+                j += 1
+            out.append(Token("param", sql[i:j], i))  # $1, $2, ... placeholders
+            i = j
+            continue
         raise ParseError(f"unexpected character {ch!r} at {i}")
     out.append(Token("eof", "", n))
     return out

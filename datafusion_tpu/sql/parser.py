@@ -145,6 +145,34 @@ class Parser:
                 self.expect_kw("as")
                 fmt = self.ident().lower()
             return A.CopyTo(src, path, fmt)
+        if self.peek().kind == "ident" and self.peek().value.lower() == "prepare":
+            # PREPARE name [(type, ...)] AS <statement>
+            self.next()
+            name = self.ident()
+            types = None
+            if self.eat_op("("):
+                types = [self.type_name()]
+                while self.eat_op(","):
+                    types.append(self.type_name())
+                self.expect_op(")")
+            self.expect_kw("as")
+            return A.Prepare(name, types, self.statement())
+        if self.peek().kind == "ident" and self.peek().value.lower() == "execute":
+            self.next()
+            name = self.ident()
+            params: List[E.Expr] = []
+            if self.eat_op("("):
+                if not self.at("op", ")"):
+                    params.append(self.expr())
+                    while self.eat_op(","):
+                        params.append(self.expr())
+                self.expect_op(")")
+            return A.Execute(name, params)
+        if self.peek().kind == "ident" and self.peek().value.lower() == "deallocate":
+            self.next()
+            if self.peek().kind == "ident" and self.peek().value.lower() == "prepare":
+                self.next()
+            return A.Deallocate(self.ident())
         if self.at_kw("set"):
             self.next()
             key = self.ident()
@@ -672,6 +700,9 @@ class Parser:
         if t.kind == "string":
             self.next()
             return E.Literal(t.value, T.STRING)
+        if t.kind == "param":
+            self.next()
+            return E.Placeholder(t.value)
         if t.kind == "kw":
             kw = t.value
             if kw == "null":

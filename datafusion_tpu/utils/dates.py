@@ -73,11 +73,14 @@ def date_str_to_days(s: str) -> int:
 
 def time_str_to_us(s: str) -> int:
     """'HH:MM[:SS[.ffffff]]' -> microseconds since midnight (the TIME
-    device representation; reference: Time64Microsecond)."""
+    device representation; reference: Time64Microsecond). Out-of-range
+    components are errors, as in the reference's cast."""
     parts = s.strip().split(":")
     h = int(parts[0])
     m = int(parts[1]) if len(parts) > 1 else 0
     sec = float(parts[2]) if len(parts) > 2 else 0.0
+    if not (0 <= h <= 23 and 0 <= m <= 59 and 0 <= sec < 60):
+        raise ValueError(f"invalid time {s!r}")
     return int(round(((h * 60 + m) * 60 + sec) * 1_000_000))
 
 

@@ -175,3 +175,23 @@ def test_rollup_and_grouping_sets(ctx):
         ORDER BY dept, name
     """)
     assert len(out["s"]) == 8  # 3 depts + 5 names
+
+
+def test_prepare_execute_deallocate():
+    """PREPARE/EXECUTE/DEALLOCATE with $N parameters (reference:
+    sql/src/statement.rs Statement::Prepare + replace_params_with_values)."""
+    import pytest
+
+    from datafusion_tpu.common.errors import PlanError
+
+    ctx = SessionContext()
+    ctx.register_table("t", {"x": [1, 2, 3], "s": ["a", "b", "c"]})
+    ctx.sql("PREPARE p AS SELECT x, s FROM t WHERE x > $1 ORDER BY x").collect()
+    assert ctx.sql("EXECUTE p(1)").to_pydict()["x"] == [2, 3]
+    assert ctx.sql("EXECUTE p(2)").to_pydict()["x"] == [3]
+    ctx.sql("PREPARE q (DOUBLE, VARCHAR) AS"
+            " SELECT x FROM t WHERE x < $1 AND s <> $2").collect()
+    assert ctx.sql("EXECUTE q(2.5, 'b')").to_pydict()["x"] == [1]
+    ctx.sql("DEALLOCATE p").collect()
+    with pytest.raises(PlanError):
+        ctx.sql("EXECUTE p(1)").collect()
