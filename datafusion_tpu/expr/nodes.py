@@ -267,6 +267,9 @@ class WindowFunction(Expr):
     # aggregate FILTER (WHERE ...) clause (reference: Expr::WindowFunction
     # params.filter, datafusion/expr/src/expr.rs); aggregate-family only
     filter: Optional[Expr] = None
+    # IGNORE NULLS (lead/lag/first_value/last_value/nth_value; reference:
+    # params.null_treatment NullTreatment::IgnoreNulls)
+    ignore_nulls: bool = False
 
 
 @_d
@@ -455,6 +458,7 @@ def map_expr(e: Expr, fn) -> Expr:
                 tuple(SortSpec(rec(s.expr), s.asc, s.nulls_first) for s in x.order_by),
                 x.frame,
                 rec(x.filter) if x.filter is not None else None,
+                x.ignore_nulls,
             )
         elif isinstance(x, Alias):
             x = Alias(rec(x.expr), x.aname, x.qualifier)

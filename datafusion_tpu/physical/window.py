@@ -376,11 +376,60 @@ class WindowExec(PhysicalPlan):
                 big + (row_in_part - cut) // jnp.maximum(size, 1)) + 1
             return DeviceColumn(bucket.astype(jnp.int64), None, T.INT64)
 
+        def _valid_lookup(ok):
+            """Sorted-order lookup of valid rows (IGNORE NULLS machinery):
+            W[g] = row index of the g-th valid row globally; B = valids
+            before this partition; ca = valids at-or-before each row within
+            its partition; total = valids per partition. One cumsum + one
+            scatter (reference: NullTreatment::IgnoreNulls in
+            functions-window lead_lag.rs / nth_value.rs)."""
+            okl = ok.astype(jnp.int64)
+            g_incl = jnp.cumsum(okl)
+            gi = jnp.where(ok, g_incl - 1, cap)
+            W = jnp.zeros(cap, jnp.int32).at[gi].set(
+                iota.astype(jnp.int32), mode="drop")
+            part_first = jnp.clip(iota - row_in_part, 0, cap - 1).astype(jnp.int32)
+            B = (g_incl - okl)[part_first]
+            ca = g_incl - B
+            last = jnp.clip(part_first + jnp.maximum(my_count, 1) - 1,
+                            0, cap - 1).astype(jnp.int32)
+            total = g_incl[last] - B
+            return W, B, ca, total
+
         if f in ("lead", "lag"):
             argc = eval_expr(w.args[0], rel)
             sdata = argc.data[perm]
             svalid = argc.valid()[perm]
             off = int(_lit(w.args[1])) if len(w.args) > 1 else 1
+            if getattr(w, "ignore_nulls", False):
+                ok = svalid & ssel
+                W, B, ca, total = _valid_lookup(ok)
+                if f == "lag":
+                    local = (ca - ok.astype(jnp.int64)) - off
+                    hit = (local >= 0) & ssel
+                else:
+                    local = ca + off - 1
+                    hit = (local < total) & ssel
+                row = W[jnp.clip(B + local, 0, cap - 1).astype(jnp.int32)]
+                data = jnp.where(hit, sdata[jnp.clip(row, 0, cap - 1)],
+                                 jnp.zeros_like(sdata))
+                valid = hit & ssel
+                dictionary = argc.dictionary
+                if len(w.args) > 2:
+                    dc = eval_expr(w.args[2], rel)
+                    if argc.dtype.is_string or dc.dtype.is_string:
+                        from .expr_compiler import unify_string_columns
+
+                        uc, dc = unify_string_columns(argc, dc)
+                        sdata = uc.data[perm]
+                        data = jnp.where(
+                            hit, sdata[jnp.clip(row, 0, cap - 1)],
+                            jnp.zeros_like(sdata))
+                        dictionary = uc.dictionary
+                    dflt = dc.data[perm]
+                    data = jnp.where(hit, data, dflt)
+                    valid = jnp.where(hit, True, dc.valid()[perm]) & ssel
+                return DeviceColumn(data, valid, argc.dtype, dictionary)
             shift = -off if f == "lead" else off
             src = iota + (off if f == "lead" else -off)
             in_range = (src >= 0) & (src < cap)
@@ -424,6 +473,25 @@ class WindowExec(PhysicalPlan):
             from .expr_compiler import eval_predicate as _evp
 
             avalid = avalid & _evp(wfilter, rel)[perm]
+
+        if getattr(w, "ignore_nulls", False) and f in ("first_value",
+                                                       "last_value"):
+            # first/last NON-NULL within [partition start, last peer]
+            if fs is not None:
+                raise PlanError(
+                    f"IGNORE NULLS with an explicit frame is not supported "
+                    f"for {f!r}")
+            W, B, ca, total = _valid_lookup(avalid)
+            pe = jnp.clip(peer_end, 0, cap - 1).astype(jnp.int32)
+            ca_pe = ca[pe]
+            hit = (ca_pe > 0) & ssel
+            local = jnp.zeros_like(ca_pe) if f == "first_value" else ca_pe - 1
+            row = W[jnp.clip(B + local, 0, cap - 1).astype(jnp.int32)]
+            data = jnp.where(hit, x[jnp.clip(row, 0, cap - 1)],
+                             jnp.zeros_like(x))
+            return DeviceColumn(data, hit, argc.dtype, argc.dictionary)
+        if getattr(w, "ignore_nulls", False):
+            raise PlanError(f"IGNORE NULLS is not supported for {f!r}")
 
         if f == "nth_value" and fs is None:
             # default frame: partition start .. last peer of current row

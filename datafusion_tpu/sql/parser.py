@@ -914,6 +914,14 @@ class Parser:
             else:
                 self.i = save  # bare identifier named "filter"
 
+        # IGNORE NULLS / RESPECT NULLS (window null treatment)
+        ignore_nulls = False
+        t0 = self.peek()
+        if t0.kind == "ident" and t0.value.lower() in ("ignore", "respect") \
+                and self.peek(1).kind == "kw" and self.peek(1).value == "nulls":
+            ignore_nulls = self.next().value.lower() == "ignore"
+            self.next()
+
         over = None
         if self.eat_kw("over"):
             self.expect_op("(")
@@ -935,7 +943,9 @@ class Parser:
 
         if over is not None:
             return E.WindowFunction(fname, tuple(args), over[0], over[1],
-                                    over[2], agg_filter)
+                                    over[2], agg_filter, ignore_nulls)
+        if ignore_nulls:
+            raise ParseError("IGNORE NULLS requires an OVER clause")
 
         if fname in self._AGG_FNS:
             fname = self._AGG_ALIASES.get(fname, fname)

@@ -111,3 +111,31 @@ def test_count_null_literal_is_zero():
     ctx.register_table("t", {"x": [1, 2, 3]})
     out = ctx.sql("SELECT count(NULL) a, count(1) b, count(*) c FROM t").to_pandas()
     assert out.values.tolist() == [[0, 3, 3]]
+
+
+def test_ignore_nulls():
+    """lead/lag/first_value/last_value IGNORE NULLS (reference:
+    NullTreatment::IgnoreNulls, functions-window/src/lead_lag.rs);
+    expectations are PostgreSQL's."""
+    ctx = SessionContext()
+    ctx.register_table("t", {"id": [1, 2, 3, 4, 5, 6, 7, 8],
+                             "g": [1, 1, 1, 1, 2, 2, 2, 2],
+                             "a": [None, 10, None, 30, 5, None, None, 8]})
+    out = ctx.sql("""SELECT
+      lag(a) IGNORE NULLS OVER (PARTITION BY g ORDER BY id) AS lg,
+      lag(a, 2) IGNORE NULLS OVER (PARTITION BY g ORDER BY id) AS lg2,
+      lead(a) IGNORE NULLS OVER (PARTITION BY g ORDER BY id) AS ld,
+      first_value(a) IGNORE NULLS OVER (PARTITION BY g ORDER BY id) AS fv,
+      last_value(a) IGNORE NULLS OVER (PARTITION BY g ORDER BY id) AS lv,
+      lag(a, 1, -1) IGNORE NULLS OVER (PARTITION BY g ORDER BY id) AS lgd
+    FROM t ORDER BY id""").to_pydict()
+    assert out["lg"] == [None, None, 10, 10, None, 5, 5, 5]
+    assert out["lg2"] == [None] * 8
+    assert out["ld"] == [10, 30, 30, None, 8, 8, 8, None]
+    assert out["fv"] == [None, 10, 10, 10, 5, 5, 5, 5]
+    assert out["lv"] == [None, 10, 10, 30, 5, 5, 5, 8]
+    assert out["lgd"] == [-1, -1, 10, 10, -1, 5, 5, 5]
+    # RESPECT NULLS is the default spelling
+    out = ctx.sql("SELECT lag(a) RESPECT NULLS OVER (ORDER BY id) AS x"
+                  " FROM t ORDER BY id").to_pydict()
+    assert out["x"] == [None, None, 10, None, 30, 5, None, None]
