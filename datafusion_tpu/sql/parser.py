@@ -377,6 +377,20 @@ class Parser:
                 while self.eat_op(","):
                     group_by.append(self.expr())
         having = self.expr() if self.eat_kw("having") else None
+        if self._at_window_clause():
+            # WINDOW w1 AS (...), w2 AS (...): resolve OVER w references in
+            # the select list (reference: sql/src/select.rs named windows)
+            self.next()  # 'window'
+            named = {}
+            while True:
+                wname = self.ident().lower()
+                self.expect_kw("as")
+                named[wname] = self._over_spec()
+                if not self.eat_op(","):
+                    break
+            items = [A.SelectItem(_resolve_named_windows(it.expr, named),
+                                  it.alias) if isinstance(it.expr, E.Expr)
+                     else it for it in items]
         return A.SelectCore(items, from_, where, group_by, having, distinct,
                             grouping_sets)
 
@@ -431,7 +445,7 @@ class Parser:
         alias = None
         if self.eat_kw("as"):
             alias = self.ident()
-        elif self.peek().kind == "ident":
+        elif self.peek().kind == "ident" and not self._at_window_clause():
             alias = self.next().value
         columns = None
         if alias is not None and self.at("op", "("):
@@ -478,9 +492,38 @@ class Parser:
         alias = None
         if self.eat_kw("as"):
             alias = self.ident()
-        elif self.peek().kind == "ident":
+        elif self.peek().kind == "ident" and not self._at_window_clause():
             alias = self.next().value
         return A.Relation(name, alias)
+
+    def _over_spec(self):
+        """'(' [PARTITION BY ...] [ORDER BY ...] [frame] ')' -> (partition,
+        order, frame) tuple shared by OVER (...) and WINDOW name AS (...)."""
+        self.expect_op("(")
+        partition_by: List[E.Expr] = []
+        order_by: List[E.SortSpec] = []
+        if self.eat_kw("partition"):
+            self.expect_kw("by")
+            partition_by.append(self.expr())
+            while self.eat_op(","):
+                partition_by.append(self.expr())
+        if self.eat_kw("order"):
+            self.expect_kw("by")
+            for it in self.order_items():
+                order_by.append(E.SortSpec(
+                    it.expr, it.asc,
+                    it.nulls_first if it.nulls_first is not None else not it.asc))
+        frame = self._window_frame()
+        self.expect_op(")")
+        return (tuple(partition_by), tuple(order_by), frame)
+
+    def _at_window_clause(self) -> bool:
+        """True when the upcoming tokens start a named-WINDOW clause
+        (`WINDOW name AS (`), which must not be eaten as a table alias."""
+        t = self.peek()
+        return (t.kind == "ident" and t.value.lower() == "window"
+                and self.peek(1).kind in ("ident", "kw")
+                and self.peek(2).kind == "kw" and self.peek(2).value == "as")
 
     # ---- expressions -----------------------------------------------------
     def expr(self) -> E.Expr:
@@ -923,27 +966,23 @@ class Parser:
             self.next()
 
         over = None
+        over_name = None
         if self.eat_kw("over"):
-            self.expect_op("(")
-            partition_by: List[E.Expr] = []
-            order_by: List[E.SortSpec] = []
-            if self.eat_kw("partition"):
-                self.expect_kw("by")
-                partition_by.append(self.expr())
-                while self.eat_op(","):
-                    partition_by.append(self.expr())
-            if self.eat_kw("order"):
-                self.expect_kw("by")
-                for it in self.order_items():
-                    order_by.append(E.SortSpec(it.expr, it.asc,
-                                               it.nulls_first if it.nulls_first is not None else not it.asc))
-            frame = self._window_frame()
-            self.expect_op(")")
-            over = (tuple(partition_by), tuple(order_by), frame)
+            if self.peek().kind in ("ident", "kw") and not self.at("op", "("):
+                # OVER window_name: spec resolved from the WINDOW clause
+                # after the select list parses (reference: sqlparser
+                # WindowType::NamedWindow)
+                over_name = self.ident().lower()
+                over = ((), (), None)
+            else:
+                over = self._over_spec()
 
         if over is not None:
-            return E.WindowFunction(fname, tuple(args), over[0], over[1],
-                                    over[2], agg_filter, ignore_nulls)
+            wf = E.WindowFunction(fname, tuple(args), over[0], over[1],
+                                  over[2], agg_filter, ignore_nulls)
+            if over_name is not None:
+                object.__setattr__(wf, "_named_over", over_name)
+            return wf
         if ignore_nulls:
             raise ParseError("IGNORE NULLS requires an OVER clause")
 
@@ -1006,3 +1045,37 @@ class Parser:
             else_expr = self.expr()
         self.expect_kw("end")
         return E.Case(operand, tuple(branches), else_expr)
+
+
+def _resolve_named_windows(e: E.Expr, named) -> E.Expr:
+    """Rebuild WindowFunction nodes carrying an `OVER window_name` reference
+    with the named spec from the WINDOW clause."""
+    import dataclasses
+
+    def rec(x):
+        if isinstance(x, E.Expr):
+            nm = getattr(x, "_named_over", None)
+            if isinstance(x, E.WindowFunction) and nm is not None:
+                spec = named.get(nm)
+                if spec is None:
+                    raise ParseError(f"window {nm!r} is not defined")
+                x = dataclasses.replace(x, partition_by=spec[0],
+                                        order_by=spec[1], frame=spec[2])
+        if dataclasses.is_dataclass(x) and not isinstance(x, type):
+            changes = {}
+            for f in dataclasses.fields(x):
+                v = getattr(x, f.name)
+                nv = rec(v)
+                if nv is not v:
+                    changes[f.name] = nv
+            if changes:
+                return dataclasses.replace(x, **changes)
+            return x
+        if isinstance(x, (list, tuple)):
+            out = [rec(i) for i in x]
+            if any(a is not b for a, b in zip(out, x)):
+                return type(x)(out)
+            return x
+        return x
+
+    return rec(e)
