@@ -40,6 +40,7 @@ class TypeKind(enum.Enum):
     TIME = "time"  # microseconds since midnight (reference: Time64)
     STRING = "string"
     INTERVAL_DAYS = "interval_days"  # internal: calendar interval in days
+    INTERVAL_US = "interval_us"  # internal: sub-day interval in microseconds
     INTERVAL_MONTHS = "interval_months"
     LIST = "list"
     STRUCT = "struct"
@@ -135,6 +136,8 @@ class DataType:
             return np.dtype(np.int32)  # dictionary codes
         if k is TypeKind.INTERVAL_DAYS:
             return np.dtype(np.int32)
+        if k is TypeKind.INTERVAL_US:
+            return np.dtype(np.int64)
         if k is TypeKind.INTERVAL_MONTHS:
             return np.dtype(np.int32)
         if k is TypeKind.NULL:
@@ -163,6 +166,7 @@ TIME = DataType(TypeKind.TIME)
 STRING = DataType(TypeKind.STRING)
 INTERVAL_DAYS = DataType(TypeKind.INTERVAL_DAYS)
 INTERVAL_MONTHS = DataType(TypeKind.INTERVAL_MONTHS)
+INTERVAL_US = DataType(TypeKind.INTERVAL_US)
 
 
 def decimal(precision: int, scale: int) -> DataType:

@@ -79,6 +79,11 @@ def arith_result(op: E.Op, lt: T.DataType, rt: T.DataType) -> T.DataType:
     # date/interval arithmetic
     if lt.kind is T.TypeKind.DATE32 and rt.kind is T.TypeKind.INTERVAL_DAYS:
         return T.DATE32
+    if lt.kind is T.TypeKind.TIMESTAMP and rt.kind in (T.TypeKind.INTERVAL_US,
+                                                       T.TypeKind.INTERVAL_DAYS):
+        return T.TIMESTAMP
+    if lt.kind is T.TypeKind.TIME and rt.kind is T.TypeKind.INTERVAL_US:
+        return T.TIME
     if lt.kind is T.TypeKind.DATE32 and rt.kind is T.TypeKind.INTERVAL_MONTHS:
         return T.DATE32
     if lt.kind is T.TypeKind.DATE32 and rt.kind is T.TypeKind.DATE32 and op is E.Op.SUB:

@@ -474,6 +474,17 @@ def eval_binary(e: E.BinaryOp, l: DeviceColumn, r: DeviceColumn, schema: Schema)
         return DeviceColumn(r.data + l.data.astype(jnp.int32), valid, T.DATE32)
     if lt.kind is T.TypeKind.DATE32 and rt.kind is T.TypeKind.DATE32 and op is E.Op.SUB:
         return DeviceColumn(l.data - r.data, valid, T.INT32)
+    if lt.kind is T.TypeKind.TIMESTAMP and rt.kind in (T.TypeKind.INTERVAL_US,
+                                                       T.TypeKind.INTERVAL_DAYS):
+        us = r.data.astype(jnp.int64)
+        if rt.kind is T.TypeKind.INTERVAL_DAYS:
+            us = us * np.int64(86_400_000_000)
+        delta = us if op is E.Op.ADD else -us
+        return DeviceColumn(l.data + delta, valid, T.TIMESTAMP)
+    if lt.kind is T.TypeKind.TIME and rt.kind is T.TypeKind.INTERVAL_US:
+        day = np.int64(86_400_000_000)
+        delta = r.data.astype(jnp.int64) if op is E.Op.ADD else -r.data.astype(jnp.int64)
+        return DeviceColumn(((l.data + delta) % day + day) % day, valid, T.TIME)
 
     if op is E.Op.DIV:
         if lt.is_integer and rt.is_integer:

@@ -793,6 +793,11 @@ class Parser:
                     return E.Literal(12 * n, T.INTERVAL_MONTHS)
                 if unit == "week":
                     return E.Literal(7 * n, T.INTERVAL_DAYS)
+                us = {"hour": 3_600_000_000, "minute": 60_000_000,
+                      "second": 1_000_000, "millisecond": 1_000,
+                      "microsecond": 1}.get(unit)
+                if us is not None:
+                    return E.Literal(n * us, T.INTERVAL_US)
                 raise ParseError(f"unsupported interval unit {unit!r}")
             if kw == "case":
                 return self._case()

@@ -123,6 +123,8 @@ def _literal_sql(e: E.Literal) -> str:
         return f"INTERVAL '{e.value}' DAY"
     if t.kind is T.TypeKind.INTERVAL_MONTHS:
         return f"INTERVAL '{e.value}' MONTH"
+    if t.kind is T.TypeKind.INTERVAL_US:
+        return f"INTERVAL '{e.value}' MICROSECOND"
     return str(e.value)
 
 

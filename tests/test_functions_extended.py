@@ -150,3 +150,34 @@ def test_time_type():
     at = c.sql("SELECT TIME '05:06:07' AS t").collect().to_arrow()
     import pyarrow as pa
     assert at.schema.field("t").type == pa.time64("us")
+
+
+def test_subday_intervals():
+    """INTERVAL hour/minute/second arithmetic on timestamps and RANGE frames
+    (reference: IntervalDayTime, window RANGE with interval offsets)."""
+    import datetime
+
+    c = SessionContext()
+    out = c.sql("SELECT CAST('2020-01-01 10:00:00' AS TIMESTAMP)"
+                " + INTERVAL '90' minute AS ts,"
+                " TIME '23:30:00' + INTERVAL '45' minute AS tt").to_pydict()
+    assert out["ts"] == [datetime.datetime(2020, 1, 1, 11, 30)]
+    assert out["tt"] == [datetime.time(0, 15)]
+    c.register_table("ev", {"k": [1, 1, 1],
+                            "t": ["2020-01-01 10:00:00", "2020-01-01 10:03:00",
+                                  "2020-01-01 10:20:00"], "v": [1, 2, 3]})
+    c.sql("CREATE TABLE e2 AS SELECT k, CAST(t AS TIMESTAMP) AS time, v FROM ev").collect()
+    out = c.sql("""SELECT v, COUNT(v) OVER (PARTITION BY k ORDER BY time
+      RANGE BETWEEN INTERVAL '5' minute PRECEDING AND CURRENT ROW) AS c
+      FROM e2 ORDER BY time""").to_pydict()
+    assert out["c"] == [1, 2, 1]
+
+
+def test_named_window_clause():
+    c = SessionContext()
+    c.register_table("t", {"g": [1, 1, 2, 2], "v": [10.0, 20.0, 5.0, 7.0]})
+    out = c.sql("""SELECT g, v, max(v) OVER w1 AS mx, row_number() OVER w2 AS rn
+      FROM t WINDOW w1 AS (PARTITION BY g), w2 AS (ORDER BY v)
+      ORDER BY g, v""").to_pydict()
+    assert out["mx"] == [20.0, 20.0, 7.0, 7.0]
+    assert out["rn"] == [3, 4, 1, 2]
