@@ -947,6 +947,11 @@ def eval_scalar_function(
             raise PlanError("date_bin with month strides is not supported")
         else:
             stride_us = int(_literal_value(arg_exprs[0]))
+        if stride_us <= 0:
+            raise PlanError("date_bin stride must be positive "
+                            "(reference: datetime/date_bin.rs)")
+        if any(c.dtype.kind is T.TypeKind.TIME for c in args[1:]):
+            raise PlanError("date_bin expects date/timestamp inputs, not TIME")
         a = args[1]
         x = (a.data.astype(jnp.int64) * np.int64(86_400_000_000)
              if a.dtype.kind is T.TypeKind.DATE32 else a.data.astype(jnp.int64))
