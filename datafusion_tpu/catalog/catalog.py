@@ -211,7 +211,12 @@ class MemTable(TableProvider):
     def __init__(self, table: Table, unique_keys=()):
         self._table = table
         self._unique_keys = tuple(tuple(k) for k in unique_keys)
-        self._device: Dict[str, DeviceRelation] = {}
+        # per-device lazy COLUMN cache: only projected columns are encoded
+        # and uploaded (reference analog: MemorySourceConfig projection,
+        # datasource/src/memory.rs) — at TPC-H SF10 lineitem is ~6 GB fully
+        # uploaded but most queries touch a third of its columns.
+        self._device: Dict[str, Dict[str, object]] = {}
+        self._device_sel: Dict[str, object] = {}
 
     def schema(self) -> Schema:
         return self._table.schema
@@ -220,11 +225,26 @@ class MemTable(TableProvider):
         return self._table
 
     def scan_device(self, ctx, filters=(), projection=None) -> DeviceRelation:
+        from ..common.schema import Field
         key = _device_key(ctx)
-        if key not in self._device:
-            self._device[key] = to_device(self._table,
-                                          device=ctx.device if ctx else None)
-        return self._device[key]
+        schema = self._table.schema
+        all_names = [f.name for f in schema.fields]
+        want = [n for n in (projection if projection is not None else all_names)]
+        if not want:  # zero-column scan (COUNT(*)): sel still needed
+            want = all_names[:1]
+        cache = self._device.setdefault(key, {})
+        missing = [n for n in want if n not in cache]
+        if missing:
+            idx = [schema.find(n) for n in missing]
+            sub = Table(Schema([schema.fields[i] for i in idx]),
+                        [self._table.columns[i] for i in idx])
+            rel = to_device(sub, device=ctx.device if ctx else None)
+            for f, c in zip(rel.schema.fields, rel.columns):
+                cache[f.name] = c
+            self._device_sel.setdefault(key, rel.sel)
+        fields = [schema.fields[schema.find(n)] for n in want]
+        return DeviceRelation(Schema(fields), tuple(cache[n] for n in want),
+                              self._device_sel[key])
 
 
 class FileTable(TableProvider):

@@ -17,6 +17,7 @@ from typing import Dict
 
 import numpy as np
 
+from ...data.column import Dictionary, HostColumn
 from ...data.table import Table
 
 REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
@@ -72,30 +73,101 @@ def _money(rng, lo: float, hi: float, n: int) -> np.ndarray:
     return rng.integers(int(lo * 100), int(hi * 100) + 1, n, dtype=np.int64)
 
 
+def _dict_col(strings_per_code: np.ndarray, inv: np.ndarray):
+    """HostColumn(STRING) from per-distinct strings + row->distinct map.
+
+    Dedups + sorts the distinct strings (two packed keys can render the same
+    text, e.g. an injected phrase whose words are also vocabulary words) so
+    codes stay order-preserving against a SORTED dictionary."""
+    from ...common import types as T
+
+    uniq, sinv = np.unique(np.asarray(strings_per_code, dtype="U"),
+                           return_inverse=True)
+    codes = sinv.astype(np.int32)[inv]
+    return HostColumn(T.STRING, codes, None, Dictionary(uniq.astype(object)))
+
+
+def _words_col(w: np.ndarray, words, mask=None, inject: str = ""):
+    """Space-joined word rows -> dictionary column, built without ever
+    materializing the n full strings: rows pack to int64 keys, only the
+    distinct keys render to text (SF10 lineitem comments: 60M rows but only
+    ~50k distinct)."""
+    n, k = w.shape
+    V = len(words)
+    packed = w[:, 0].astype(np.int64)
+    for i in range(1, k):
+        packed = packed * V + w[:, i]
+    if mask is not None:
+        packed = packed * 2 + mask
+    uniq, inv = np.unique(packed, return_inverse=True)
+    u = uniq.copy()
+    um = None
+    if mask is not None:
+        um = (u % 2).astype(bool)
+        u //= 2
+    cols = []
+    for _ in range(k):
+        cols.append(u % V)
+        u //= V
+    cols.reverse()
+    warr = np.asarray(words, dtype="U")
+    s = warr[cols[0]]
+    for c in cols[1:]:
+        s = np.char.add(np.char.add(s, " "), warr[c])
+    if um is not None:
+        s = np.where(um, np.char.add(np.char.add(s, " "), inject), s)
+    return _dict_col(s, inv)
+
+
 def _comments(rng, n: int, nwords: int = 5, inject: str = "", inject_frac: float = 0.0):
     w = rng.choice(len(COMMENT_WORDS), size=(n, nwords))
-    arr = np.asarray(COMMENT_WORDS, dtype="U")[w]
-    out = arr[:, 0]
-    for i in range(1, nwords):
-        out = np.char.add(np.char.add(out, " "), arr[:, i])
+    mask = None
     if inject and inject_frac > 0:
         mask = rng.random(n) < inject_frac
-        out = np.where(mask, np.char.add(np.char.add(out, " "), inject), out)
-    return out.astype(object)
+    return _words_col(w, COMMENT_WORDS, mask, inject)
 
 
 def _zfilled(prefix: str, keys: np.ndarray, width: int = 9):
-    return np.char.add(prefix, np.char.zfill(keys.astype("U"), width)).astype(object)
+    uniq, inv = np.unique(keys, return_inverse=True)
+    s = np.char.add(prefix, np.char.zfill(uniq.astype("U"), width))
+    return _dict_col(s, inv)
 
 
-def _phones(rng, nations: np.ndarray) -> np.ndarray:
-    a = (10 + nations).astype("U")
-    def seg(width, lo, hi):
-        return np.char.zfill(rng.integers(lo, hi, len(nations)).astype("U"), width)
-    out = np.char.add(np.char.add(np.char.add(a, "-"), seg(3, 100, 1000)), "-")
-    out = np.char.add(np.char.add(out, seg(3, 100, 1000)), "-")
-    out = np.char.add(out, seg(4, 1000, 10000))
-    return out.astype(object)
+def _choice(rng, vocab, n: int):
+    """rng.choice over a small vocabulary, dictionary-encoded by
+    searchsorted instead of a full n-row string sort."""
+    arr = rng.choice(vocab, n)
+    return _known(arr, vocab)
+
+
+def _known(arr: np.ndarray, vocab):
+    from ...common import types as T
+
+    sv = np.unique(np.asarray(vocab, dtype="U"))
+    codes = np.searchsorted(sv, np.asarray(arr, dtype="U")).astype(np.int32)
+    return HostColumn(T.STRING, codes, None, Dictionary(sv.astype(object)))
+
+
+def _phones(rng, nations: np.ndarray):
+    n = len(nations)
+    s1 = rng.integers(100, 1000, n)
+    s2 = rng.integers(100, 1000, n)
+    s3 = rng.integers(1000, 10000, n)
+    # fixed-width segments: numeric packed order == lexicographic order
+    packed = (((nations * 900 + (s1 - 100)) * 900 + (s2 - 100)) * 9000
+              + (s3 - 1000))
+    uniq, inv = np.unique(packed, return_inverse=True)
+    u = uniq.copy()
+    p3 = (u % 9000) + 1000
+    u //= 9000
+    p2 = (u % 900) + 100
+    u //= 900
+    p1 = (u % 900) + 100
+    nat = (u // 900) + 10
+    s = np.char.add(np.char.add(nat.astype("U"), "-"), p1.astype("U"))
+    s = np.char.add(np.char.add(s, "-"), p2.astype("U"))
+    s = np.char.add(np.char.add(s, "-"), p3.astype("U"))
+    return _dict_col(s, inv)
 
 
 TABLE_NAMES = ("region", "nation", "supplier", "customer", "part",
@@ -224,10 +296,7 @@ def _generate_tpch(sf: float, seed: int) -> Dict[str, Table]:
     # ---- part ------------------------------------------------------------
     pkey = np.arange(1, n_part + 1, dtype=np.int64)
     w = rng.choice(len(P_NAME_WORDS), size=(n_part, 5))
-    words = np.asarray(P_NAME_WORDS, dtype="U")[w]
-    p_name = words[:, 0]
-    for i in range(1, 5):
-        p_name = np.char.add(np.char.add(p_name, " "), words[:, i])
+    p_name = _words_col(w, P_NAME_WORDS)
     mfgr_n = rng.integers(1, 6, n_part)
     brand_n = mfgr_n * 10 + rng.integers(1, 6, n_part)
     t1 = rng.choice(TYPE_1, n_part)
@@ -239,12 +308,12 @@ def _generate_tpch(sf: float, seed: int) -> Dict[str, Table]:
     p_retail = 90000 + ((pkey * 100) % 20001) + 100 * (pkey % 1000)  # cents
     part = _decimal_table({
         "p_partkey": pkey,
-        "p_name": p_name.astype(object),
-        "p_mfgr": np.char.add("Manufacturer#", mfgr_n.astype("U")).astype(object),
-        "p_brand": np.char.add("Brand#", brand_n.astype("U")).astype(object),
-        "p_type": p_type.astype(object),
+        "p_name": p_name,
+        "p_mfgr": np.char.add("Manufacturer#", mfgr_n.astype("U")),
+        "p_brand": np.char.add("Brand#", brand_n.astype("U")),
+        "p_type": p_type,
         "p_size": rng.integers(1, 51, n_part).astype(np.int64),
-        "p_container": cont.astype(object),
+        "p_container": cont,
         "p_retailprice": p_retail.astype(np.int64),
         "p_comment": _comments(rng, n_part, 3),
     }, money=["p_retailprice"])
@@ -272,7 +341,7 @@ def _generate_tpch(sf: float, seed: int) -> Dict[str, Table]:
         "c_nationkey": c_nation,
         "c_phone": _phones(rng, c_nation),
         "c_acctbal": _money(rng, -999.99, 9999.99, n_cust),
-        "c_mktsegment": rng.choice(SEGMENTS, n_cust).astype(object),
+        "c_mktsegment": _choice(rng, SEGMENTS, n_cust),
         "c_comment": _comments(rng, n_cust, 6, "special requests", 0.02),
     }, money=["c_acctbal"])
 
@@ -299,9 +368,10 @@ def _generate_tpch(sf: float, seed: int) -> Dict[str, Table]:
     l_commit = l_odate + rng.integers(30, 91, nl).astype(np.int32)
     l_receipt = l_ship + rng.integers(1, 31, nl).astype(np.int32)
     cutoff = int(np.datetime64("1995-06-17", "D").astype(np.int32))
-    l_linestatus = np.where(l_ship > cutoff, "O", "F").astype(object)
+    l_open = l_ship > cutoff
+    l_linestatus = np.where(l_open, "O", "F")
     ret = rng.random(nl)
-    l_returnflag = np.where(l_receipt <= cutoff, np.where(ret < 0.5, "R", "A"), "N").astype(object)
+    l_returnflag = np.where(l_receipt <= cutoff, np.where(ret < 0.5, "R", "A"), "N")
 
     lineitem = _decimal_table({
         "l_orderkey": l_order,
@@ -312,34 +382,34 @@ def _generate_tpch(sf: float, seed: int) -> Dict[str, Table]:
         "l_extendedprice": l_price,
         "l_discount": l_disc,
         "l_tax": l_tax,
-        "l_returnflag": l_returnflag,
-        "l_linestatus": l_linestatus,
+        "l_returnflag": _known(l_returnflag, ["R", "A", "N"]),
+        "l_linestatus": _known(l_linestatus, ["O", "F"]),
         "l_shipdate": l_ship,
         "l_commitdate": l_commit,
         "l_receiptdate": l_receipt,
-        "l_shipinstruct": rng.choice(SHIPINSTRUCT, nl).astype(object),
-        "l_shipmode": rng.choice(SHIPMODES, nl).astype(object),
+        "l_shipinstruct": _choice(rng, SHIPINSTRUCT, nl),
+        "l_shipmode": _choice(rng, SHIPMODES, nl),
         "l_comment": _comments(rng, nl, 3),
     }, money=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
         dates=["l_shipdate", "l_commitdate", "l_receiptdate"])
 
     # order aggregates from lineitems
     gross = (l_price * (100 - l_disc) * (100 + l_tax)) // 10000
-    o_total = np.zeros(n_ord, dtype=np.int64)
-    np.add.at(o_total, np.repeat(np.arange(n_ord), nlines), gross)
-    any_open = np.zeros(n_ord, dtype=bool)
-    np.logical_or.at(any_open, np.repeat(np.arange(n_ord), nlines), l_linestatus == "O")
-    all_open = np.ones(n_ord, dtype=bool)
-    np.logical_and.at(all_open, np.repeat(np.arange(n_ord), nlines), l_linestatus == "O")
-    o_status = np.where(all_open, "O", np.where(any_open, "P", "F")).astype(object)
+    oidx = np.repeat(np.arange(n_ord), nlines)
+    # bincount sums are exact here (per-order totals < 2^53)
+    o_total = np.bincount(oidx, weights=gross.astype(np.float64),
+                          minlength=n_ord).astype(np.int64)
+    n_open = np.bincount(oidx, weights=l_open.astype(np.float64),
+                         minlength=n_ord).astype(np.int64)
+    o_status = np.where(n_open == nlines, "O", np.where(n_open > 0, "P", "F"))
 
     orders = _decimal_table({
         "o_orderkey": okey,
         "o_custkey": o_cust,
-        "o_orderstatus": o_status,
+        "o_orderstatus": _known(o_status, ["O", "P", "F"]),
         "o_totalprice": o_total,
         "o_orderdate": o_date,
-        "o_orderpriority": rng.choice(PRIORITIES, n_ord).astype(object),
+        "o_orderpriority": _choice(rng, PRIORITIES, n_ord),
         "o_clerk": _zfilled("Clerk#", rng.integers(1, max(n_supp // 10, 2), n_ord).astype(np.int64)),
         "o_shippriority": np.zeros(n_ord, dtype=np.int64),
         "o_comment": _comments(rng, n_ord, 5, "special requests", 0.02),
@@ -361,7 +431,16 @@ def _decimal_table(data: Dict, money=(), dates=(), timestamps=()) -> Table:
 
     fields, cols = [], []
     for name, values in data.items():
-        if name in money:
+        if isinstance(values, HostColumn):
+            col = values
+        elif isinstance(values, np.ndarray) and values.dtype.kind in ("U", "O"):
+            # vectorized dictionary encoding (no per-element Python loop;
+            # datagen strings are never NULL)
+            uniq, inv = np.unique(np.asarray(values, dtype="U"),
+                                  return_inverse=True)
+            col = HostColumn(T.STRING, inv.astype(np.int32), None,
+                             Dictionary(uniq.astype(object)))
+        elif name in money:
             col = HostColumn(T.decimal(15, 2), np.asarray(values, dtype=np.int64))
         elif name in dates:
             col = HostColumn(T.DATE32, np.asarray(values, dtype=np.int32))

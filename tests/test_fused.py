@@ -89,22 +89,19 @@ def test_fused_direct_join_dup_flag_rediscovers():
     r1 = to_host(fq.execute(ectx)).to_pydict()
     assert sorted(r1["v"]) == [10, 11, 20, 21, 30]
     assert fq._fused not in (None, False)
-    # mutate the cached device relation of d: duplicate key 2
+    # mutate the cached device columns of d: duplicate key 2
     prov = ctx.catalog.get("d")
-    key, rel = next(iter(prov._device.items()))
-    kcol = rel.columns[0]
-    wcol = rel.columns[1]
+    key, cols = next(iter(prov._device.items()))
+    kcol = cols["k"]
+    wcol = cols["w"]
     nk = kcol.data.at[2].set(2)   # keys become [1, 2, 2, ...]
     nw = wcol.data.at[2].set(250)
     from datafusion_tpu.data.device import DeviceColumn
 
-    prov._device[key] = DeviceRelation(
-        rel.schema,
-        (DeviceColumn(nk, kcol.validity, kcol.dtype, kcol.dictionary,
-                      kcol.bounds),
-         DeviceColumn(nw, wcol.validity, wcol.dtype, wcol.dictionary,
-                      wcol.bounds)),
-        rel.sel)
+    cols["k"] = DeviceColumn(nk, kcol.validity, kcol.dtype, kcol.dictionary,
+                             kcol.bounds)
+    cols["w"] = DeviceColumn(nw, wcol.validity, wcol.dtype, wcol.dictionary,
+                             wcol.bounds)
     r2 = to_host(fq.execute(ectx)).to_pydict()
     # k=2 now matches two build rows (200 and 250); k=3 has no match
     assert sorted(r2["w"]) == [100, 100, 200, 200, 250, 250], r2
