@@ -101,9 +101,59 @@ class _Guard:
         os._exit(0)
 
 
+# v5e (v5litepod) HBM peak bandwidth, bytes/s — the roofline denominator.
+HBM_PEAK_BYTES_S = 819e9
+
+# base tables referenced per TPC-H query (for rows/s-per-chip reporting)
+QUERY_TABLES = {
+    1: ["lineitem"], 2: ["part", "supplier", "partsupp", "nation", "region"],
+    3: ["customer", "orders", "lineitem"], 4: ["orders", "lineitem"],
+    5: ["customer", "orders", "lineitem", "supplier", "nation", "region"],
+    6: ["lineitem"],
+    7: ["supplier", "lineitem", "orders", "customer", "nation"],
+    8: ["part", "supplier", "lineitem", "orders", "customer", "nation",
+        "region"],
+    9: ["part", "supplier", "lineitem", "partsupp", "orders", "nation"],
+    10: ["customer", "orders", "lineitem", "nation"],
+    11: ["partsupp", "supplier", "nation"], 12: ["orders", "lineitem"],
+    13: ["customer", "orders"], 14: ["lineitem", "part"],
+    15: ["lineitem", "supplier"], 16: ["partsupp", "part", "supplier"],
+    17: ["lineitem", "part"], 18: ["customer", "orders", "lineitem"],
+    19: ["lineitem", "part"],
+    20: ["supplier", "nation", "partsupp", "part", "lineitem"],
+    21: ["supplier", "lineitem", "orders", "nation"],
+    22: ["customer", "orders"],
+}
+
+
+def _scan_bytes(phys, ectx) -> int:
+    """Lower-bound bytes a query must move through HBM: one read of every
+    device-resident column (+ selection masks) its scans feed into the fused
+    program. Dividing by measured time gives the fraction of the chip's HBM
+    roofline the whole query achieves (BASELINE.md: >=70% per operator for
+    bandwidth-bound ops; multi-pass operators move MORE than this, so the
+    reported fraction is conservative)."""
+    import datafusion_tpu.physical.plan as P
+
+    total = 0
+    for leaf in phys.leaves:
+        if not isinstance(leaf, P.ScanExec):
+            continue
+        rel = leaf.provider.scan_device(ectx, filters=(),
+                                        projection=leaf.projection)
+        for c in rel.columns:
+            total += c.data.nbytes
+            if c.validity is not None:
+                total += c.validity.nbytes
+        total += rel.sel.nbytes
+    return total
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sf", type=float, default=1.0)
+    ap.add_argument("--sf", type=float, default=None,
+                    help="TPC-H scale factor; default runs SF1 AND SF10 "
+                         "(the sf10 block rides in the same JSON line)")
     ap.add_argument("--queries", type=str, default="")
     ap.add_argument("--repeat", type=int, default=5)
     ap.add_argument("--check", dest="check", action="store_true", default=True,
@@ -142,9 +192,7 @@ def main():
     import datafusion_tpu
 
     datafusion_tpu.enable_compilation_cache()
-    from datafusion_tpu.context import SessionContext
-    from datafusion_tpu.models.tpch.datagen import generate_tpch
-    from datafusion_tpu.models.tpch.queries import ALL_QUERY_IDS, query
+    from datafusion_tpu.models.tpch.queries import ALL_QUERY_IDS
 
     if args.suite == "clickbench":
         return clickbench_main(args)
@@ -152,6 +200,110 @@ def main():
         return h2o_main(args)
 
     qids = [int(x) for x in args.queries.split(",") if x] or ALL_QUERY_IDS
+    # default: SF1 (the reference baseline scale) + SF10 (the scale block);
+    # an explicit --sf runs only that scale at top level
+    sfs = [args.sf] if args.sf is not None else [1.0, 10.0]
+    if args.parquet:
+        sfs = [args.sf if args.sf is not None else 1.0]
+
+    results = {}  # sf -> state dict for build_out
+
+    def build_out():
+        def block(sf):
+            st = results.get(sf)
+            if st is None:
+                return None
+            pq = st["per_query_ms"]
+            gm = geomean(list(pq.values())) if pq else float("nan")
+            out_ = {
+                "geomean_ms": round(gm, 2) if pq else 0.0,
+                "queries": {str(k): round(v, 2) for k, v in pq.items()},
+                "checked": bool(args.check and not st["check_failed"]
+                                and st["checked"] == len(pq) and pq),
+            }
+            if st["rows"]:
+                tot_rows = sum(sum(st["rows"].get(t, 0)
+                                   for t in QUERY_TABLES[q]) for q in pq)
+                tot_s = sum(pq.values()) / 1000.0
+                if tot_s > 0:
+                    out_["rows_per_s_chip"] = round(tot_rows / tot_s)
+                out_["lineitem_rows"] = st["rows"].get("lineitem", 0)
+            if st["bytes"]:
+                fr = {str(q): round(st["bytes"][q] / (pq[q] / 1000.0)
+                                    / HBM_PEAK_BYTES_S, 3)
+                      for q in pq if q in st["bytes"] and pq[q] > 0}
+                if fr:
+                    out_["roofline_frac"] = fr
+            if st["check_failed"]:
+                out_["check_failed"] = {str(k): v
+                                        for k, v in st["check_failed"].items()}
+            if st["failed"]:
+                out_["failed"] = st["failed"]
+            return out_
+
+        top_sf = sfs[0]
+        top = block(top_sf) or {"geomean_ms": 0.0, "queries": {},
+                                "checked": False}
+        pq = results.get(top_sf, {}).get("per_query_ms", {})
+        done_ = list(pq)
+        base_ = geomean([BASELINE_SF1_MS[q] for q in done_]) if done_ else 0.0
+        base_mem_ = (geomean([BASELINE_SF1_MEM_MS[q] for q in done_])
+                     if done_ else 0.0)
+        gm_ = top["geomean_ms"]
+        out_ = {
+            "metric": f"tpch_sf{top_sf:g}_geomean_ms",
+            "value": gm_,
+            "unit": "ms",
+            # per-query baselines are SF1 numbers; the ratios only mean
+            # something when the top-level scale is 1
+            "vs_baseline": round(base_ / gm_, 3) if pq and top_sf == 1 else 0.0,
+            "vs_baseline_mem": (round(base_mem_ / gm_, 3)
+                                if pq and top_sf == 1 else 0.0),
+            "queries": top["queries"],
+            "backend": jax.devices()[0].platform,
+            "checked": top["checked"],
+        }
+        for k in ("rows_per_s_chip", "lineitem_rows", "roofline_frac",
+                  "check_failed", "failed"):
+            if k in top:
+                out_[k] = top[k]
+        for sf in sfs[1:]:
+            b = block(sf)
+            if b is not None:
+                out_[f"sf{sf:g}"] = b
+        return out_
+
+    guard.make_out = build_out
+
+    for sf in sfs:
+        if guard.remaining() < 30:
+            break
+        try:
+            _tpch_one_sf(args, guard, sf, qids, results)
+        except Exception as exc:  # noqa: BLE001 -- survive whole-sf failures
+            results.setdefault(sf, _sf_state())["failed"]["all"] = (
+                f"{type(exc).__name__}: {exc}")
+            print(f"# sf{sf:g} FAILED: {exc}", file=sys.stderr)
+        import gc
+
+        gc.collect()  # release device buffers before the next scale
+
+    guard.emit(build_out())
+
+
+def _sf_state():
+    return {"per_query_ms": {}, "failed": {}, "check_failed": {},
+            "checked": 0, "rows": {}, "bytes": {}}
+
+
+def _tpch_one_sf(args, guard, sf, qids, results):
+    import jax
+
+    from datafusion_tpu.context import SessionContext
+    from datafusion_tpu.models.tpch.datagen import generate_tpch
+    from datafusion_tpu.models.tpch.queries import query
+
+    st = results.setdefault(sf, _sf_state())
 
     providers = {}
     if args.parquet:
@@ -169,7 +321,7 @@ def main():
                    if not os.path.exists(os.path.join(args.parquet, f"{n}.parquet"))]
         t0 = time.time()
         if missing:
-            gen = generate_tpch(args.sf)
+            gen = generate_tpch(sf)
             for n in missing:
                 gen[n].write_parquet(os.path.join(args.parquet, f"{n}.parquet"))
         ctx = SessionContext()
@@ -186,13 +338,14 @@ def main():
             return {n: providers[n].host_table().to_pandas() for n in names}
     else:
         t0 = time.time()
-        tables = generate_tpch(args.sf)
+        tables = generate_tpch(sf)
         gen_s = time.time() - t0
         ctx = SessionContext()
         for name, t in tables.items():
             ctx.register_table(name, t)
+            st["rows"][name] = t.num_rows
         if args.verbose:
-            print(f"# generated sf={args.sf} in {gen_s:.1f}s "
+            print(f"# generated sf={sf:g} in {gen_s:.1f}s "
                   f"(lineitem={tables['lineitem'].num_rows} rows), backend={jax.devices()[0].platform}",
                   file=sys.stderr)
 
@@ -208,39 +361,9 @@ def main():
             p._device.clear()
             p._table = None
 
-    per_query_ms = {}
-    failed = {}
-    check_failed = {}
-    state = {"checked": 0}
-
-    def build_out():
-        done_ = list(per_query_ms)
-        gm_ = geomean(list(per_query_ms.values())) if per_query_ms else float("nan")
-        base_ = geomean([BASELINE_SF1_MS[q] for q in done_]) if done_ else float("nan")
-        base_mem_ = (geomean([BASELINE_SF1_MEM_MS[q] for q in done_])
-                     if done_ else float("nan"))
-        out_ = {
-            "metric": f"tpch_sf{args.sf:g}_geomean_ms",
-            "value": round(gm_, 2) if per_query_ms else 0.0,
-            "unit": "ms",
-            "vs_baseline": round(base_ / gm_, 3) if per_query_ms else 0.0,
-            # like-for-like: reference's in-memory run vs our HBM-resident run
-            "vs_baseline_mem": round(base_mem_ / gm_, 3) if per_query_ms else 0.0,
-            "queries": {str(k): round(v, 2) for k, v in per_query_ms.items()},
-            "backend": jax.devices()[0].platform,
-            # full value comparison vs the pandas oracle (decimals exact,
-            # floats to tolerance) -- true only when every executed query matched
-            "checked": bool(args.check and not check_failed
-                            and state["checked"] == len(per_query_ms)
-                            and per_query_ms),
-        }
-        if check_failed:
-            out_["check_failed"] = {str(k): v for k, v in check_failed.items()}
-        if failed:
-            out_["failed"] = failed
-        return out_
-
-    guard.make_out = build_out
+    per_query_ms = st["per_query_ms"]
+    failed = st["failed"]
+    check_failed = st["check_failed"]
 
     # Per-query pipeline: compile -> time -> value-check, IMMEDIATELY.
     # Round 3 compiled all 22 queries before timing any; a cold compile
@@ -271,7 +394,7 @@ def main():
     import pickle
 
     hints_path = os.path.expanduser(
-        f"~/.cache/datafusion_tpu_xla/discovery_hints_tpch_sf{args.sf}.pkl")
+        f"~/.cache/datafusion_tpu_xla/discovery_hints_tpch_sf{sf}.pkl")
     try:
         with open(hints_path, "rb") as f:
             all_hints = pickle.load(f)
@@ -285,7 +408,7 @@ def main():
           continue
       try:
         t0 = time.time()
-        phys = FusedQuery(ctx.sql(query(qid, args.sf)).physical_plan())
+        phys = FusedQuery(ctx.sql(query(qid, sf)).physical_plan())
         if qid in all_hints:
             phys.plant_hints(all_hints[qid])
         # warmup: trace+compile (+ capacity discovery syncs)
@@ -319,16 +442,20 @@ def main():
             jax.block_until_ready(rel)
             times.append((time.perf_counter() - t1) * 1000)
         per_query_ms[qid] = min(times)
+        try:
+            st["bytes"][qid] = _scan_bytes(phys, ectx)
+        except Exception:  # noqa: BLE001 -- roofline estimate is best-effort
+            pass
         if args.verbose:
             print(f"# q{qid:>2}: {per_query_ms[qid]:9.2f} ms  "
                   f"(compile+first {compile_s:6.1f} s)", file=sys.stderr)
         if args.check:
             try:
                 ours = to_host(rel).to_pandas()
-                ref = load_or_compute_answer(qid, args.sf, pdt_factory)
+                ref = load_or_compute_answer(qid, sf, pdt_factory)
                 diff = frames_diff(ours, ref, ordered=qid in LIMIT_QUERIES)
                 if diff is None:
-                    state["checked"] += 1
+                    st["checked"] += 1
                 else:
                     check_failed[qid] = diff
                 if args.verbose or diff is not None:
@@ -341,8 +468,6 @@ def main():
       except Exception as exc:  # noqa: BLE001 -- survive per-query failures
         failed[qid] = f"{type(exc).__name__}: {exc}"
         print(f"# q{qid} FAILED: {failed[qid][:200]}", file=sys.stderr)
-
-    guard.emit(build_out())
 
 
 def clickbench_main(args):

@@ -274,8 +274,34 @@ class SessionContext:
                 raise PlanError(f"unsupported format {stmt.format!r}")
             return None
         if isinstance(stmt, A.CreateTableAs):
-            df = DataFrame(self, SqlPlanner(self.catalog).plan_statement(stmt.query))
-            self.register_table(stmt.name, df.collect())
+            try:
+                self.catalog.get(stmt.name)
+                exists = True
+            except Exception:  # noqa: BLE001 -- absent name
+                exists = False
+            if exists:
+                if stmt.if_not_exists:
+                    return None  # reference: skip silently (ddl.slt:580)
+                if not stmt.or_replace:
+                    raise PlanError(
+                        f"Table '{stmt.name}' already exists")
+            cols = getattr(stmt, "columns", None)
+            if stmt.query is None:  # CREATE TABLE t(a INT, ...): empty table
+                self.register_table(stmt.name, Table.from_pydict(
+                    {n: [] for n, _ in cols}, {n: dt for n, dt in cols}))
+                return None
+            plan = SqlPlanner(self.catalog).plan_statement(stmt.query)
+            if cols:
+                # declared column list renames + coerces the source
+                fields = plan.schema.fields
+                if len(fields) != len(cols):
+                    raise PlanError(
+                        f"CREATE TABLE {stmt.name}: {len(cols)} declared "
+                        f"columns but query produces {len(fields)}")
+                plan = L.Projection(plan, [
+                    E.Alias(E.Cast(E.Column(f.name, f.qualifier), dt, False), n)
+                    for f, (n, dt) in zip(fields, cols)])
+            self.register_table(stmt.name, DataFrame(self, plan).collect())
             return None
         if isinstance(stmt, A.CreateViewAs):
             plan = SqlPlanner(self.catalog).plan_statement(stmt.query)
@@ -301,6 +327,10 @@ class SessionContext:
             return None
         if isinstance(stmt, A.InsertInto):
             return self._insert_into(stmt, SqlPlanner)
+        if isinstance(stmt, A.Delete):
+            return self._delete(stmt, A, SqlPlanner)
+        if isinstance(stmt, A.Update):
+            return self._update(stmt, A, SqlPlanner)
         if isinstance(stmt, A.CopyTo):
             if isinstance(stmt.source, str):
                 table = self.table(stmt.source).collect()
@@ -335,6 +365,70 @@ class SessionContext:
             return DataFrame(self, L.Values(
                 Schema([Field("count", T.INT64, False)]), [[E.lit(table.num_rows)]]))
         raise PlanError(f"unsupported statement {type(stmt).__name__}")
+
+    def _dml_count(self, n: int) -> "DataFrame":
+        return DataFrame(self, L.Values(
+            Schema([Field("count", T.INT64, False)]), [[E.lit(int(n))]]))
+
+    def _delete(self, stmt, A, SqlPlanner) -> "DataFrame":
+        """Eager DELETE on a registered table: keep rows where the predicate
+        is not TRUE, re-register (reference: LogicalPlan::Dml(Delete),
+        expr/src/logical_plan/plan.rs:211; test_files/dml_delete.slt)."""
+        from .catalog.catalog import MemTable
+
+        provider = self.catalog.get(stmt.table)
+        target = provider.host_table()
+        n_before = target.num_rows
+        if stmt.where is None:
+            new = Table.from_pydict(
+                {f.name: [] for f in target.schema.fields},
+                {f.name: f.dtype for f in target.schema.fields})
+        else:
+            # DELETE removes rows where pred IS TRUE; NULL predicates keep
+            keep = E.Not(E.ScalarFunction(
+                "coalesce", (stmt.where, E.lit(False))))
+            core = A.SelectCore([A.SelectItem(A.Star())],
+                                [A.Relation(stmt.table)], keep)
+            new = DataFrame(self, SqlPlanner(self.catalog).plan_statement(
+                A.SelectStmt(core))).collect()
+        self.catalog.register(stmt.table, MemTable(new))
+        return self._dml_count(n_before - new.num_rows)
+
+    def _update(self, stmt, A, SqlPlanner) -> "DataFrame":
+        """Eager UPDATE: rewrite assigned columns through CASE WHEN pred,
+        re-register (reference: Dml(Update), test_files/dml_update.slt)."""
+        from .catalog.catalog import MemTable
+
+        provider = self.catalog.get(stmt.table)
+        target = provider.host_table()
+        assigned = {c.lower(): e for c, e in stmt.assignments}
+        unknown = [c for c in assigned
+                   if c not in [f.name.lower() for f in target.schema.fields]]
+        if unknown:
+            raise PlanError(f"UPDATE column(s) not in table: {unknown}")
+        items = []
+        for f in target.schema.fields:
+            if f.name.lower() in assigned:
+                newv = E.Cast(assigned[f.name.lower()], f.dtype, False)
+                e = (newv if stmt.where is None else
+                     E.Case(None, ((stmt.where, newv),), E.Column(f.name)))
+            else:
+                e = E.Column(f.name)
+            items.append(A.SelectItem(e, f.name))
+        core = A.SelectCore(items, [A.Relation(stmt.table)])
+        new = DataFrame(self, SqlPlanner(self.catalog).plan_statement(
+            A.SelectStmt(core))).collect()
+        if stmt.where is None:
+            n = target.num_rows
+        else:
+            cnt_core = A.SelectCore(
+                [A.SelectItem(E.AggregateFunction("count", ()), "count")],
+                [A.Relation(stmt.table)], stmt.where)
+            cnt = DataFrame(self, SqlPlanner(self.catalog).plan_statement(
+                A.SelectStmt(cnt_core))).collect().to_pydict()
+            n = int(cnt["count"][0])
+        self.catalog.register(stmt.table, MemTable(new))
+        return self._dml_count(n)
 
     def _insert_into(self, stmt, SqlPlanner) -> "DataFrame":
         provider = self.catalog.get(stmt.table)

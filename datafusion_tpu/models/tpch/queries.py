@@ -380,7 +380,8 @@ def query(n: int, sf: float = 1.0) -> str:
     (Q11 fraction and Q18 quantity threshold scale with SF per the spec)."""
     q = _ALL[n]
     if n == 11:
-        return q.format(fraction=0.0001 / max(sf, 1e-6) if sf < 1 else 0.0001)
+        # spec: FRACTION = 0.0001 / SF (TPC-H 2.14.3 Q11) at every scale
+        return q.format(fraction=0.0001 / max(sf, 1e-6))
     if n == 18:
         # spec value 300 assumes SF>=1 line counts; scale down for tiny SFs
         return q.format(q18_threshold=300 if sf >= 0.1 else 250)

@@ -171,7 +171,7 @@ def q11(t, sf):
     j = (ps.merge(s, left_on="ps_suppkey", right_on="s_suppkey")
          .merge(n[n.n_name == "GERMANY"], left_on="s_nationkey", right_on="n_nationkey"))
     j["value"] = j.ps_supplycost * j.ps_availqty
-    frac = 0.0001 / max(sf, 1e-6) if sf < 1 else 0.0001
+    frac = 0.0001 / max(sf, 1e-6)  # TPC-H spec: FRACTION = 0.0001 / SF
     thresh = j.value.sum() * frac
     g = j.groupby("ps_partkey", as_index=False)["value"].sum()
     g = g[g.value > thresh]

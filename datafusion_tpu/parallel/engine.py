@@ -68,7 +68,7 @@ from ..physical import fused as F
 from ..physical import plan as PP
 from ..physical.expr_compiler import eval_expr
 from ..physical.planner import AliasExec
-from ..physical.window import WindowExec
+from ..physical.window import WindowExec, WindowTopKExec
 from .distributed import exchange_by_key, make_mesh
 
 PART, REPL = "part", "repl"
@@ -145,6 +145,9 @@ def dist_of(p: PP.PhysicalPlan, memo: Optional[Dict] = None,
     elif isinstance(p, WindowExec):
         ci = dist_of(p.input, memo, options)
         d = PART if ci == PART and _window_part_keys(p) else REPL
+    elif isinstance(p, WindowTopKExec):
+        ci = dist_of(p.input, memo, options)
+        d = PART if ci == PART and p.wfn.partition_by else REPL
     elif isinstance(p, PP.UnionExec):
         ds = [dist_of(c, memo, options) for c in p.inputs]
         d = PART if all(x == PART for x in ds) else REPL
@@ -334,6 +337,28 @@ def _dtrace_inner(p, inputs, leaf_index, dctx) -> Tuple[DeviceRelation, str]:
                 return p._transform(_as_repl(rel, d, axis, dctx)), REPL
             return p._transform(_exchange_rel(rel, h, dctx)), PART
         return p._transform(_as_repl(rel, d, axis, dctx)), REPL
+    if isinstance(p, WindowTopKExec):
+        # per-group top-k: exchange whole partitions to one shard (like
+        # WindowExec), then the local sort+rank+compact with the globally
+        # discovered capacity (a shard's survivors are a subset of the
+        # discovery run's, so the capacity bound holds per shard)
+        rel, d = _dtrace(p.input, inputs, leaf_index, dctx)
+        cap = p._last_cap
+        if cap is None:
+            raise ExecutionError("window top-k capacity not discovered")
+
+        def _local(r):
+            perm, rank, keep = p._phase1(r)
+            return p._apply(r, perm, rank, keep, cap)
+
+        if d == PART and p.wfn.partition_by:
+            try:
+                h = _row_hash([eval_expr(e, rel)
+                               for e in p.wfn.partition_by])
+            except ExecutionError:
+                return _local(_as_repl(rel, d, axis, dctx)), REPL
+            return _local(_exchange_rel(rel, h, dctx)), PART
+        return _local(_as_repl(rel, d, axis, dctx)), REPL
     if isinstance(p, PP.UnionExec):
         rds = [_dtrace(c, inputs, leaf_index, dctx) for c in p.inputs]
         if all(d == PART for _, d in rds):

@@ -70,6 +70,7 @@ class FusedQuery:
         "CompactExec": ("_decision",),
         "AggregateExec": ("_last_cap", "_last_width"),
         "JoinExec": ("_direct_ok", "_bucket_B", "_last_co"),
+        "WindowTopKExec": ("_last_cap",),
     }
 
     def _nodes_preorder(self):
@@ -236,10 +237,18 @@ def _trace_inner(p: P.PhysicalPlan, inputs, leaf_index, tctx) -> DeviceRelation:
         return _trace_aggregate(p, inputs, leaf_index, tctx)
     if isinstance(p, P.JoinExec):
         return _trace_join(p, inputs, leaf_index, tctx)
-    from .window import WindowExec
+    from .window import WindowExec, WindowTopKExec
 
     if isinstance(p, WindowExec):
         return p._transform(_trace(p.input, inputs, leaf_index, tctx))
+    if isinstance(p, WindowTopKExec):
+        rel = _trace(p.input, inputs, leaf_index, tctx)
+        cap = p._last_cap
+        if cap is None:
+            raise ExecutionError("window top-k capacity not discovered")
+        perm, rank, keep = p._phase1(rel)
+        tctx.flags.append(jnp.sum(keep) > cap)
+        return p._apply(rel, perm, rank, keep, cap)
     raise ExecutionError(f"cannot fuse operator {type(p).__name__}")
 
 

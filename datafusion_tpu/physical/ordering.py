@@ -57,6 +57,28 @@ def output_ordering(p: P.PhysicalPlan) -> Optional[Ordering]:
             return None
         n = len(p.input.schema)
         return [o for o in inner if o[0] < n] or None
+    from .window import WindowTopKExec
+
+    if isinstance(p, WindowTopKExec):
+        # emits survivors in (partition asc nulls-last, order spec) order;
+        # the rank column may be claimed BEFORE the order keys because equal
+        # ranks imply equal order-key values (peers), so
+        # [pcols, rank, ocols] is an emitted ordering too — and it matches
+        # the common `QUALIFY rn <= k ... ORDER BY g, rn` tail
+        w = p.wfn
+        out: Ordering = []
+        for pe in w.partition_by:
+            idx = _column_index(pe, p.input.schema)
+            if idx is None:
+                return out or None
+            out.append((idx, True, False))
+        out.append((len(p.schema) - 1, True, False))
+        for s in w.order_by:
+            idx = _column_index(s.expr, p.input.schema)
+            if idx is None:
+                return out or None
+            out.append((idx, s.asc, s.nulls_first))
+        return out or None
     if isinstance(p, P.ProjectionExec):
         inner = output_ordering(p.input)
         if inner is None:

@@ -68,7 +68,11 @@ def _create(plan: L.LogicalPlan, _memo) -> P.PhysicalPlan:
     if isinstance(plan, L.Projection):
         return P.ProjectionExec(create_physical_plan(plan.input), plan.proj_exprs, plan.schema)
     if isinstance(plan, L.Filter):
-        return P.FilterExec(create_physical_plan(plan.input), plan.predicate)
+        f = P.FilterExec(create_physical_plan(plan.input), plan.predicate)
+        from .window import rewrite_window_topk
+
+        tk = rewrite_window_topk(f)
+        return tk if tk is not None else f
     if isinstance(plan, L.Aggregate):
         _reject_list_keys(plan.group_exprs, plan.input.schema, "GROUP BY")
         inp = create_physical_plan(plan.input)

@@ -646,3 +646,225 @@ def _lit(e: E.Expr):
     if isinstance(e, E.Literal):
         return e.value
     raise PlanError("expected literal window argument")
+
+
+class WindowTopKExec(PhysicalPlan):
+    """Per-group top-k: Filter(rank-predicate) over Window(rank fn) fused
+    into ONE sort + segmented rank + inline compaction.
+
+    Capability analog of the reference's PartitionedTopKExec
+    (physical-plan/src/sorts/partitioned_topk.rs:175) and its window->topk
+    rewrite (physical-optimizer/src/optimizer.rs TopK rules). The reference
+    keeps a hash-of-heaps; on TPU random per-row heap updates cost ~10ns/row
+    per pass, so the sort IS the cheapest primitive — the win here is
+    skipping the inverse-permutation scatter of the rank lane, gathering the
+    payload columns once for SURVIVORS only (<= groups*k rows instead of n),
+    and emitting rows already sorted by (partition, order) so a downstream
+    ORDER BY on the same prefix elides its sort.
+
+    Discovery records the survivor capacity (`_last_cap`); the fused program
+    guards it with an overflow flag like CompactExec."""
+
+    RANK_FNS = ("row_number", "rank", "dense_rank")
+
+    def __init__(self, input: PhysicalPlan, wexpr: E.Expr, op: E.Op, k: int,
+                 schema: Schema):
+        self.input = input
+        self.wexpr = wexpr  # Alias(WindowFunction) | WindowFunction
+        self.op = op        # E.Op.LE / LT / EQ over the rank value
+        self.k = int(k)
+        self.schema = schema
+        self._last_cap = None
+
+    def children(self):
+        return (self.input,)
+
+    @property
+    def wfn(self) -> E.WindowFunction:
+        w = self.wexpr.expr if isinstance(self.wexpr, E.Alias) else self.wexpr
+        return w
+
+    def _line(self):
+        return (f"WindowTopKExec: {self.wfn.fname} {self.op.value} {self.k} "
+                f"cap={self._last_cap}")
+
+    # -- phase 1: sort + rank + survivor mask (rank positions are in sorted
+    # order; `perm` maps sorted position -> original row) ------------------
+    def _phase1(self, rel: DeviceRelation):
+        w = self.wfn
+        cap = rel.capacity
+        pcols = [eval_expr(p, rel) for p in w.partition_by]
+        ocols = [eval_expr(s.expr, rel) for s in w.order_by]
+        keys = [(c.data, c.validity, False, False) for c in pcols]
+        keys += [(c.data, c.validity, not s.asc, s.nulls_first)
+                 for c, s in zip(ocols, w.order_by)]
+        perm = K.sort_permutation(keys, rel.sel)
+        flat = [rel.sel]
+        for c in pcols + ocols:
+            flat.append(c.data)
+            if c.validity is not None:
+                flat.append(c.validity)
+        flat = K.gather_rows(flat, perm)
+        ssel, flat = flat[0], flat[1:]
+        sdata, svalid, j = [], [], 0
+        for c in pcols + ocols:
+            sdata.append(flat[j]); j += 1
+            if c.validity is not None:
+                svalid.append(flat[j]); j += 1
+            else:
+                svalid.append(None)
+        np_ = len(pcols)
+        if np_:
+            _, seg_start, _ = K.segments_from_sorted_keys(
+                sdata[:np_], svalid[:np_], ssel)
+        else:
+            seg_start = jnp.zeros(cap, dtype=bool).at[0].set(True)
+        iota = jnp.arange(cap, dtype=jnp.int64)
+        if w.fname == "row_number":
+            rank = _seg_cumsum(jnp.ones(cap, dtype=jnp.int64), seg_start)
+        else:
+            if len(ocols):
+                _, peer_start, _ = K.segments_from_sorted_keys(
+                    sdata, svalid, ssel)
+            else:
+                peer_start = seg_start
+            if w.fname == "dense_rank":
+                rank = _seg_cumsum(peer_start.astype(jnp.int64), seg_start)
+            else:  # rank
+                last_seg = jax.lax.cummax(jnp.where(seg_start, iota, 0))
+                last_peer = jax.lax.cummax(jnp.where(peer_start, iota, 0))
+                rank = last_peer - last_seg + 1
+        if self.op is E.Op.LE:
+            keep = rank <= self.k
+        elif self.op is E.Op.LT:
+            keep = rank < self.k
+        else:
+            keep = rank == self.k
+        return perm, rank.astype(jnp.int64), keep & ssel
+
+    def _apply(self, rel: DeviceRelation, perm, rank, keep,
+               cap: int) -> DeviceRelation:
+        idx, total = K.compaction_indices(keep, cap)
+        src = perm[idx]  # original row index of each survivor
+        arrays, slots = [], []
+        for ci, c in enumerate(rel.columns):
+            arrays.append(c.data)
+            slots.append((ci, "data"))
+            if c.validity is not None:
+                arrays.append(c.validity)
+                slots.append((ci, "validity"))
+            if c.lengths is not None:
+                arrays.append(c.lengths)
+                slots.append((ci, "lengths"))
+            if c.elem_valid is not None:
+                arrays.append(c.elem_valid)
+                slots.append((ci, "elem_valid"))
+        rank_out = K.gather_rows([rank], idx)[0]  # rank indexed sorted-side
+        gathered = K.gather_rows(arrays, src)
+        parts = [{} for _ in rel.columns]
+        for (ci, attr), g in zip(slots, gathered):
+            parts[ci][attr] = g
+        cols = []
+        for c, p in zip(rel.columns, parts):
+            cols.append(DeviceColumn(
+                p["data"], p.get("validity"), c.dtype, c.dictionary,
+                c.bounds, p.get("lengths"), p.get("elem_valid")))
+        cols.append(DeviceColumn(rank_out, None, T.INT64))
+        sel = jnp.arange(cap, dtype=jnp.int32) < jnp.minimum(total, cap)
+        return DeviceRelation(self.schema, tuple(cols), sel)
+
+    def execute(self, ctx) -> DeviceRelation:
+        from ..data.device import bucket_capacity
+
+        rel = self.input.execute(ctx)
+        perm, rank, keep = jax.jit(self._phase1)(rel)
+        live = int(jax.device_get(jnp.sum(keep)))
+        cap = bucket_capacity(max(live, 1))
+        if self._last_cap is not None:
+            cap = max(cap, self._last_cap)
+        cap = min(cap, rel.capacity)
+        self._last_cap = cap
+        return self._timed(ctx, jax.jit(self._apply, static_argnums=4),
+                           rel, perm, rank, keep, cap)
+
+
+def rewrite_window_topk(filter_exec):
+    """FilterExec(rank-cmp) over [Alias/Projection...] over WindowExec
+    (single rank fn) -> the same chain over WindowTopKExec (reference
+    rewrite: physical-optimizer/src/optimizer.rs TopK window rules). The
+    predicate column must trace to the window's rank output through pure
+    column renames. Returns None when the pattern does not apply."""
+    from . import plan as P
+    from .planner import AliasExec
+
+    pred = filter_exec.predicate
+    if not isinstance(pred, E.BinaryOp) or not pred.op.is_comparison:
+        return None
+    left, right, op = pred.left, pred.right, pred.op
+    flip = {E.Op.GT: E.Op.LT, E.Op.GE: E.Op.LE, E.Op.LT: E.Op.GT,
+            E.Op.LE: E.Op.GE, E.Op.EQ: E.Op.EQ}
+    if isinstance(right, E.Column) and isinstance(left, E.Literal):
+        left, right, op = right, left, flip[op]
+    if not (isinstance(left, E.Column) and isinstance(right, E.Literal)):
+        return None
+    if not isinstance(right.value, int) or isinstance(right.value, bool):
+        return None
+    k = int(right.value)
+    if op is E.Op.EQ and k != 1:
+        # rank = k keeps a non-prefix slice; only the k=1 form is a top-k
+        return None
+    if op not in (E.Op.LE, E.Op.LT, E.Op.EQ):
+        return None
+
+    # trace the predicate column down through rename-only layers
+    node = filter_exec.input
+    try:
+        idx = node.schema.find(left.flat_name)
+        if idx is None:
+            idx = node.schema.find(left.cname)
+    except PlanError:
+        idx = None
+    if idx is None:
+        return None
+    chain = []  # outermost-first rename layers to re-apply above the top-k
+    while True:
+        if isinstance(node, AliasExec):
+            chain.append(node)
+            node = node.input
+            continue
+        if isinstance(node, P.ProjectionExec):
+            e = node.exprs[idx]
+            base = e.expr if isinstance(e, E.Alias) else e
+            if not isinstance(base, E.Column):
+                return None
+            try:
+                nidx = node.input.schema.find(base.flat_name)
+                if nidx is None:
+                    nidx = node.input.schema.find(base.cname)
+            except PlanError:
+                return None
+            if nidx is None:
+                return None
+            chain.append(node)
+            node, idx = node.input, nidx
+            continue
+        break
+    w = node
+    if not isinstance(w, WindowExec) or len(w.window_exprs) != 1:
+        return None
+    if idx != len(w.schema) - 1:
+        return None  # the filtered column is not the window output
+    wexpr = w.window_exprs[0]
+    wf = wexpr.expr if isinstance(wexpr, E.Alias) else wexpr
+    if not isinstance(wf, E.WindowFunction) \
+            or wf.fname not in WindowTopKExec.RANK_FNS:
+        return None
+    if _norm_frame(wf.frame) is not None:
+        return None
+    cur = WindowTopKExec(w.input, wexpr, op, k, w.schema)
+    for n in reversed(chain):
+        if isinstance(n, AliasExec):
+            cur = AliasExec(cur, n.schema)
+        else:
+            cur = P.ProjectionExec(cur, n.exprs, n.schema)
+    return cur

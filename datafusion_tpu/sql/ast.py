@@ -98,6 +98,9 @@ class SelectCore:
     having: Optional[E.Expr] = None
     distinct: bool = False
     grouping_sets: Optional[List[List[E.Expr]]] = None
+    # QUALIFY: filter evaluated after window functions (reference:
+    # sqllogictest/test_files/qualify.slt, sql/src/select.rs)
+    qualify: Optional[E.Expr] = None
 
 
 @dataclasses.dataclass
@@ -130,13 +133,35 @@ class CreateExternalTable:
 @dataclasses.dataclass
 class CreateTableAs:
     name: str
-    query: SelectStmt
+    query: Optional[SelectStmt]  # None: empty table from `columns`
+    # declared (name, DataType) pairs: rename + coerce the source, or the
+    # schema of an empty table when query is None
+    columns: Optional[List[Tuple[str, object]]] = None
+    or_replace: bool = False
+    if_not_exists: bool = False
 
 
 @dataclasses.dataclass
 class CreateViewAs:
     name: str
     query: SelectStmt
+
+
+@dataclasses.dataclass
+class Delete:
+    """DELETE FROM t [WHERE pred] (reference: Dml(Delete),
+    expr/src/logical_plan/plan.rs:211; test_files/dml_delete.slt)."""
+    table: str
+    where: Optional[E.Expr] = None
+
+
+@dataclasses.dataclass
+class Update:
+    """UPDATE t SET col = expr, ... [WHERE pred] (reference: Dml(Update),
+    test_files/dml_update.slt)."""
+    table: str
+    assignments: List[Tuple[str, E.Expr]] = dataclasses.field(default_factory=list)
+    where: Optional[E.Expr] = None
 
 
 @dataclasses.dataclass

@@ -145,6 +145,25 @@ class Parser:
                 self.expect_kw("as")
                 fmt = self.ident().lower()
             return A.CopyTo(src, path, fmt)
+        if self.peek().kind == "ident" and self.peek().value.lower() == "delete":
+            self.next()
+            self.expect_kw("from")
+            name = self.qualified_ident()
+            where = self.expr() if self.eat_kw("where") else None
+            return A.Delete(name, where)
+        if self.peek().kind == "ident" and self.peek().value.lower() == "update":
+            self.next()
+            name = self.qualified_ident()
+            self.expect_kw("set")
+            assigns = []
+            while True:
+                col = self.ident()
+                self.expect_op("=")
+                assigns.append((col, self.expr()))
+                if not self.eat_op(","):
+                    break
+            where = self.expr() if self.eat_kw("where") else None
+            return A.Update(name, assigns, where)
         if self.peek().kind == "ident" and self.peek().value.lower() == "prepare":
             # PREPARE name [(type, ...)] AS <statement>
             self.next()
@@ -185,8 +204,10 @@ class Parser:
 
     def _create(self):
         self.expect_kw("create")
-        self.eat_kw("or")  # CREATE OR REPLACE
-        self.eat_kw("replace")
+        or_replace = False
+        if self.eat_kw("or"):  # CREATE OR REPLACE
+            self.expect_kw("replace")
+            or_replace = True
         if self.eat_kw("external"):
             self.expect_kw("table")
             name = self.qualified_ident()
@@ -223,10 +244,48 @@ class Parser:
         is_view = self.eat_kw("view") is not None
         if not is_view:
             self.expect_kw("table")
+        if_not_exists = False
+        if self.eat_kw("if"):  # IF NOT EXISTS
+            self.expect_kw("not")
+            self.expect_kw("exists")
+            if_not_exists = True
+        if or_replace and if_not_exists:
+            raise ParseError(
+                "'IF NOT EXISTS' cannot coexist with 'REPLACE'")
         name = self.qualified_ident()
-        self.expect_kw("as")
-        q = self.select_stmt()
-        return A.CreateViewAs(name, q) if is_view else A.CreateTableAs(name, q)
+        columns = None
+        if not is_view and self.at("op", "("):
+            # typed column list: CREATE TABLE t(a INT, b VARCHAR) [AS ...]
+            self.next()
+            columns = []
+            while True:
+                cname = self.ident()
+                dtype = self.type_name()
+                while True:  # constraint tokens we accept and ignore
+                    if self.eat_kw("not"):
+                        self.expect_kw("null")
+                    elif self.eat_kw("null"):
+                        pass
+                    elif self.peek().kind == "ident" and \
+                            self.peek().value.lower() in ("primary", "unique"):
+                        self.next()
+                        if self.peek().kind == "ident" and \
+                                self.peek().value.lower() == "key":
+                            self.next()
+                    else:
+                        break
+                columns.append((cname, dtype))
+                if not self.eat_op(","):
+                    break
+            self.expect_op(")")
+        if self.eat_kw("as"):
+            q = self.select_stmt()
+        elif columns is not None and not is_view:
+            q = None  # empty table from the declared schema
+        else:
+            self.expect_kw("as")  # raise the usual error
+        return A.CreateViewAs(name, q) if is_view \
+            else A.CreateTableAs(name, q, columns, or_replace, if_not_exists)
 
     # ---- queries ---------------------------------------------------------
     def select_stmt(self) -> A.SelectStmt:
@@ -377,6 +436,10 @@ class Parser:
                 while self.eat_op(","):
                     group_by.append(self.expr())
         having = self.expr() if self.eat_kw("having") else None
+        qualify = None
+        if self.peek().kind == "ident" and self.peek().value.lower() == "qualify":
+            self.next()
+            qualify = self.expr()
         if self._at_window_clause():
             # WINDOW w1 AS (...), w2 AS (...): resolve OVER w references in
             # the select list (reference: sql/src/select.rs named windows)
@@ -391,8 +454,14 @@ class Parser:
             items = [A.SelectItem(_resolve_named_windows(it.expr, named),
                                   it.alias) if isinstance(it.expr, E.Expr)
                      else it for it in items]
+            if qualify is not None:
+                qualify = _resolve_named_windows(qualify, named)
+        if qualify is None and self.peek().kind == "ident" \
+                and self.peek().value.lower() == "qualify":
+            self.next()  # QUALIFY may also follow the WINDOW clause
+            qualify = self.expr()
         return A.SelectCore(items, from_, where, group_by, having, distinct,
-                            grouping_sets)
+                            grouping_sets, qualify)
 
     def table_ref(self):
         left = self.table_primary()
@@ -445,7 +514,10 @@ class Parser:
         alias = None
         if self.eat_kw("as"):
             alias = self.ident()
-        elif self.peek().kind == "ident" and not self._at_window_clause():
+        elif self.peek().kind == "ident" and not self._at_window_clause() \
+                and self.peek().value.lower() != "qualify":
+            # QUALIFY is reserved as an implicit table alias (sqlparser
+            # keeps it reserved for table aliases too)
             alias = self.next().value
         columns = None
         if alias is not None and self.at("op", "("):
@@ -492,7 +564,10 @@ class Parser:
         alias = None
         if self.eat_kw("as"):
             alias = self.ident()
-        elif self.peek().kind == "ident" and not self._at_window_clause():
+        elif self.peek().kind == "ident" and not self._at_window_clause() \
+                and self.peek().value.lower() != "qualify":
+            # QUALIFY is reserved as an implicit table alias (sqlparser
+            # keeps it reserved for table aliases too)
             alias = self.next().value
         return A.Relation(name, alias)
 

@@ -333,6 +333,21 @@ class SqlPlanner:
         having = self.resolve(core.having, schema) if core.having is not None else None
         order_items = [(self.resolve_order(it.expr, items, schema), it) for it in (q.order_by or [])]
 
+        qualify = None
+        if core.qualify is not None:
+            # QUALIFY may reference select-list aliases (reference:
+            # sql/src/select.rs qualify handling, test_files/qualify.slt)
+            amap = {al: pe for pe, al in items if al is not None}
+
+            def _alias_sub(x):
+                if isinstance(x, E.Column) and x.qualifier is None \
+                        and x.cname in amap:
+                    return amap[x.cname]
+                return x
+
+            qualify = self.resolve(E.map_expr(core.qualify, _alias_sub),
+                                   schema)
+
         # 4. GROUP BY resolution (ordinals / aliases / exprs)
         group_exprs: List[E.Expr] = []
         if core.group_by:
@@ -370,6 +385,8 @@ class SqlPlanner:
             collect_aggs(e)
         if having is not None:
             collect_aggs(having)
+        if qualify is not None:
+            collect_aggs(qualify)
         for oe, _ in order_items:
             collect_aggs(oe)
 
@@ -383,6 +400,8 @@ class SqlPlanner:
             items = [(replace_topdown(e, mapping), al) for e, al in items]
             if having is not None:
                 having = replace_topdown(having, mapping)
+            if qualify is not None:
+                qualify = replace_topdown(qualify, mapping)
             order_items = [(replace_topdown(oe, mapping), it) for oe, it in order_items]
             if having is not None:
                 plan = L.Filter(plan, having)
@@ -402,6 +421,8 @@ class SqlPlanner:
 
         for e, _ in items:
             collect_windows(e)
+        if qualify is not None:
+            collect_windows(qualify)
         for oe, _ in order_items:
             collect_windows(oe)
         if window_fns:
@@ -412,6 +433,10 @@ class SqlPlanner:
                 wmap[wf] = E.Column(f.name, f.qualifier)
             items = [(replace_topdown(e, wmap), al) for e, al in items]
             order_items = [(replace_topdown(oe, wmap), it) for oe, it in order_items]
+            if qualify is not None:
+                plan = L.Filter(plan, replace_topdown(qualify, wmap))
+        elif qualify is not None:
+            raise PlanError("QUALIFY requires at least one window function")
 
         # 5c. select-list UNNEST extraction (reference: unnest() rewritten
         # to LogicalPlan::Unnest, sql/src/select.rs try_process_unnest)
