@@ -464,7 +464,7 @@ class DistributedQuery:
             self._fn = self._build()
         inputs = tuple(self._shard(leaf.execute(ctx)) for leaf in self.leaves)
         rel, flag = self._fn(inputs)
-        if self._has_flags and bool(flag):
+        if bool(flag):
             n = self.mesh.shape[self.axis]
             if self.slot_factor >= n:
                 raise ExecutionError(
@@ -498,9 +498,13 @@ class DistributedQuery:
             rel, _dist = _dtrace(plan, inputs, leaf_index, dctx)
             holder["has_flags"] = bool(dctx.flags)
             stats["max_capacity"] = dctx.max_cap
-            # one replicated overflow scalar: any exchange on any shard
+            # one replicated overflow scalar: any exchange on any shard.
+            # Flagless plans get a RESULT-DEPENDENT always-False flag so the
+            # host-side bool(flag) serializes on the finished program (the
+            # remote backend's block_until_ready is a no-op; fused.py has
+            # the same guard).
             flag = (jnp.any(jnp.stack(dctx.flags)) if dctx.flags
-                    else jnp.zeros((), jnp.bool_))
+                    else jnp.sum(rel.sel.astype(jnp.int32)) < 0)
             flag = jax.lax.psum(flag.astype(jnp.int32), axis) > 0
             return rel, flag
 

@@ -152,7 +152,10 @@ class FusedQuery:
             return self.plan.execute(ctx)
         inputs = tuple(leaf.execute(ctx) for leaf in self.leaves)
         rel, flag = self._fused(inputs)
-        if getattr(self, "_has_flags", True) and bool(flag):
+        # bool(flag) also SYNCs on the finished program (the flag depends on
+        # the result), which is what makes query-level timings honest on the
+        # remote backend
+        if bool(flag):
             # capacity overflow: re-discover (capacities grow) and rebuild
             self._fused = None
             return self.execute(ctx)
@@ -189,8 +192,16 @@ class FusedQuery:
             # round-trip per execution otherwise (~24ms via the remote
             # tunnel, which dwarfs most queries' device time)
             self._has_flags = bool(tctx.flags)
-            flag = (jnp.any(jnp.stack(tctx.flags)) if tctx.flags
-                    else jnp.zeros((), dtype=jnp.bool_))
+            if tctx.flags:
+                flag = jnp.any(jnp.stack(tctx.flags))
+            else:
+                # no overflow guards: emit a RESULT-DEPENDENT always-False
+                # flag anyway. The host-side bool(flag) then serializes on
+                # the finished program — jax.block_until_ready is a no-op
+                # for the axon remote backend's buffers, so without this a
+                # flagless query (e.g. Q1's hinted dense-agg) reports
+                # dispatch latency as its execution time.
+                flag = jnp.sum(rel.sel.astype(jnp.int32)) < 0
             return rel, flag
 
         return jax.jit(fused)

@@ -271,3 +271,35 @@ def test_fair_spill_pool_query_end_to_end():
     ctx.register_table("b", big)
     got = ctx.sql("SELECT g, count(*) c, sum(x) s FROM b GROUP BY g ORDER BY g").to_pandas()
     pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)
+
+
+def test_merge_run_indices_matches_sort():
+    import numpy as np
+
+    from datafusion_tpu.physical.chunked import (merge_run_indices,
+                                                 pack_key_rows)
+
+    rng = np.random.default_rng(3)
+    runs = [np.sort(rng.integers(0, 50, rng.integers(0, 40))) for _ in range(7)]
+    runs.append(np.array([], dtype=np.int64))  # empty run
+    data = np.concatenate(runs).astype(np.int64)
+    valid = rng.random(len(data)) > 0.2
+    # runs must be sorted under the SAME key (validity rank major): re-sort
+    # each run with nulls-last ordering
+    lens, off = [], 0
+    fixed = []
+    for r in runs:
+        n = len(r)
+        v = valid[off:off + n]
+        order = np.lexsort((data[off:off + n], (~v).astype(int)))  # nulls last
+        fixed.append((data[off:off + n][order], v[order]))
+        lens.append(n)
+        off += n
+    data = np.concatenate([d for d, _ in fixed]) if fixed else data
+    valid = np.concatenate([v for _, v in fixed]) if fixed else valid
+    packed = pack_key_rows([(data, valid, False, False)])
+    idx = merge_run_indices(packed, lens)
+    merged = packed[idx]
+    assert (np.sort(packed, kind="stable") == merged).all()
+    # stability: equal keys keep run order
+    assert len(idx) == len(data)
