@@ -20,6 +20,11 @@ class ConfigEntry:
     default: Any
     doc: str
     parse: Callable[[str], Any]
+    # reference-compat entries: `alias` mirrors writes into a live native
+    # option; `inert` marks accepted-but-ignored knobs (the engine's design
+    # makes them moot — e.g. batch coalescing in a capacity+mask model)
+    alias: Optional[str] = None
+    inert: bool = False
 
 
 def _parse_bool(s: str) -> bool:
@@ -155,6 +160,139 @@ _opt("sql_parser.parse_float_as_decimal", True,
 
 # ---- explain --------------------------------------------------------------
 _opt("explain.show_sizes", True, "Include capacities in EXPLAIN output.")
+_opt("explain.format", "indent",
+     "EXPLAIN rendering: 'indent' (one line per operator) or 'tree' "
+     "(box-drawing operator tree; reference explain.format, "
+     "common/src/config.rs ExplainFormat).")
+_opt("explain.logical_plan_only", False,
+     "EXPLAIN shows only the logical plan.")
+_opt("explain.physical_plan_only", False,
+     "EXPLAIN shows only the physical plan.")
+
+
+# ---- reference-named compatibility surface --------------------------------
+# The reference exposes ~150 `datafusion.*` keys (common/src/config.rs:222-
+# 1800). SET / information_schema.df_settings accept the most-used ones here:
+# aliased keys drive the native option of the same meaning; inert keys are
+# accepted and surfaced (SLT files SET them freely) but have no engine effect
+# because the TPU design has no analogous mechanism (no per-batch pipeline,
+# no row-group writer pool, ...).
+def _ref(key: str, default, alias: Optional[str] = None, doc: str = ""):
+    parse: Callable[[str], Any]
+    if isinstance(default, bool):
+        parse = _parse_bool
+    elif isinstance(default, int):
+        parse = int
+    elif isinstance(default, float):
+        parse = float
+    else:
+        parse = str
+    REGISTRY["datafusion." + key] = ConfigEntry(
+        "datafusion." + key, default, doc or
+        ("mirrors " + alias if alias else "accepted for reference "
+         "compatibility; no effect in this engine"),
+        parse, alias=alias, inert=alias is None)
+
+
+_ref("catalog.create_default_catalog_and_schema", True)
+_ref("catalog.default_catalog", "datafusion")
+_ref("catalog.default_schema", "public")
+_ref("catalog.information_schema", True,
+     doc="information_schema is always available in this engine")
+_ref("catalog.has_header", True)
+_ref("catalog.newlines_in_values", False)
+_ref("sql_parser.parse_float_as_decimal", False,
+     alias="sql_parser.parse_float_as_decimal")
+_ref("sql_parser.enable_ident_normalization", True)
+_ref("sql_parser.dialect", "generic", alias="sql_parser.dialect")
+_ref("sql_parser.support_varchar_with_length", True)
+_ref("sql_parser.recursion_limit", 50, alias="sql_parser.recursion_limit")
+_ref("sql_parser.collect_spans", False)
+_ref("execution.batch_size", 8192)
+_ref("execution.coalesce_batches", True,
+     doc="no-op: the capacity+selection-mask model never fragments batches")
+_ref("execution.collect_statistics", True)
+_ref("execution.target_partitions", 0, alias="execution.target_partitions")
+_ref("execution.time_zone", "+00:00")
+_ref("execution.planning_concurrency", 4)
+_ref("execution.spill_compression", "uncompressed")
+_ref("execution.sort_spill_reservation_bytes", 10 * 1024 * 1024)
+_ref("execution.sort_in_place_threshold_bytes", 1024 * 1024)
+_ref("execution.meta_fetch_concurrency", 32)
+_ref("execution.minimum_parallel_output_files", 4)
+_ref("execution.soft_max_rows_per_output_file", 50_000_000)
+_ref("execution.max_buffered_batches_per_output_file", 2)
+_ref("execution.listing_table_ignore_subdirectory", True)
+_ref("execution.enable_recursive_ctes", True,
+     doc="recursive CTEs are always on (host-driven fixpoint)")
+_ref("execution.split_file_groups_by_statistics", False)
+_ref("execution.keep_partition_by_columns", False)
+_ref("execution.skip_partial_aggregation_probe_ratio_threshold", 0.8)
+_ref("execution.skip_partial_aggregation_probe_rows_threshold", 100_000)
+_ref("execution.use_row_number_estimates_to_optimize_partitioning", False)
+_ref("execution.enforce_batch_size_in_joins", False)
+_ref("execution.parquet.enable_page_index", True)
+_ref("execution.parquet.pruning", True)
+_ref("execution.parquet.skip_metadata", True)
+_ref("execution.parquet.metadata_size_hint", 512 * 1024)
+_ref("execution.parquet.pushdown_filters", False)
+_ref("execution.parquet.reorder_filters", False)
+_ref("execution.parquet.schema_force_view_types", True)
+_ref("execution.parquet.binary_as_string", False)
+_ref("execution.parquet.bloom_filter_on_read", True)
+_ref("execution.parquet.data_pagesize_limit", 1024 * 1024)
+_ref("execution.parquet.write_batch_size", 1024)
+_ref("execution.parquet.writer_version", "1.0")
+_ref("execution.parquet.compression", "zstd(3)")
+_ref("execution.parquet.dictionary_enabled", True)
+_ref("execution.parquet.dictionary_page_size_limit", 1024 * 1024)
+_ref("execution.parquet.statistics_enabled", "page")
+_ref("execution.parquet.max_row_group_size", 1024 * 1024)
+_ref("execution.parquet.column_index_truncate_length", 64)
+_ref("execution.parquet.data_page_row_count_limit", 20_000)
+_ref("execution.parquet.encoding", "")
+_ref("execution.parquet.bloom_filter_on_write", False)
+_ref("execution.parquet.bloom_filter_fpp", 0.05)
+_ref("execution.parquet.bloom_filter_ndv", 1_000_000)
+_ref("execution.parquet.allow_single_file_parallelism", True)
+_ref("execution.parquet.maximum_parallel_row_group_writers", 1)
+_ref("execution.parquet.maximum_buffered_record_batches_per_stream", 2)
+_ref("optimizer.enable_distinct_aggregation_soft_limit", True)
+_ref("optimizer.enable_round_robin_repartition", True)
+_ref("optimizer.enable_topk_aggregation", True)
+_ref("optimizer.enable_window_limits", True)
+_ref("optimizer.enable_dynamic_filter_pushdown", True,
+     alias="optimizer.dynamic_filter_pushdown")
+_ref("optimizer.filter_null_join_keys", False,
+     alias="optimizer.filter_null_join_keys")
+_ref("optimizer.repartition_aggregations", True)
+_ref("optimizer.repartition_file_min_size", 1024 * 1024)
+_ref("optimizer.repartition_joins", True)
+_ref("optimizer.allow_symmetric_joins_without_pruning", True)
+_ref("optimizer.repartition_file_scans", True)
+_ref("optimizer.repartition_windows", True)
+_ref("optimizer.repartition_sorts", True)
+_ref("optimizer.prefer_existing_sort", False)
+_ref("optimizer.skip_failed_rules", False)
+_ref("optimizer.max_passes", 3, alias="optimizer.max_passes")
+_ref("optimizer.top_down_join_key_reordering", True)
+_ref("optimizer.prefer_hash_join", True)
+_ref("optimizer.hash_join_single_partition_threshold", 1024 * 1024)
+_ref("optimizer.hash_join_single_partition_threshold_rows", 1024 * 128)
+_ref("optimizer.default_filter_selectivity", 20)
+_ref("optimizer.prefer_existing_union", False)
+_ref("optimizer.expand_views_at_output", False)
+_ref("explain.logical_plan_only", False, alias="explain.logical_plan_only")
+_ref("explain.physical_plan_only", False, alias="explain.physical_plan_only")
+_ref("explain.show_statistics", False)
+_ref("explain.show_sizes", True, alias="explain.show_sizes")
+_ref("explain.show_schema", False)
+_ref("explain.format", "indent", alias="explain.format")
+_ref("format.safe", True)
+_ref("format.null", "")
+_ref("format.date_format", "%Y-%m-%d")
+_ref("format.duration_format", "pretty")
+_ref("format.types_info", False)
 
 
 class ConfigOptions:
@@ -187,6 +325,8 @@ class ConfigOptions:
         if isinstance(value, str):
             value = e.parse(value)
         self._values[key] = value
+        if e.alias is not None:  # reference-named key drives the native one
+            self.set(e.alias, value)
 
     def to_dict(self) -> Dict[str, Any]:
         out = dict(self._values)

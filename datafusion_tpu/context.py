@@ -250,7 +250,8 @@ class SessionContext:
         if isinstance(stmt, A.Explain):
             plan = SqlPlanner(self.catalog).plan_statement(stmt.query)
             df = DataFrame(self, plan)
-            text = df.explain_analyze() if stmt.analyze else df.explain()
+            text = (df.explain_analyze() if stmt.analyze
+                    else df.explain(format=getattr(stmt, "format", None)))
             return DataFrame(self, L.Values(
                 Schema([Field("plan", T.STRING, False)]),
                 [[E.lit(line)] for line in text.splitlines()],
@@ -317,6 +318,79 @@ class SessionContext:
                 Schema([Field("table_name", T.STRING, False)]),
                 [[E.lit(n)] for n in names],
             ))
+        if isinstance(stmt, A.ShowVariable):
+            from .common.config import REGISTRY
+
+            if stmt.key.lower() == "all":
+                keys = sorted(REGISTRY)
+                rows = {"name": keys,
+                        "value": [str(self.options.get(k)) for k in keys]}
+                if stmt.verbose:
+                    rows["description"] = [REGISTRY[k].doc for k in keys]
+            else:
+                v = self.options.get(stmt.key)
+                if v is None and stmt.key not in REGISTRY:
+                    raise PlanError(f"unknown configuration option "
+                                    f"{stmt.key!r}")
+                rows = {"name": [stmt.key], "value": [str(v)]}
+            return DataFrame(self, L.Values(
+                Schema([Field(n, T.STRING, False) for n in rows]),
+                [[E.lit(rows[n][i]) for n in rows]
+                 for i in range(len(rows["name"]))]))
+        if isinstance(stmt, A.ShowColumns):
+            prov = self.catalog.get(stmt.table)
+            like_re = None
+            if stmt.like is not None:
+                import re as _re
+
+                pat = _re.escape(stmt.like).replace("%", ".*").replace("_", ".")
+                like_re = _re.compile(f"^{pat}$", _re.IGNORECASE)
+            names, types_, nulls = [], [], []
+            for f in prov.schema().fields:
+                if like_re is not None and not like_re.match(f.name):
+                    continue
+                names.append(f.name)
+                types_.append(repr(f.dtype))
+                nulls.append("YES" if f.nullable else "NO")
+            n = len(names)
+            t = Table.from_pydict({
+                "table_catalog": [self.catalog.default_catalog] * n,
+                "table_schema": [self.catalog.default_schema] * n,
+                "table_name": [stmt.table] * n,
+                "column_name": names, "data_type": types_,
+                "is_nullable": nulls,
+            }, {"table_catalog": T.STRING, "table_schema": T.STRING,
+                "table_name": T.STRING, "column_name": T.STRING,
+                "data_type": T.STRING, "is_nullable": T.STRING})
+            plan: L.LogicalPlan = L.TableScan("columns", MemTable(t),
+                                              alias="columns")
+            if stmt.where is not None:
+                from .sql.planner import SqlPlanner as _SP
+
+                pred = _SP(self.catalog).resolve(stmt.where, plan.schema)
+                plan = L.Filter(plan, pred)
+            return DataFrame(self, plan)
+        if isinstance(stmt, A.ShowCreateTable):
+            from .sql.unparser import plan_to_sql
+
+            vname = stmt.name.lower()
+            definition = None
+            if vname in self.catalog.views:
+                try:
+                    definition = ("CREATE VIEW " + stmt.name + " AS "
+                                  + plan_to_sql(self.catalog.views[vname]))
+                except Exception:  # noqa: BLE001
+                    definition = None
+            else:
+                self.catalog.get(stmt.name)  # raises if absent
+            return DataFrame(self, L.Values(
+                Schema([Field("table_catalog", T.STRING, False),
+                        Field("table_schema", T.STRING, False),
+                        Field("table_name", T.STRING, False),
+                        Field("definition", T.STRING, True)]),
+                [[E.lit(self.catalog.default_catalog),
+                  E.lit(self.catalog.default_schema),
+                  E.lit(stmt.name), E.lit(definition)]]))
         if isinstance(stmt, A.SetVariable):
             # parse through the typed registry first; storing the raw string
             # in self.config would override the parsed value in exec_context
@@ -733,10 +807,27 @@ class DataFrame:
         return self._pp
 
     @with_registry
-    def explain(self) -> str:
+    def explain(self, format: Optional[str] = None) -> str:
+        """Render the plan. format: 'indent' (default) or 'tree'
+        (reference: explain.format, common/src/config.rs ExplainFormat)."""
+        opts = self._ctx.options
+        fmt = (format or opts.get("explain.format", "indent")).lower()
         lp = self.optimized_plan()
         pp = create_physical_plan(lp)
-        return f"== Logical Plan ==\n{lp.display()}\n== Physical Plan ==\n{pp.display()}"
+        lonly = bool(opts.get("explain.logical_plan_only", False))
+        ponly = bool(opts.get("explain.physical_plan_only", False))
+        if fmt == "tree":
+            ltxt, ptxt = _tree_render(lp.display()), _tree_render(pp.display())
+        elif fmt == "indent":
+            ltxt, ptxt = lp.display(), pp.display()
+        else:
+            raise PlanError(f"unknown explain format {fmt!r} "
+                            "(expected 'indent' or 'tree')")
+        if lonly and not ponly:
+            return f"== Logical Plan ==\n{ltxt}"
+        if ponly and not lonly:
+            return f"== Physical Plan ==\n{ptxt}"
+        return f"== Logical Plan ==\n{ltxt}\n== Physical Plan ==\n{ptxt}"
 
     @with_registry
     def explain_analyze(self) -> str:
@@ -883,3 +974,40 @@ def _replace_params(obj, values):
                 changes[f.name] = nv
         return dataclasses.replace(obj, **changes) if changes else obj
     return obj
+
+
+def _tree_render(indent_text: str) -> str:
+    """Re-render a 2-space-indented operator listing as a connector tree
+    (reference: ExplainFormat::Tree, physical-plan tree_render)."""
+    lines = [l for l in indent_text.splitlines() if l.strip()]
+    depths = [(len(l) - len(l.lstrip())) // 2 for l in lines]
+    out = []
+    for i, (d, l) in enumerate(zip(depths, lines)):
+        label = l.strip()
+        if d == 0:
+            out.append(label)
+            continue
+        # is this node the last child of its parent?
+        last = True
+        for j in range(i + 1, len(lines)):
+            if depths[j] < d:
+                break
+            if depths[j] == d:
+                last = False
+                break
+        prefix = ""
+        cur = d
+        for anc in range(1, d):
+            # ancestor at depth `anc` has a following sibling?
+            anc_last = True
+            for j in range(i + 1, len(lines)):
+                if depths[j] < anc:
+                    break
+                if depths[j] == anc:
+                    anc_last = False
+                    break
+            prefix += "    " if anc_last else "│   "
+        prefix += "└── " if last else "├── "
+        out.append(prefix + label)
+        del cur
+    return "\n".join(out)

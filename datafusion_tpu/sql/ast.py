@@ -174,6 +174,27 @@ class DropTable:
 class Explain:
     query: SelectStmt
     analyze: bool = False
+    format: Optional[str] = None  # indent | tree (explain.format default)
+
+
+@dataclasses.dataclass
+class ShowVariable:
+    """SHOW ALL [VERBOSE] | SHOW <dotted.key> (reference: SqlToRel
+    show_variable -> information_schema.df_settings scan)."""
+    key: str  # "all" or a dotted option key
+    verbose: bool = False
+
+
+@dataclasses.dataclass
+class ShowColumns:
+    table: str
+    like: Optional[str] = None
+    where: Optional[E.Expr] = None
+
+
+@dataclasses.dataclass
+class ShowCreateTable:
+    name: str
 
 
 @dataclasses.dataclass

@@ -90,7 +90,12 @@ class Parser:
         if self.at_kw("explain"):
             self.next()
             analyze = self.eat_kw("analyze") is not None
-            return A.Explain(self.select_stmt(), analyze)
+            fmt = None
+            if self.peek().kind == "ident" and \
+                    self.peek().value.lower() == "format":
+                self.next()
+                fmt = self.next().value.lower().strip("'\"")
+            return A.Explain(self.select_stmt(), analyze, fmt)
         if self.at_kw("create"):
             return self._create()
         if self.at_kw("drop"):
@@ -103,8 +108,36 @@ class Parser:
             return A.DropTable(self.qualified_ident(), if_exists)
         if self.at_kw("show"):
             self.next()
-            self.ident()  # "tables"
-            return A.ShowTables()
+            t = self.peek()
+            word = t.value.lower()
+            if word == "tables":
+                self.next()
+                return A.ShowTables()
+            if word == "all":
+                self.next()
+                verbose = (self.peek().kind == "ident"
+                           and self.peek().value.lower() == "verbose")
+                if verbose:
+                    self.next()
+                return A.ShowVariable("all", verbose)
+            if word == "columns":
+                self.next()
+                self.expect_kw("from")
+                name = self.qualified_ident()
+                like = None
+                if self.eat_kw("like"):
+                    like = self.next().value
+                where = self.expr() if self.eat_kw("where") else None
+                return A.ShowColumns(name, like, where)
+            if word == "create":
+                self.next()
+                self.expect_kw("table")
+                return A.ShowCreateTable(self.qualified_ident())
+            # SHOW <dotted.variable>
+            key = self.ident()
+            while self.eat_op("."):
+                key += "." + self.ident()
+            return A.ShowVariable(key)
         if self.at_kw("insert"):
             self.next()
             self.expect_kw("into")

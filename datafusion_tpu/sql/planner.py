@@ -777,6 +777,44 @@ class SqlPlanner:
                 add(reg.windows, "WINDOW")
                 add(reg.tables, "TABLE")
             t = Table.from_pydict(rows)
+        elif table == "views":
+            # registered views with their SQL definition re-rendered by the
+            # unparser (reference: information_schema.rs views)
+            from ..sql.unparser import plan_to_sql
+
+            names, defs = [], []
+            for vn in sorted(getattr(self.catalog, "views", {})):
+                names.append(vn)
+                try:
+                    defs.append(plan_to_sql(self.catalog.views[vn]))
+                except Exception:  # noqa: BLE001 -- unrenderable plan shape
+                    defs.append(None)
+            t = Table.from_pydict({
+                "table_catalog": [self.catalog.default_catalog] * len(names),
+                "table_schema": [self.catalog.default_schema] * len(names),
+                "table_name": names,
+                "definition": defs,
+            }, {"table_catalog": T.STRING, "table_schema": T.STRING,
+                "table_name": T.STRING, "definition": T.STRING})
+        elif table == "parameters":
+            # routine parameter signatures for session UDFs (reference:
+            # information_schema.rs parameters; built-ins are variadic /
+            # overloaded so only typed user functions list here)
+            rows = {"specific_name": [], "ordinal_position": [],
+                    "parameter_mode": [], "data_type": []}
+            session = getattr(self.catalog, "session", None)
+            if session is not None:
+                for kind in ("scalars", "aggregates", "windows"):
+                    for n, f in sorted(getattr(session.functions, kind).items()):
+                        rt = getattr(f, "return_type", None)
+                        rows["specific_name"].append(n)
+                        rows["ordinal_position"].append(1)
+                        rows["parameter_mode"].append("OUT")
+                        rows["data_type"].append(repr(rt) if rt is not None
+                                                 else "ANY")
+            t = Table.from_pydict(rows, {
+                "specific_name": T.STRING, "ordinal_position": T.INT64,
+                "parameter_mode": T.STRING, "data_type": T.STRING})
         else:
             raise PlanError(f"unknown information_schema table {table!r}")
         return L.TableScan(f"information_schema.{table}", MemTable(t),

@@ -57,8 +57,8 @@ def _record_deadline(seconds: int):
         signal.signal(signal.SIGALRM, prev)
 
 _SKIP_SQL = re.compile(
-    r"^\s*(set\s|explain\b|describe\b|copy\b|create\s+external\b|"
-    r"create\s+unbounded\b|show\b)", re.IGNORECASE)
+    r"^\s*(explain\b|describe\b|copy\b|create\s+external\b|"
+    r"create\s+unbounded\b)", re.IGNORECASE)
 
 
 @dataclasses.dataclass
