@@ -39,6 +39,7 @@ class TypeKind(enum.Enum):
     TIMESTAMP = "timestamp"  # microseconds
     TIME = "time"  # microseconds since midnight (reference: Time64)
     STRING = "string"
+    BINARY = "binary"  # bytes; dictionary-encoded like STRING
     INTERVAL_DAYS = "interval_days"  # internal: calendar interval in days
     INTERVAL_US = "interval_us"  # internal: sub-day interval in microseconds
     INTERVAL_MONTHS = "interval_months"
@@ -96,7 +97,15 @@ class DataType:
 
     @property
     def is_string(self) -> bool:
-        return self.kind is TypeKind.STRING
+        # BINARY shares the string device representation end-to-end
+        # (sorted dictionary + order-preserving int32 codes); sites that
+        # need genuine text (string functions, casts, display) check
+        # is_binary to branch
+        return self.kind in (TypeKind.STRING, TypeKind.BINARY)
+
+    @property
+    def is_binary(self) -> bool:
+        return self.kind is TypeKind.BINARY
 
     @property
     def is_struct(self) -> bool:
@@ -132,7 +141,7 @@ class DataType:
             return np.dtype(np.int64)
         if k is TypeKind.TIME:
             return np.dtype(np.int64)
-        if k is TypeKind.STRING:
+        if k in (TypeKind.STRING, TypeKind.BINARY):
             return np.dtype(np.int32)  # dictionary codes
         if k is TypeKind.INTERVAL_DAYS:
             return np.dtype(np.int32)
@@ -164,6 +173,7 @@ DATE32 = DataType(TypeKind.DATE32)
 TIMESTAMP = DataType(TypeKind.TIMESTAMP)
 TIME = DataType(TypeKind.TIME)
 STRING = DataType(TypeKind.STRING)
+BINARY = DataType(TypeKind.BINARY)
 INTERVAL_DAYS = DataType(TypeKind.INTERVAL_DAYS)
 INTERVAL_MONTHS = DataType(TypeKind.INTERVAL_MONTHS)
 INTERVAL_US = DataType(TypeKind.INTERVAL_US)

@@ -50,6 +50,31 @@ class Dictionary:
         return f"Dictionary[{self.size}]({head}{more})"
 
 
+def is_bytes_values(values) -> bool:
+    for v in values:
+        if v is not None:
+            return isinstance(v, (bytes, np.bytes_))
+    return False
+
+
+def sort_unique_bytes(vals):
+    """(sorted unique list, code per input) for bytes values. numpy's "S"
+    dtype silently drops trailing NUL bytes (C-string semantics), so BINARY
+    dictionaries sort/dedupe with Python bytes ordering instead."""
+    uniq = sorted({bytes(v) for v in vals})
+    lut = {v: i for i, v in enumerate(uniq)}
+    codes = np.fromiter((lut[bytes(v)] for v in vals), dtype=np.int32,
+                        count=len(vals))
+    return uniq, codes
+
+
+def as_text_array(values) -> np.ndarray:
+    """Fixed-width numpy "U" view of dictionary values. Only valid for str
+    values — bytes must go through sort_unique_bytes (numpy "S" truncates
+    trailing NULs)."""
+    return np.asarray(values, dtype="U")
+
+
 def encode_strings(values: np.ndarray,
                    validity: Optional[np.ndarray] = None
                    ) -> Tuple[np.ndarray, Optional[np.ndarray], Dictionary]:
@@ -70,7 +95,15 @@ def encode_strings(values: np.ndarray,
     if len(vals) == 0:
         return (np.zeros(n, dtype=np.int32), validity,
                 Dictionary(np.array([], dtype=object)))
-    u = np.asarray(vals, dtype="U")
+    if is_bytes_values(vals):
+        buniq, bcodes = sort_unique_bytes(vals)
+        codes = np.zeros(n, dtype=np.int32)
+        if live is None:
+            codes[:] = bcodes
+        else:
+            codes[live] = bcodes
+        return codes, validity, Dictionary(np.array(buniq, dtype=object))
+    u = as_text_array(vals)
     uniq, inv = np.unique(u, return_inverse=True)
     codes = np.zeros(n, dtype=np.int32)
     if live is None:
@@ -133,14 +166,19 @@ class HostColumn:
         dictionary); codes stay order-preserving."""
         if self.dictionary is shared:
             return self
-        own = (np.asarray(self.dictionary.values, dtype="U")
-               if self.dictionary is not None and len(self.dictionary.values)
-               else np.array([], dtype="U1"))
-        tgt = np.asarray(shared.values, dtype="U")
-        if len(own) == 0:
+        ownvals = (list(self.dictionary.values)
+                   if self.dictionary is not None else [])
+        if len(ownvals) == 0:
             return HostColumn(self.dtype, np.zeros_like(self.data),
                               self.validity, shared)
-        mapping = np.searchsorted(tgt, own).astype(np.int32)
+        if is_bytes_values(shared.values):
+            lut = {bytes(v): i for i, v in enumerate(shared.values)}
+            mapping = np.array([lut.get(bytes(v), 0) for v in ownvals],
+                               dtype=np.int32)
+        else:
+            tgt = as_text_array(shared.values)
+            own = as_text_array(ownvals)
+            mapping = np.searchsorted(tgt, own).astype(np.int32)
         mapping = np.clip(mapping, 0, max(len(tgt) - 1, 0))
         codes = mapping[np.clip(self.data, 0, len(mapping) - 1)]
         return HostColumn(self.dtype, codes.astype(np.int32), self.validity,
@@ -226,6 +264,8 @@ def _infer_scalar_type(v) -> Optional[T.DataType]:
         return T.FLOAT64
     if isinstance(v, str):
         return T.STRING
+    if isinstance(v, (bytes, bytearray, np.bytes_)):
+        return T.BINARY
     if isinstance(v, np.datetime64):
         return T.TIMESTAMP
     if isinstance(v, datetime.datetime):
@@ -311,6 +351,13 @@ def column_from_values(values, dtype: Optional[T.DataType] = None) -> HostColumn
                                     and not dtype.is_float)
                       for v in vals], dtype=bool)
     validity = ~nulls if nulls.any() else None
+
+    if dtype.is_binary:
+        obj = np.empty(n, dtype=object)
+        for i, v in enumerate(vals):
+            obj[i] = None if nulls[i] else bytes(v)
+        codes, validity, d = encode_strings(obj, validity)
+        return HostColumn(dtype, codes, validity, d)
 
     if dtype.is_string:
         obj = np.empty(n, dtype=object)

@@ -186,6 +186,14 @@ def _column_from_arrow(arr, at) -> HostColumn:
         codes, validity, d = encode_arrow_strings(
             arr.cast(pa.string()) if pt.is_large_string(at) else arr)
         return HostColumn(T.STRING, codes, validity, d)
+    if pt.is_binary(at) or pt.is_large_binary(at) \
+            or pt.is_fixed_size_binary(at):
+        from .column import encode_strings
+
+        vals = np.asarray([None if x is None else bytes(x)
+                           for x in arr.to_pylist()], dtype=object)
+        codes, validity, d = encode_strings(vals)
+        return HostColumn(T.BINARY, codes, validity, d)
     if pt.is_boolean(at):
         v = _arrow_validity(arr)
         data = np.asarray(arr.fill_null(False)) if v is not None else np.asarray(arr)
@@ -265,6 +273,8 @@ def _arrow_scalar_dtype(at) -> T.DataType:
 
     if pt.is_string(at) or pt.is_large_string(at) or pt.is_dictionary(at):
         return T.STRING
+    if pt.is_binary(at) or pt.is_large_binary(at):
+        return T.BINARY
     if pt.is_boolean(at):
         return T.BOOL
     if pt.is_integer(at):
@@ -295,6 +305,9 @@ def _elem_logical(dtype: T.DataType, v, dictionary):
         return {n: x for (n, _t), x in zip(dtype.fields, tup)}
     if dtype.is_map:
         return dict(dictionary.values[int(v)])
+    if dtype.is_binary:
+        vals = dictionary.values if dictionary is not None else None
+        return bytes(vals[int(v)]) if vals is not None and len(vals) else None
     if dtype.is_string:
         vals = dictionary.values if dictionary is not None else None
         return str(vals[int(v)]) if vals is not None and len(vals) else None
@@ -386,6 +399,9 @@ def _to_arrow_array(dtype: T.DataType, c: HostColumn):
     v = c.validity
     mask = None if v is None else ~v
     k = dtype.kind
+    if dtype.is_binary:
+        return pa.array([None if x is None else bytes(x)
+                         for x in c.to_numpy_logical()], type=pa.binary())
     if dtype.is_string:
         return pa.array(c.to_numpy_logical(), type=pa.string())
     if dtype.is_list:

@@ -49,8 +49,22 @@ def merge_dictionaries(a: Dictionary, b: Dictionary):
     if hit is not None:
         _MERGE_CACHE.move_to_end(key)
         return hit[2:]
-    av = np.asarray(a.values, dtype="U") if len(a.values) else np.array([], "U1")
-    bv = np.asarray(b.values, dtype="U") if len(b.values) else np.array([], "U1")
+    from ..data.column import as_text_array, is_bytes_values
+
+    if is_bytes_values(a.values) or is_bytes_values(b.values):
+        # bytes dictionaries merge in Python (numpy "S" drops trailing NULs)
+        mlist = sorted({bytes(v) for v in a.values}
+                       | {bytes(v) for v in b.values})
+        lut = {v: i for i, v in enumerate(mlist)}
+        amap = np.array([lut[bytes(v)] for v in a.values], dtype=np.int32)
+        bmap = np.array([lut[bytes(v)] for v in b.values], dtype=np.int32)
+        entry = (a, b, Dictionary(np.array(mlist, dtype=object)), amap, bmap)
+        _MERGE_CACHE[key] = entry
+        while len(_MERGE_CACHE) > _MERGE_CACHE_LIMIT:
+            _MERGE_CACHE.popitem(last=False)
+        return entry[2:]
+    av = as_text_array(a.values) if len(a.values) else np.array([], "U1")
+    bv = as_text_array(b.values) if len(b.values) else np.array([], "U1")
     merged = np.union1d(av, bv)
     amap = np.searchsorted(merged, av).astype(np.int32)
     bmap = np.searchsorted(merged, bv).astype(np.int32)
@@ -62,10 +76,11 @@ def merge_dictionaries(a: Dictionary, b: Dictionary):
 
 
 def _translate_codes(col: DeviceColumn, mapping: np.ndarray, merged: Dictionary) -> DeviceColumn:
+    t = col.dtype if col.dtype is not None and col.dtype.is_string else T.STRING
     if len(mapping) == 0:
-        return DeviceColumn(jnp.zeros_like(col.data), col.validity, T.STRING, merged)
+        return DeviceColumn(jnp.zeros_like(col.data), col.validity, t, merged)
     codes = jnp.asarray(mapping)[jnp.clip(col.data, 0, len(mapping) - 1)]
-    return DeviceColumn(codes, col.validity, T.STRING, merged)
+    return DeviceColumn(codes, col.validity, t, merged)
 
 
 def unify_many_string_columns(cols):
@@ -80,13 +95,24 @@ def unify_many_string_columns(cols):
         if d is not None and id(d) not in seen:
             seen.add(id(d))
             uniq.append(d)
-    vals = [np.asarray(d.values, dtype="U") for d in uniq if len(d.values)]
-    merged_np = np.unique(np.concatenate(vals)) if vals else np.array([], "U1")
-    merged = Dictionary(merged_np.astype(object))
-    maps = {}
-    for d in uniq:
-        dv = np.asarray(d.values, dtype="U") if len(d.values) else np.array([], "U1")
-        maps[id(d)] = np.searchsorted(merged_np, dv).astype(np.int32)
+    from ..data.column import as_text_array, is_bytes_values
+
+    if any(is_bytes_values(d.values) for d in uniq):
+        mlist = sorted({bytes(v) for d in uniq for v in d.values})
+        lut = {v: i for i, v in enumerate(mlist)}
+        merged = Dictionary(np.array(mlist, dtype=object))
+        maps = {id(d): np.array([lut[bytes(v)] for v in d.values],
+                                dtype=np.int32) for d in uniq}
+    else:
+        vals = [as_text_array(d.values) for d in uniq if len(d.values)]
+        merged_np = (np.unique(np.concatenate(vals)) if vals
+                     else np.array([], "U1"))
+        merged = Dictionary(merged_np.astype(object))
+        maps = {}
+        for d in uniq:
+            dv = (as_text_array(d.values) if len(d.values)
+                  else np.array([], merged_np.dtype))
+            maps[id(d)] = np.searchsorted(merged_np, dv).astype(np.int32)
     out = []
     for c in cols:
         if c.dictionary is None:
@@ -160,10 +186,40 @@ def cast_column(col: DeviceColumn, dtype: T.DataType, capacity: int) -> DeviceCo
     v = col.validity
     if dtype.is_string:
         if col.dtype.is_string:
-            return col
+            if col.dtype.kind == dtype.kind:
+                return col
+            # utf8 <-> bytes: re-encode the dictionary host-side; byte order
+            # can differ from str order, so codes re-map through a sorted
+            # new dictionary
+            d = col.dictionary
+            old = (list(d.values) if d is not None and len(d.values) else [])
+            new_vals = []
+            ok = []
+            for s in old:
+                try:
+                    new_vals.append(s.encode("utf-8") if dtype.is_binary
+                                    else s.decode("utf-8"))
+                    ok.append(True)
+                except (UnicodeDecodeError, UnicodeEncodeError, AttributeError):
+                    new_vals.append(b"" if dtype.is_binary else "")
+                    ok.append(False)
+            uniq = sorted(set(new_vals))
+            lutmap = {s: i for i, s in enumerate(uniq)}
+            code_map = np.array([lutmap[s] for s in new_vals] or [0],
+                                dtype=np.int32)
+            okarr = np.array(ok or [True])
+            codes = jnp.asarray(code_map)[jnp.clip(col.data, 0,
+                                                   len(code_map) - 1)]
+            valid2 = jnp.asarray(okarr)[jnp.clip(col.data, 0,
+                                                 len(okarr) - 1)]
+            v2 = _combine_validity(v, valid2) if not all(ok) else v
+            return DeviceColumn(codes, v2, dtype,
+                                Dictionary(np.array(uniq, dtype=object)))
         raise PlanError(f"cast {col.dtype} -> string not supported on device")
     if col.dtype.is_string:
         d = col.dictionary
+        if col.dtype.is_binary:
+            raise PlanError(f"cast binary -> {dtype} not supported")
         vals = np.asarray(d.values, dtype="U") if d and len(d.values) else np.array([], "U1")
         if dtype.kind is T.TypeKind.DATE32:
             lut = DU.dates_from_strings(vals) if len(vals) else np.zeros(1, np.int32)
@@ -387,6 +443,10 @@ def _literal_column(e: E.Literal, capacity: int) -> DeviceColumn:
             jnp.zeros(capacity, dtype=jnp.bool_),
             dt,
         )
+    if t.is_binary:
+        d = Dictionary(np.array([bytes(e.value)], dtype=object))
+        return DeviceColumn(jnp.zeros(capacity, dtype=jnp.int32), None,
+                            T.BINARY, d)
     if t.is_string:
         d = Dictionary(np.array([str(e.value)], dtype=object))
         return DeviceColumn(jnp.zeros(capacity, dtype=jnp.int32), None, T.STRING, d)
@@ -451,6 +511,14 @@ def eval_binary(e: E.BinaryOp, l: DeviceColumn, r: DeviceColumn, schema: Schema)
             else:
                 r = cast_column(r, l.dtype, r.data.shape[0])
         if l.dtype.is_string or r.dtype.is_string:
+            # binary vs utf8: coerce the utf8 side to bytes (reference
+            # comparison coercion, binary.slt)
+            if l.dtype.is_binary != r.dtype.is_binary \
+                    and l.dtype.is_string and r.dtype.is_string:
+                if l.dtype.is_binary:
+                    r = cast_column(r, T.BINARY, r.data.shape[0])
+                else:
+                    l = cast_column(l, T.BINARY, l.data.shape[0])
             l2, r2 = unify_string_columns(l, r)
             data = _CMP[op](l2.data, r2.data)
         else:

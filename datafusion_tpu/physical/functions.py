@@ -84,7 +84,8 @@ def arrow_type_name(dt: T.DataType) -> str:
         T.TypeKind.INT8: "Int8", T.TypeKind.INT16: "Int16",
         T.TypeKind.INT32: "Int32", T.TypeKind.INT64: "Int64",
         T.TypeKind.FLOAT32: "Float32", T.TypeKind.FLOAT64: "Float64",
-        T.TypeKind.STRING: "Utf8", T.TypeKind.DATE32: "Date32",
+        T.TypeKind.STRING: "Utf8", T.TypeKind.BINARY: "Binary",
+        T.TypeKind.DATE32: "Date32",
         T.TypeKind.TIMESTAMP: "Timestamp(Nanosecond, None)",
         T.TypeKind.INTERVAL_DAYS: "Interval(DayTime)",
         T.TypeKind.INTERVAL_MONTHS: "Interval(YearMonth)",
@@ -99,6 +100,7 @@ _ARROW_PARSE = {
     "uint64": T.INT64,
     "float16": T.FLOAT32, "float32": T.FLOAT32, "float64": T.FLOAT64,
     "utf8": T.STRING, "largeutf8": T.STRING, "utf8view": T.STRING,
+    "binary": T.BINARY, "largebinary": T.BINARY, "binaryview": T.BINARY,
     "date32": T.DATE32,
 }
 
@@ -110,6 +112,8 @@ def parse_arrow_type(s: str) -> T.DataType:
     low = t.lower()
     if low in _ARROW_PARSE:
         return _ARROW_PARSE[low]
+    if re.match(r"fixedsizebinary\s*\(\s*\d+\s*\)", low):
+        return T.BINARY  # fixed width is metadata-only in this engine
     m = re.match(r"decimal(?:128|256)?\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", low)
     if m:
         return T.decimal(int(m.group(1)), int(m.group(2)))
@@ -160,6 +164,8 @@ def scalar_function_type(e: E.ScalarFunction, schema: Schema) -> Tuple[T.DataTyp
         return T.FLOAT64, nullable
     if f in ("substr", "substring", "left", "right", "concat", "concat_ws",
              "replace", "translate", "lpad", "rpad", "repeat") or f in _STRING_UNARY:
+        if f == "concat" and any(t.is_binary for t, _ in argt):
+            return T.BINARY, nullable  # one binary operand binarizes concat
         return T.STRING, nullable
     if f in ("length", "char_length", "character_length", "octet_length",
              "bit_length", "strpos", "position", "ascii", "levenshtein"):
@@ -245,6 +251,8 @@ def transform_dictionary(col: DeviceColumn, values_fn) -> DeviceColumn:
     d = col.dictionary
     if d is None:
         raise PlanError("string op on non-dictionary column")
+    if col.dtype is not None and col.dtype.is_binary:
+        raise PlanError("string function not supported on BINARY")
     old = np.asarray(d.values, dtype="U") if len(d.values) else np.array([], "U1")
     new_vals = values_fn(old)
     uniq = np.unique(new_vals) if len(new_vals) else np.array([], "U1")
@@ -538,7 +546,20 @@ def eval_scalar_function(
         from ..common.errors import NotImplementedYet
 
         CAP = 1 << 18
-        vals = np.array([""], dtype="U1")
+        # one BINARY operand makes the whole concat binary (reference
+        # coerces utf8 operands to binary, binary.slt || cases). Binary
+        # composites build with Python bytes — numpy "S" arrays drop
+        # trailing NUL bytes.
+        binmode = any(a.dtype is not None and a.dtype.is_binary
+                      for a in args)
+
+        def _as_bytes(v):
+            return v if isinstance(v, bytes) else str(v).encode("utf-8")
+
+        if binmode:
+            vals_b = [b""]
+        else:
+            vals = np.array([""], dtype="U1")
         codes = None  # jnp codes into vals; None = single value 0
         for a, ae in zip(args, arg_exprs):
             if not (a.dtype.is_string and a.dictionary is not None
@@ -550,7 +571,20 @@ def eval_scalar_function(
                 if lit is None:
                     raise NotImplementedYet(
                         "concat of non-string non-literal argument")
-                vals = np.char.add(vals, np.array([str(lit)], "U"))
+                if binmode:
+                    vals_b = [v + _as_bytes(lit) for v in vals_b]
+                else:
+                    vals = np.char.add(vals, np.array([str(lit)], "U"))
+                continue
+            if binmode:
+                dvl = [_as_bytes(v) for v in a.dictionary.values]
+                if len(vals_b) * len(dvl) > CAP:
+                    raise NotImplementedYet(
+                        f"concat dictionary product {len(vals_b)}x{len(dvl)} "
+                        f"exceeds {CAP}")
+                vals_b = [v + d for v in vals_b for d in dvl]
+                cc = jnp.clip(a.data, 0, len(dvl) - 1)
+                codes = cc if codes is None else codes * len(dvl) + cc
                 continue
             dv = np.asarray(a.dictionary.values, dtype="U")
             if len(vals) * len(dv) > CAP:
@@ -565,6 +599,14 @@ def eval_scalar_function(
         if codes is None:
             codes = jnp.zeros(capacity, dtype=jnp.int32)
         # restore the sorted-unique dictionary invariant
+        if binmode:
+            uniq_l = sorted(set(vals_b))
+            lutmap = {v: i for i, v in enumerate(uniq_l)}
+            inv = np.array([lutmap[v] for v in vals_b], dtype=np.int32)
+            out_codes = jnp.asarray(inv)[codes]
+            return DeviceColumn(out_codes.astype(jnp.int32), validity,
+                                T.BINARY,
+                                Dictionary(np.array(uniq_l, dtype=object)))
         uniq, inv = np.unique(vals, return_inverse=True)
         out_codes = jnp.asarray(inv.astype(np.int32))[codes]
         return DeviceColumn(out_codes.astype(jnp.int32), validity, T.STRING,
@@ -573,6 +615,13 @@ def eval_scalar_function(
     if f in ("length", "char_length", "character_length", "octet_length"):
         a = args[0]
         d = a.dictionary
+        if a.dtype is not None and a.dtype.is_binary:
+            # byte length of the dictionary's bytes values
+            lens = (np.array([len(v) for v in d.values], dtype=np.int64)
+                    if d and len(d.values) else np.zeros(1, np.int64))
+            lut = jnp.asarray(lens)
+            out = lut[jnp.clip(a.data, 0, len(lens) - 1)]
+            return DeviceColumn(out, validity, T.INT64)
         lens = np.char.str_len(np.asarray(d.values, dtype="U")) if d and len(d.values) else np.zeros(1, np.int64)
         lut = jnp.asarray(lens.astype(np.int64))
         out = lut[jnp.clip(a.data, 0, len(lens) - 1)]

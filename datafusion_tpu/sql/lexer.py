@@ -55,6 +55,19 @@ def tokenize(sql: str) -> List[Token]:
                 raise ParseError("unterminated block comment")
             i = j + 2
             continue
+        if ch in "xX" and i + 1 < n and sql[i + 1] == "'":
+            # hex byte-string literal X'1A2B' -> bytes token
+            j = sql.find("'", i + 2)
+            if j < 0:
+                raise ParseError("unterminated hex literal")
+            hexs = sql[i + 2:j].strip()
+            if not all(c in "0123456789abcdefABCDEF" for c in hexs):
+                raise ParseError(f"invalid hex literal X'{hexs}'")
+            if len(hexs) % 2:  # odd digit count: left-pad (X'ABC' = 0x0ABC)
+                hexs = "0" + hexs
+            out.append(Token("bytes", hexs.lower(), i))
+            i = j + 1
+            continue
         if ch == "'":
             j = i + 1
             buf = []

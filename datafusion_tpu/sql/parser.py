@@ -814,6 +814,11 @@ class Parser:
                 self.next()
                 self.expect_op(")")
             return T.STRING
+        if name in ("binary", "varbinary", "bytea", "blob"):
+            if self.eat_op("("):
+                self.next()
+                self.expect_op(")")
+            return T.BINARY
         if name == "date":
             return T.DATE32
         if name == "timestamp":
@@ -851,6 +856,9 @@ class Parser:
         if t.kind == "string":
             self.next()
             return E.Literal(t.value, T.STRING)
+        if t.kind == "bytes":
+            self.next()
+            return E.Literal(bytes.fromhex(t.value), T.BINARY)
         if t.kind == "param":
             self.next()
             return E.Placeholder(t.value)

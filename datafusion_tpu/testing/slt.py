@@ -123,6 +123,9 @@ def format_value(v, tch: str) -> str:
             return str(int(v))
         except (TypeError, ValueError):
             return str(v)
+    if isinstance(v, (bytes, bytearray)):
+        # binary renders as lowercase hex (arrow-rs Display, binary.slt)
+        return bytes(v).hex() or "(empty)"
     import datetime as _dt
 
     if isinstance(v, _dt.datetime):
