@@ -163,6 +163,12 @@ def dist_of(p: PP.PhysicalPlan, memo: Optional[Dict] = None,
             d = PART
         else:
             d = REPL if jt is JoinType.FULL else dl
+    elif len(p.children()) == 1:
+        # generic fallback: replicate and run the single-device operator on
+        # every shard (reference analog: EnforceDistribution inserting a
+        # coalesce before an operator with SinglePartition requirement)
+        dist_of(p.children()[0], memo, options)
+        d = REPL
     else:
         raise ExecutionError(f"cannot distribute operator {type(p).__name__}")
     memo[id(p)] = d
@@ -420,6 +426,12 @@ def _dtrace_inner(p, inputs, leaf_index, dctx) -> Tuple[DeviceRelation, str]:
                                 _as_repl(rrel, dr, axis, dctx)), REPL
         # CollectLeft analog: broadcast the build side, probe stays local
         return F.apply_join(p, lrel, _as_repl(rrel, dr, axis, dctx)), PART
+    if len(p.children()) == 1 and hasattr(p, "_transform"):
+        # generic single-input fallback: replicate, then every shard runs
+        # the operator's own single-device transform (deterministic, so all
+        # shards hold the same replicated result)
+        rel, d = _dtrace(p.children()[0], inputs, leaf_index, dctx)
+        return p._transform(_as_repl(rel, d, axis, dctx)), REPL
     raise ExecutionError(f"cannot distribute operator {type(p).__name__}")
 
 

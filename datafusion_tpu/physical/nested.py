@@ -665,6 +665,12 @@ def eval_nested_function(fname: str, args: List[DeviceColumn],
 
     if f == "array_resize":
         size = max(_literal_int(arg_exprs[1], "array_resize size"), 1)
+        if size * max(cap, 1) > (1 << 28):
+            # a [capacity, size] buffer this large would abort inside the
+            # runtime (reference errors too: array_resize.slt i64::MAX /
+            # 3e9-element cases)
+            raise PlanError(
+                f"array_resize: new size {size} too large for capacity {cap}")
         n = jnp.clip(args[1].data.astype(jnp.int32), 0, size)
         w = col.width
         grid = _iota(cap, size)

@@ -787,14 +787,25 @@ class Parser:
 
     def type_name(self) -> T.DataType:
         name = self.ident().lower()
+
+        def _int(t: T.DataType) -> T.DataType:
+            # optional UNSIGNED widens into the next signed width this
+            # engine carries (same convention as arrow_cast UInt mapping)
+            if self.peek().kind == "ident" \
+                    and self.peek().value.lower() == "unsigned":
+                self.next()
+                return {T.INT8: T.INT16, T.INT16: T.INT32,
+                        T.INT32: T.INT64}.get(t, T.INT64)
+            return t
+
         if name in ("int", "integer"):
-            return T.INT32
+            return _int(T.INT32)
         if name == "smallint":
-            return T.INT16
+            return _int(T.INT16)
         if name == "tinyint":
-            return T.INT8
+            return _int(T.INT8)
         if name == "bigint":
-            return T.INT64
+            return _int(T.INT64)
         if name in ("double", "float8"):
             self.eat_kw("precision") or (self.peek().kind == "ident" and self.peek().value.lower() == "precision" and self.next())
             return T.FLOAT64
@@ -1065,8 +1076,36 @@ class Parser:
                 args.append(self._arg_expr())
         self.expect_op(")")
 
-        # FILTER (WHERE pred) -- aggregate filter clause (reference:
-        # Expr::AggregateFunction.filter, datafusion/expr/src/expr.rs)
+        # WITHIN GROUP (ORDER BY e [DESC]) — ordered-set aggregates
+        # (reference: percentile_cont/approx_percentile_cont WITHIN GROUP,
+        # functions-aggregate/src/approx_percentile_cont.rs): rewrites to
+        # the positional form fn(e, fraction, ...); DESC flips a literal
+        # fraction p to 1-p
+        if self.peek().kind == "ident" \
+                and self.peek().value.lower() == "within" \
+                and self.peek(1).kind == "kw" \
+                and self.peek(1).value == "group":
+            self.next()
+            self.next()
+            self.expect_op("(")
+            self.expect_kw("order")
+            self.expect_kw("by")
+            oexpr = self.expr()
+            desc = False
+            if self.eat_kw("desc"):
+                desc = True
+            else:
+                self.eat_kw("asc")
+            self.expect_op(")")
+            if desc:
+                if args and isinstance(args[0], E.Literal) \
+                        and isinstance(args[0].value, (int, float)):
+                    args[0] = E.Literal(1 - args[0].value, args[0].dtype)
+                else:
+                    raise ParseError(
+                        "WITHIN GROUP (ORDER BY ... DESC) needs a literal "
+                        "fraction")
+            args = [oexpr] + args
         agg_filter = None
         if self.at("kw", "filter"):
             save = self.i

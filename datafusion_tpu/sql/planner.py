@@ -44,6 +44,13 @@ def _fold_to_literal(e: E.Expr) -> E.Literal:
     if isinstance(e, E.Cast):
         inner = _fold_to_literal(e.expr)
         return E.Literal(inner.value, e.dtype)
+    if isinstance(e, E.ScalarFunction) and e.fname == "arrow_cast" \
+            and len(e.args) == 2 and isinstance(e.args[1], E.Literal):
+        # VALUES (arrow_cast(x, 'Int8'), ...) — common reference fixture
+        from ..physical.functions import parse_arrow_type
+
+        inner = _fold_to_literal(e.args[0])
+        return E.Literal(inner.value, parse_arrow_type(str(e.args[1].value)))
     raise PlanError(f"VALUES cells must be constant, got {e!r}")
 
 

@@ -152,7 +152,9 @@ def _norm_token(tok: str, tch: str):
         try:
             f = float(tok)
             if f != f:
-                return ("r", "nan")  # NaN: bitwise-equal token, not float !=
+                # NaN: bitwise-equal token, not float != ; keep the key
+                # tuple float-typed so rowsort can order mixed rows
+                return ("r", float("inf"), "nan")
             return ("r", round(f, 3))
         except ValueError:
             return ("t", tok)

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 import re
 from typing import Callable, List, Optional, Tuple
 
@@ -247,6 +248,10 @@ def run_slt_file(path: str, ctx=None, complete: bool = False) -> List[Failure]:
         from ..context import SessionContext
 
         ctx = SessionContext()
+        if "spark" in os.path.basename(path).split("__")[0]:
+            # spark/ corpus files were ported under the Spark-semantics
+            # function library; replay them the same way
+            ctx.enable_spark_functions()
     with open(path) as f:
         records = parse_slt(f.read())
     failures, updated = run_records(records, ctx, path, complete=complete)

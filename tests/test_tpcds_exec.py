@@ -25,13 +25,13 @@ from datafusion_tpu.models.tpcds.sqlite_oracle import (frames_match,
                                                        load_sqlite,
                                                        run_sqlite)
 
-# every query that matches sqlite on the generated data (81/99)
-SQLITE_OK = [1, 2, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 15, 16, 19, 20, 21,
-             25, 26, 28, 29, 30, 31, 32, 33, 34, 35, 37, 38, 40, 41, 42,
-             43, 44, 45, 46, 47, 48, 49, 50, 51, 52, 53, 54, 55, 56, 57,
-             59, 60, 61, 62, 63, 64, 65, 66, 68, 69, 71, 73, 74, 75, 76,
-             78, 79, 81, 82, 83, 84, 85, 88, 89, 90, 91, 92, 93, 94, 95,
-             96, 97, 98, 99]
+# every query that matches sqlite on the generated data (98/99). ROLLUP
+# queries run through expand_rollup (sqlite_oracle.py); stddev_samp is a
+# registered Python aggregate; q23/q24 are multi-statement. The one
+# exclusion is q67: its rank() ties on float sums at the LIMIT boundary,
+# so the float (sqlite) and exact-decimal (engine) oracles legitimately
+# disagree about the 100th row.
+SQLITE_OK = [q for q in range(1, 100) if q != 67]
 
 # default subset: joins (3,19,25), CTE year-over-year (2,4,31), subqueries
 # (1,6,30,32,54,81), windows (47,51,57), exists/in (10,35,16,94), returns
@@ -41,7 +41,10 @@ SUBSET = [1, 2, 3, 4, 6, 10, 13, 15, 16, 19, 20, 21, 25, 26, 28, 30, 31,
           32, 33, 35, 37, 38, 42, 45, 46, 47, 51, 54, 56, 57, 59, 60, 62,
           65, 68, 73, 76, 79, 84, 88, 90, 94, 96, 99]
 
-QIDS = SQLITE_OK if os.environ.get("DATAFUSION_TPU_TPCDS_FULL") else SUBSET
+# default subset widened with the newly-oracled shapes (rollup/grouping,
+# stddev, multi-statement, EXCEPT); DATAFUSION_TPU_TPCDS_FULL=1 runs all 98
+SUBSET = SUBSET + [5, 17, 18, 22, 27, 36, 39, 58, 70, 72, 77, 80, 86, 87]
+QIDS = SQLITE_OK if os.environ.get("DATAFUSION_TPU_TPCDS_FULL") else sorted(SUBSET)
 
 
 @pytest.fixture(scope="module")
