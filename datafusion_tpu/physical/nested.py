@@ -964,9 +964,14 @@ def _eval_struct_map(f: str, args: List[DeviceColumn],
         elif f == "map" and len(arg_exprs) == 2:
             ks = _literal_py(arg_exprs[0]) or []
             vs = _literal_py(arg_exprs[1]) or []
+            if len(set(ks)) != len(ks):
+                # reference default map_key_dedup_policy = Exception
+                raise PlanError("map keys must be unique")
             value = dict(zip(ks, vs))
         else:
             vals = [_literal_py(a) for a in arg_exprs]
+            if len(set(vals[0::2])) != len(vals[0::2]):
+                raise PlanError("map keys must be unique")
             value = dict(zip(vals[0::2], vals[1::2]))
         tup = _canon_struct(value, out_dtype)
         dvals = np.empty(1, dtype=object)

@@ -920,6 +920,18 @@ class JoinExec(PhysicalPlan):
                 lanes += 1 if c.validity is not None else 0
         return domain * lanes <= min(1 << 27, 8 * lcap)
 
+    @staticmethod
+    def _payload_lanes(rrel) -> int:
+        """Packed int32 lanes (key + perm + payload) a folded build table
+        carries per entry — the minor dimension of the probe gather."""
+        lanes = 3
+        for c in rrel.columns:
+            if c.data.ndim == 1 and c.data.dtype.itemsize in (4, 8) \
+                    and c.data.dtype != jnp.bool_:
+                lanes += c.data.dtype.itemsize // 4
+                lanes += 1 if c.validity is not None else 0
+        return lanes
+
     _MINMAX_OPS = {E.Op.LT: "lt", E.Op.LE: "le", E.Op.GT: "gt",
                    E.Op.GE: "ge", E.Op.NEQ: "neq"}
     _MINMAX_MIRROR = {"lt": "gt", "le": "ge", "gt": "lt", "ge": "le",
@@ -977,7 +989,9 @@ class JoinExec(PhysicalPlan):
         nullx = jt is not JoinType.INNER
         if bucket is not None:
             order, nprefix, d1, B = bucket
-            if self._direct_table_lanes(rrel, d1 * B, lrel.capacity, extra=2):
+            if (self._direct_table_lanes(rrel, d1 * B, lrel.capacity, extra=2)
+                    and lrel.capacity * B * self._payload_lanes(rrel) * 8
+                    <= (8 << 30)):
                 rcols, matched, dup = J.join_bucket_gather(
                     [lkeys[i] for i in order], [rkeys[i] for i in order],
                     lrel.sel, rrel.sel, spans, nprefix, d1, B,
@@ -1265,6 +1279,17 @@ class JoinExec(PhysicalPlan):
                 B *= 2
             self._bucket_B[binfo] = B
         if B > self.MAX_BUCKET or d1 * B > self.DIRECT_DOMAIN_LIMIT:
+            self._direct_ok[okkey] = False
+            return None
+        # HBM guardrails (observed at TPC-H SF10 on v5e-16G): the scatter-
+        # built candidate matrix [build_cap, 3] can get a {minor-dim
+        # padded-to-128} layout (42x expansion -> 32 GB at a 64M build), and
+        # the folded-payload probe gather materializes [probe_cap, B*lanes]
+        # plus per-bucket slice copies. Oversized configurations fall back
+        # to the sort-merge join, which streams payload through one matched-
+        # rows gather.
+        build_cap = rrel.capacity
+        if build_cap * 128 * 4 > (4 << 30):
             self._direct_ok[okkey] = False
             return None
         dkey = ("bucket", swapped, jt, binfo, B)

@@ -1085,6 +1085,12 @@ class Parser:
                 and self.peek().value.lower() == "within" \
                 and self.peek(1).kind == "kw" \
                 and self.peek(1).value == "group":
+            if fname not in ("percentile_cont", "percentile_disc",
+                             "approx_percentile_cont",
+                             "approx_percentile_cont_with_weight"):
+                raise ParseError(
+                    f"WITHIN GROUP is only for ordered-set aggregates, "
+                    f"not {fname!r}")
             self.next()
             self.next()
             self.expect_op("(")

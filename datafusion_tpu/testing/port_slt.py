@@ -300,6 +300,14 @@ def port_file(ref_path: str, out_path: str, ctx_factory) -> dict:
             if rec.sort_mode != "nosort":
                 head += f" {rec.sort_mode}"
             lines += [head, rec.sql, "----", *rec.expected, ""]
+    import os
+
+    if stats["kept"] == 0:
+        # nothing survived: don't leave a record-less file behind (the
+        # runner treats an empty .slt as a parse failure)
+        if os.path.exists(out_path):
+            os.remove(out_path)
+        return stats
     with open(out_path, "w") as f:
         f.write("\n".join(lines))
     return stats
