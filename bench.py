@@ -401,6 +401,55 @@ def _tpch_one_sf(args, guard, sf, qids, results):
     except Exception:  # noqa: BLE001 -- first run / unreadable
         all_hints = {}
 
+    ooc_holder = {}
+
+    def ooc_ctx():
+        # out-of-core fallback session SHARING the resident providers (same
+        # device caches); queries whose fused program exceeds HBM run
+        # through the chunked executor instead (the reference analog:
+        # spilling operators under a memory pool)
+        if "ctx" not in ooc_holder:
+            c = SessionContext(config={
+                "execution.out_of_core": "on",
+                "execution.memory_limit_bytes": 11 << 30,
+                "execution.chunk_rows": 1 << 23,
+            })
+            for n in list(ctx.catalog.names()):
+                c.register_table(n, ctx.catalog.get(n))
+            ooc_holder["ctx"] = c
+        return ooc_holder["ctx"]
+
+    def run_chunked(qid):
+        c = ooc_ctx()
+        df = c.sql(query(qid, sf))
+        times = []
+        reps = max(1, min(2, args.repeat)) if guard.remaining() > 600 else 1
+        out = None
+        for _ in range(reps):
+            ec2 = c.exec_context()
+            t1 = time.perf_counter()
+            out = df._chunked_query(ec2).collect(ec2)
+            times.append((time.perf_counter() - t1) * 1000)
+        per_query_ms[qid] = min(times)
+        if args.verbose:
+            print(f"# q{qid:>2}: {per_query_ms[qid]:9.2f} ms  (out-of-core)",
+                  file=sys.stderr)
+        if args.check:
+            try:
+                ref = load_or_compute_answer(qid, sf, pdt_factory)
+                diff = frames_diff(out.to_pandas(), ref,
+                                   ordered=qid in LIMIT_QUERIES)
+                if diff is None:
+                    st["checked"] += 1
+                else:
+                    check_failed[qid] = diff
+                if args.verbose or diff is not None:
+                    print(f"# q{qid} check: "
+                          f"{'OK' if diff is None else 'MISMATCH ' + diff}",
+                          file=sys.stderr)
+            except Exception as exc:  # noqa: BLE001
+                check_failed[qid] = f"{type(exc).__name__}: {exc}"
+
     ectx = ctx.exec_context()
     for qid in qids:
       if guard.remaining() < 20:
@@ -466,7 +515,16 @@ def _tpch_one_sf(args, guard, sf, qids, results):
                 check_failed[qid] = f"{type(exc).__name__}: {exc}"
         del rel
       except Exception as exc:  # noqa: BLE001 -- survive per-query failures
-        failed[qid] = f"{type(exc).__name__}: {exc}"
+        msg = f"{type(exc).__name__}: {exc}"
+        if not args.parquet and guard.remaining() > 120:
+            print(f"# q{qid} resident path failed "
+                  f"({msg[:120]}); retrying out-of-core", file=sys.stderr)
+            try:
+                run_chunked(qid)
+                continue
+            except Exception as exc2:  # noqa: BLE001
+                msg += f" | chunked: {type(exc2).__name__}: {exc2}"
+        failed[qid] = msg
         print(f"# q{qid} FAILED: {failed[qid][:200]}", file=sys.stderr)
 
 

@@ -631,10 +631,20 @@ def gather_columns(
                                     _gathered_bounds(c, null_extend),
                                     lengths, ev)
 
+    # the packed lane matrix is a REAL [src_cap, L] buffer (concatenate);
+    # at >16M rows XLA sometimes assigns it a minor-dim-padded-to-128 tile
+    # layout (observed: 42x expansion -> 32 GB at TPC-H SF10), so huge
+    # sources gather per column (bitcast pairs stay free 1-D gathers)
+    pack_ok = (not cols) or cols[0].capacity <= (1 << 24)
     parts: List[jax.Array] = []
     layout: List[Tuple[int, DeviceColumn, int, int, bool]] = []
     off = 0
     for i, c in enumerate(cols):
+        if not pack_ok:
+            data = c.data[safe]
+            validity = c.validity[safe] if c.validity is not None else None
+            finish(i, c, data, validity)
+            continue
         if _packable(c):
             lanes = _pack_lanes(c.data)
             parts.append(lanes)

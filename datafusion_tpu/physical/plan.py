@@ -912,6 +912,11 @@ class JoinExec(PhysicalPlan):
         time on very wide scatters, observed 20min on a 6M x 21-lane
         table -- dwarf the saving). extra adds fixed lanes (the bucket
         variant stores the full key alongside)."""
+        if rrel.capacity * 128 * 4 > (4 << 30):
+            # the pre-scatter [build_cap, lanes] candidate matrix can get a
+            # minor-dim-padded-to-128 tile layout (observed 42x -> 32 GB at
+            # a 64M build on v5e-16G); huge builds use the 1-D lookup path
+            return False
         lanes = 1 + extra
         for c in rrel.columns:
             if c.data.ndim == 1 and c.data.dtype.itemsize in (4, 8) \
