@@ -14,7 +14,7 @@ from typing import Dict, List, Optional
 from ..common.errors import PlanError
 from ..common.schema import Schema
 from ..data.device import DeviceRelation, to_device
-from ..data.table import Table
+from ..data.table import Table, pa_type as _pa_type
 
 
 class TableProvider:
@@ -510,10 +510,15 @@ class AvroTable(FileTable):
 
 
 class CsvTable(FileTable):
-    def __init__(self, path: str, has_header: bool = True, delimiter: str = ","):
+    def __init__(self, path: str, has_header: bool = True, delimiter: str = ",",
+                 schema=None):
         super().__init__(path)
         self.has_header = has_header
         self.delimiter = delimiter
+        # declared (name, DataType) pairs (CREATE EXTERNAL TABLE column
+        # list): names override the header positionally and values parse
+        # straight into the declared arrow types (exact for decimals)
+        self.declared = schema
 
     def _read(self) -> Table:
         import pyarrow as pa
@@ -521,8 +526,18 @@ class CsvTable(FileTable):
 
         paths = _expand_files(self.path, (".csv", ".tbl", ".txt"))
         opts = pcsv.ParseOptions(delimiter=self.delimiter)
-        ropts = pcsv.ReadOptions(autogenerate_column_names=not self.has_header)
-        tables = [pcsv.read_csv(p, parse_options=opts, read_options=ropts) for p in paths]
+        if self.declared:
+            names = [n for n, _ in self.declared]
+            ropts = pcsv.ReadOptions(column_names=names,
+                                     skip_rows=1 if self.has_header else 0)
+            copts = pcsv.ConvertOptions(column_types={
+                n: _pa_type(dt) for n, dt in self.declared})
+        else:
+            ropts = pcsv.ReadOptions(
+                autogenerate_column_names=not self.has_header)
+            copts = None
+        tables = [pcsv.read_csv(p, parse_options=opts, read_options=ropts,
+                                convert_options=copts) for p in paths]
         at = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
         return Table.from_arrow(at)
 

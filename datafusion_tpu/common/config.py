@@ -154,9 +154,9 @@ _opt("sql_parser.dialect", "generic", "Accepted SQL dialect (informational).")
 _opt("sql_parser.recursion_limit", 64,
      "Maximum expression-nesting depth; deeper queries raise ParseError "
      "(reference: recursion limit in session_state.rs:458).")
-_opt("sql_parser.parse_float_as_decimal", True,
-     "Numeric literals with a decimal point parse as exact decimals "
-     "(matches the reference's decimal literal behavior).")
+_opt("sql_parser.parse_float_as_decimal", False,
+     "Numeric literals with a decimal point parse as exact decimals; the "
+     "default (false, matching the reference) types them Float64.")
 
 # ---- explain --------------------------------------------------------------
 _opt("explain.show_sizes", True, "Include capacities in EXPLAIN output.")

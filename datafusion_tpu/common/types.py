@@ -231,8 +231,8 @@ def common_numeric_type(a: DataType, b: DataType) -> DataType:
     if a.is_decimal or b.is_decimal:
         sa = a.scale if a.is_decimal else 0
         sb = b.scale if b.is_decimal else 0
-        pa = a.precision if a.is_decimal else 19
-        pb = b.precision if b.is_decimal else 19
+        pa = a.precision if a.is_decimal else 20
+        pb = b.precision if b.is_decimal else 20
         s = max(sa, sb)
         p = min(38, max(pa - sa, pb - sb) + s)
         return decimal(p, s)

@@ -210,8 +210,12 @@ class SessionContext:
         from .sql.parser import parse_sql
         from .sql.planner import SqlPlanner
 
-        stmts = parse_sql(query, recursion_limit=int(
-            self.options.to_dict().get("sql_parser.recursion_limit", 64)))
+        opts = self.options.to_dict()
+        stmts = parse_sql(
+            query,
+            recursion_limit=int(opts.get("sql_parser.recursion_limit", 64)),
+            float_as_decimal=bool(
+                opts.get("sql_parser.parse_float_as_decimal", False)))
         out: Optional[DataFrame] = None
         for stmt in stmts:
             out = self._run_statement(stmt, A, SqlPlanner)
@@ -260,7 +264,11 @@ class SessionContext:
             if stmt.format == "parquet":
                 self.register_parquet(stmt.name, stmt.location)
             elif stmt.format == "csv":
-                self.register_csv(stmt.name, stmt.location, stmt.has_header, stmt.delimiter)
+                from .catalog.catalog import CsvTable
+
+                self.catalog.register(stmt.name, CsvTable(
+                    stmt.location, stmt.has_header, stmt.delimiter,
+                    schema=stmt.columns))
             elif stmt.format == "json":
                 self.register_json(stmt.name, stmt.location)
             elif stmt.format in ("arrow", "ipc", "feather"):

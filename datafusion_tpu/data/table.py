@@ -297,6 +297,29 @@ def _arrow_scalar_dtype(at) -> T.DataType:
 # ---------------------------------------------------------------------------
 
 
+def pa_type(dtype: T.DataType):
+    """Our logical DataType -> the pyarrow type it round-trips through
+    (reference: arrow DataType, common/src/scalar/mod.rs)."""
+    import pyarrow as pa
+
+    K = T.TypeKind
+    table = {
+        K.BOOL: pa.bool_(), K.INT8: pa.int8(), K.INT16: pa.int16(),
+        K.INT32: pa.int32(), K.INT64: pa.int64(),
+        K.FLOAT32: pa.float32(), K.FLOAT64: pa.float64(),
+        K.DATE32: pa.date32(), K.TIMESTAMP: pa.timestamp("us"),
+        K.TIME: pa.time64("us"), K.STRING: pa.string(),
+        K.BINARY: pa.binary(), K.NULL: pa.null(),
+    }
+    if dtype.kind in table:
+        return table[dtype.kind]
+    if dtype.is_decimal:
+        return pa.decimal128(dtype.precision, dtype.scale)
+    if dtype.is_list:
+        return pa.list_(pa_type(dtype.elem))
+    raise PlanError(f"no arrow type for {dtype!r}")
+
+
 def _elem_logical(dtype: T.DataType, v, dictionary):
     if v is None:
         return None

@@ -71,10 +71,49 @@ def infer(e: E.Expr, schema: Schema) -> Tuple[T.DataType, bool]:
     raise PlanError(f"cannot infer type of {e!r}")
 
 
+def _as_decimal(t: T.DataType):
+    """Integer types viewed as decimals for result-type math (reference:
+    coerce_numeric_type_to_decimal128, expr-common type_coercion/binary.rs:
+    the spark convention i8->(3,0) i16->(5,0) i32->(10,0) i64->(20,0))."""
+    if t.is_decimal:
+        return t
+    k = T.TypeKind
+    p = {k.INT8: 3, k.INT16: 5, k.INT32: 10, k.INT64: 20}.get(t.kind)
+    return T.decimal(p, 0) if p is not None else None
+
+
+def _dec_arith(op: E.Op, lt: T.DataType, rt: T.DataType):
+    """Decimal arithmetic result type (reference: arrow-rs decimal kernels
+    as exercised by decimal.slt; precision capped at 38)."""
+    ld, rd = _as_decimal(lt), _as_decimal(rt)
+    if ld is None or rd is None:
+        return None
+    p1, s1, p2, s2 = ld.precision, ld.scale, rd.precision, rd.scale
+    if op in (E.Op.ADD, E.Op.SUB):
+        s = max(s1, s2)
+        p = max(p1 - s1, p2 - s2) + s + 1
+    elif op is E.Op.MUL:
+        s = s1 + s2
+        p = p1 + p2 + 1
+    elif op is E.Op.DIV:
+        s = s1 + 4
+        p = p1 + s2 + 4
+    elif op is E.Op.MOD:
+        s = max(s1, s2)
+        p = min(p1 - s1, p2 - s2) + s
+    else:
+        return None
+    return T.decimal(min(max(p, s), 38), min(s, 38))
+
+
 def arith_result(op: E.Op, lt: T.DataType, rt: T.DataType) -> T.DataType:
     if op is E.Op.DIV:
         if lt.is_integer and rt.is_integer:
             return T.common_numeric_type(lt, rt)
+        if (lt.is_decimal or rt.is_decimal) and not (lt.is_float or rt.is_float):
+            d = _dec_arith(op, lt, rt)
+            if d is not None:
+                return d
         return T.FLOAT64
     # date/interval arithmetic
     if lt.kind is T.TypeKind.DATE32 and rt.kind is T.TypeKind.INTERVAL_DAYS:
@@ -88,12 +127,10 @@ def arith_result(op: E.Op, lt: T.DataType, rt: T.DataType) -> T.DataType:
         return T.DATE32
     if lt.kind is T.TypeKind.DATE32 and rt.kind is T.TypeKind.DATE32 and op is E.Op.SUB:
         return T.INT32  # day difference
-    if lt.is_decimal and rt.is_decimal and op is E.Op.MUL:
-        return T.decimal(min(38, lt.precision + rt.precision + 1), lt.scale + rt.scale)
-    if (lt.is_decimal or rt.is_decimal) and op is E.Op.MUL:
-        d, o = (lt, rt) if lt.is_decimal else (rt, lt)
-        if o.is_integer:
-            return T.decimal(min(38, d.precision + 19), d.scale)
+    if (lt.is_decimal or rt.is_decimal) and not (lt.is_float or rt.is_float):
+        d = _dec_arith(op, lt, rt)
+        if d is not None:
+            return d
     return T.common_numeric_type(lt, rt)
 
 
@@ -113,8 +150,14 @@ def aggregate_result(e: E.AggregateFunction, schema: Schema) -> Tuple[T.DataType
         if at.is_integer:
             return T.INT64, True
         if at.is_decimal:
-            return T.decimal(38, at.scale), True
+            # reference: Decimal128(min(p+10, 38), s) (sum.rs out type)
+            return T.decimal(min(at.precision + 10, 38), at.scale), True
         return T.FLOAT64, True
+    if f in ("avg", "mean") and at.is_decimal:
+        # reference: Decimal128(min(p+4, 38), min(s+4, 38)) (avg.rs)
+        return T.decimal(min(at.precision + 4, 38), min(at.scale + 4, 38)), True
+    if f in ("median", "approx_median") and at.is_decimal:
+        return at, True  # reference: median returns the input type
     if f in ("avg", "mean", "median", "approx_median", "stddev", "stddev_pop",
              "stddev_samp", "var", "var_pop", "var_samp", "corr", "covar",
              "covar_pop", "covar_samp", "approx_percentile_cont",
@@ -154,9 +197,13 @@ def window_result(e: E.WindowFunction, schema: Schema) -> Tuple[T.DataType, bool
         if at.is_integer:
             return T.INT64, True
         if at.is_decimal:
-            return T.decimal(38, at.scale), True
+            return T.decimal(min(at.precision + 10, 38), at.scale), True
         return T.FLOAT64, True
     if f == "avg":
+        at, _ = infer(e.args[0], schema)
+        if at.is_decimal:
+            return (T.decimal(min(at.precision + 4, 38),
+                              min(at.scale + 4, 38)), True)
         return T.FLOAT64, True
     raise PlanError(f"unknown window function {f!r}")
 

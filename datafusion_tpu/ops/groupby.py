@@ -514,6 +514,15 @@ def _reduce_one(spec, sa, sf, ssel, seg, is_start, distinct_start, G, group_coun
         return DeviceColumn(s, (cnt > 0) & out_sel, spec.out_dtype)
 
     if f in ("avg", "mean"):
+        if arg.dtype.is_decimal and spec.out_dtype.is_decimal:
+            # exact int64 scaled sum; one rounded division to the output
+            # scale s+4 (reference: avg.rs decimal path)
+            s = SSUM(data, mask).astype(jnp.float64)
+            cnt = SCNT(mask)
+            num = s * (10.0 ** (spec.out_dtype.scale - arg.dtype.scale))
+            a = jnp.trunc(num / jnp.maximum(cnt, 1).astype(jnp.float64))
+            return DeviceColumn(a.astype(jnp.int64), (cnt > 0) & out_sel,
+                                spec.out_dtype)
         if arg.dtype.is_decimal:
             x = data.astype(jnp.float64) / (10.0 ** arg.dtype.scale)
         else:
@@ -636,6 +645,12 @@ def _reduce_one(spec, sa, sf, ssel, seg, is_start, distinct_start, G, group_coun
         hi_i = jnp.clip(first + jnp.ceil(pos).astype(jnp.int64).astype(jnp.int32), 0, n - 1)
         frac = pos - jnp.floor(pos)
         x = data.astype(jnp.float64)
+        if arg.dtype.is_decimal and spec.out_dtype.is_decimal:
+            # median/approx_median of decimals keeps the input type
+            # (reference: median.rs): interpolate on raw scaled ints, round
+            v = x[lo_i] * (1.0 - frac) + x[hi_i] * frac
+            return DeviceColumn(jnp.trunc(v).astype(jnp.int64),
+                                (cnt > 0) & out_sel, spec.out_dtype)
         if arg.dtype.is_decimal:
             x = x / (10.0 ** arg.dtype.scale)
         v = x[lo_i] * (1.0 - frac) + x[hi_i] * frac

@@ -201,9 +201,18 @@ def finalize(sp: StatePlan, merged: Sequence[DeviceColumn],
             data = v.data.astype(jnp.bool_) if fin.bool_out else v.data
             out.append(DeviceColumn(data, nonempty, s.out_dtype, v.dictionary))
         elif fin.kind == "avg":
-            ssum = merged[fin.slots[0]].data.astype(jnp.float64) / fin.scale
-            a = ssum / jnp.maximum(cnt, 1).astype(jnp.float64)
-            out.append(DeviceColumn(a, nonempty, T.FLOAT64))
+            ssum = merged[fin.slots[0]].data.astype(jnp.float64)
+            cntf = jnp.maximum(cnt, 1).astype(jnp.float64)
+            if s.out_dtype.is_decimal:
+                # exact scaled-int partial sums -> rounded division to the
+                # output scale (matches the single-device decimal avg)
+                num = ssum * (10.0 ** s.out_dtype.scale) / fin.scale
+                out.append(DeviceColumn(
+                    jnp.trunc(num / cntf).astype(jnp.int64), nonempty,
+                    s.out_dtype))
+            else:
+                a = (ssum / fin.scale) / cntf
+                out.append(DeviceColumn(a, nonempty, T.FLOAT64))
         elif fin.kind == "var":
             ssum = merged[fin.slots[0]].data
             s2 = merged[fin.slots[1]].data

@@ -474,6 +474,45 @@ _CMP = {
 }
 
 
+def _unwrap_cast_comparison(e: E.BinaryOp, schema: Schema) -> E.BinaryOp:
+    """Reference unwrap_cast_in_comparison analog (optimizer/src/
+    simplify_expressions/unwrap_cast.rs): a float literal compared against a
+    decimal expression is rewritten to a decimal literal AT THE DECIMAL
+    SIDE'S SCALE (round half away from zero). The reference plans TPC-H Q6's
+    `l_discount <= 0.06 + 0.01` as `l_discount <= Decimal128(0.07,15,2)` —
+    without this, f64(0.06)+f64(0.01) = 0.0699..93 silently excludes the
+    0.07 rows. Also restores exact int64 compares (bounds pruning) on TPU."""
+    from ..expr.typing import infer
+
+    def rewrite(lit: E.Literal, other: E.Expr):
+        try:
+            dt, _ = infer(other, schema)
+        except Exception:  # noqa: BLE001 -- untypeable side: leave as-is
+            return None
+        if not dt.is_decimal or lit.value is None:
+            return None
+        import math
+
+        v = float(lit.value)
+        raw = math.floor(abs(v) * 10 ** dt.scale + 0.5)
+        raw = -raw if v < 0 else raw
+        return E.Literal(raw / 10 ** dt.scale, T.decimal(dt.precision,
+                                                         dt.scale))
+
+    l, r = e.left, e.right
+    if isinstance(l, E.Literal) and l.dtype.is_float \
+            and not isinstance(r, E.Literal):
+        nl = rewrite(l, r)
+        if nl is not None:
+            return E.BinaryOp(e.op, nl, r)
+    if isinstance(r, E.Literal) and r.dtype.is_float \
+            and not isinstance(l, E.Literal):
+        nr = rewrite(r, l)
+        if nr is not None:
+            return E.BinaryOp(e.op, l, nr)
+    return e
+
+
 def eval_binary(e: E.BinaryOp, l: DeviceColumn, r: DeviceColumn, schema: Schema) -> DeviceColumn:
     op = e.op
     if op.is_logic:
@@ -563,6 +602,17 @@ def eval_binary(e: E.BinaryOp, l: DeviceColumn, r: DeviceColumn, schema: Schema)
             rem = ld - q * safe
             q = q + ((rem != 0) & ((ld < 0) != (rd < 0))).astype(q.dtype)
             return DeviceColumn(q, valid, out_t)
+        if out_t.is_decimal:
+            # decimal / decimal-or-int at scale s1+4 (arrow-rs decimal div):
+            # raw = round(l_raw * 10^(so - ls + rs) / r_raw), computed in f64
+            # (exact to 53 bits; the reference divides in i256)
+            ls = lt.scale if lt.is_decimal else 0
+            rs = rt.scale if rt.is_decimal else 0
+            num = l.data.astype(jnp.float64) * (10.0 ** (out_t.scale - ls + rs))
+            den = r.data.astype(jnp.float64)
+            safe = jnp.where(den == 0.0, 1.0, den)
+            q = jnp.where(den == 0.0, 0.0, num / safe)
+            return DeviceColumn(jnp.rint(q).astype(jnp.int64), valid, out_t)
         lf, rf = _to_float(l), _to_float(r)
         return DeviceColumn(lf / rf, valid, T.FLOAT64)
 
@@ -650,6 +700,8 @@ def eval_expr(e: E.Expr, rel: DeviceRelation) -> DeviceColumn:
         data = jnp.zeros(cap, jnp.bool_) if c.validity is None else ~c.validity
         return DeviceColumn(data, None, T.BOOL)
     if isinstance(e, E.BinaryOp):
+        if e.op.is_comparison:
+            e = _unwrap_cast_comparison(e, rel.schema)
         return eval_binary(e, eval_expr(e.left, rel), eval_expr(e.right, rel), schema)
     if isinstance(e, E.Between):
         low = E.BinaryOp(E.Op.GE, e.expr, e.low)

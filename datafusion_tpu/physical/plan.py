@@ -715,8 +715,16 @@ class AggregateExec(PhysicalPlan):
                     continue
                 # avg: exact int64 sum / count in f64
                 arg = arg_cols[spec.arg]
+                cntf = jnp.maximum(pcounts, 1).astype(jnp.float64)
+                if arg.dtype.is_decimal and spec.out_dtype.is_decimal:
+                    num = ssum.astype(jnp.float64) * (
+                        10.0 ** (spec.out_dtype.scale - arg.dtype.scale))
+                    out_aggs.append(DeviceColumn(
+                        jnp.trunc(num / cntf).astype(jnp.int64),
+                        (pcounts > 0) & out_sel, spec.out_dtype))
+                    continue
                 scale = 10.0 ** arg.dtype.scale if arg.dtype.is_decimal else 1.0
-                a = (ssum.astype(jnp.float64) / scale) / jnp.maximum(pcounts, 1).astype(jnp.float64)
+                a = (ssum.astype(jnp.float64) / scale) / cntf
                 out_aggs.append(DeviceColumn(a, (pcounts > 0) & out_sel, T.FLOAT64))
                 continue
             out_aggs.append(

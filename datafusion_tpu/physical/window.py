@@ -542,8 +542,14 @@ class WindowExec(PhysicalPlan):
             if f == "count":
                 return DeviceColumn(c.astype(jnp.int64), None, T.INT64)
             if f == "avg":
+                cntf = jnp.maximum(c, 1).astype(jnp.float64)
+                if argc.dtype.is_decimal and out_t.is_decimal:
+                    num = s.astype(jnp.float64) * (
+                        10.0 ** (out_t.scale - argc.dtype.scale))
+                    return DeviceColumn(jnp.trunc(num / cntf).astype(jnp.int64),
+                                        (c > 0) & ssel, out_t)
                 arg_scale = 10.0 ** argc.dtype.scale if argc.dtype.is_decimal else 1.0
-                a = (s.astype(jnp.float64) / arg_scale) / jnp.maximum(c, 1).astype(jnp.float64)
+                a = (s.astype(jnp.float64) / arg_scale) / cntf
                 return DeviceColumn(a, (c > 0) & ssel, T.FLOAT64)
             sdt = out_t
             return DeviceColumn(s.astype(sdt.np_dtype()), (c > 0) & ssel, sdt)
@@ -596,8 +602,14 @@ class WindowExec(PhysicalPlan):
             if f == "count":
                 return DeviceColumn(c.astype(jnp.int64), None, T.INT64)
             if f == "avg":
+                cntf = jnp.maximum(c, 1).astype(jnp.float64)
+                if argc.dtype.is_decimal and out_t.is_decimal:
+                    num = s.astype(jnp.float64) * (
+                        10.0 ** (out_t.scale - argc.dtype.scale))
+                    return DeviceColumn(jnp.trunc(num / cntf).astype(jnp.int64),
+                                        (c > 0) & ssel, out_t)
                 arg_scale = 10.0 ** argc.dtype.scale if argc.dtype.is_decimal else 1.0
-                a = (s.astype(jnp.float64) / arg_scale) / jnp.maximum(c, 1).astype(jnp.float64)
+                a = (s.astype(jnp.float64) / arg_scale) / cntf
                 return DeviceColumn(a, (c > 0) & ssel, T.FLOAT64)
             return DeviceColumn(s.astype(out_t.np_dtype()), (c > 0) & ssel, out_t)
 

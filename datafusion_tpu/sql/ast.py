@@ -128,6 +128,10 @@ class CreateExternalTable:
     location: str
     has_header: bool = True
     delimiter: str = ","
+    # declared (name, DataType) pairs: schema for CSV / rename+coerce others
+    columns: Optional[List[Tuple[str, object]]] = None
+    options: dict = dataclasses.field(default_factory=dict)
+    partitioned_by: List[str] = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass

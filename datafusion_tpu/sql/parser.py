@@ -16,8 +16,10 @@ from . import ast as A
 from .lexer import Token, tokenize
 
 
-def parse_sql(sql: str, recursion_limit: int = 64) -> List[object]:
-    p = Parser(tokenize(sql), recursion_limit=recursion_limit)
+def parse_sql(sql: str, recursion_limit: int = 64,
+              float_as_decimal: bool = False) -> List[object]:
+    p = Parser(tokenize(sql), recursion_limit=recursion_limit,
+               float_as_decimal=float_as_decimal)
     out = []
     while not p.at("eof"):
         out.append(p.statement())
@@ -27,11 +29,15 @@ def parse_sql(sql: str, recursion_limit: int = 64) -> List[object]:
 
 
 class Parser:
-    def __init__(self, tokens: List[Token], recursion_limit: int = 64):
+    def __init__(self, tokens: List[Token], recursion_limit: int = 64,
+                 float_as_decimal: bool = False):
         self.toks = tokens
         self.i = 0
         self.depth = 0
         self.recursion_limit = recursion_limit
+        # sql_parser.parse_float_as_decimal (reference default: false —
+        # '1.23' is a Float64 literal)
+        self.float_as_decimal = float_as_decimal
 
     # ---- token helpers ---------------------------------------------------
     def peek(self, k: int = 0) -> Token:
@@ -235,6 +241,32 @@ class Parser:
             return A.SetVariable(key, t.value)
         return self.select_stmt()
 
+    def _column_defs(self):
+        """Typed column list after an already-consumed '(': name TYPE
+        [constraints], ... ')'. Constraint tokens are accepted and ignored."""
+        columns = []
+        while True:
+            cname = self.ident()
+            dtype = self.type_name()
+            while True:  # constraint tokens we accept and ignore
+                if self.eat_kw("not"):
+                    self.expect_kw("null")
+                elif self.eat_kw("null"):
+                    pass
+                elif self.peek().kind == "ident" and \
+                        self.peek().value.lower() in ("primary", "unique"):
+                    self.next()
+                    if self.peek().kind == "ident" and \
+                            self.peek().value.lower() == "key":
+                        self.next()
+                else:
+                    break
+            columns.append((cname, dtype))
+            if not self.eat_op(","):
+                break
+        self.expect_op(")")
+        return columns
+
     def _create(self):
         self.expect_kw("create")
         or_replace = False
@@ -242,38 +274,74 @@ class Parser:
             self.expect_kw("replace")
             or_replace = True
         if self.eat_kw("external"):
+            # reference grammar (sql/src/parser.rs CreateExternalTable):
+            # CREATE EXTERNAL TABLE [IF NOT EXISTS] name [(cols)] STORED AS
+            # fmt [WITH HEADER ROW] [WITH ORDER (..)] [DELIMITER c]
+            # [PARTITIONED BY (..)] [OPTIONS (k v, ..)] LOCATION p — clause
+            # order is free and OPTIONS may follow LOCATION.
             self.expect_kw("table")
+            if self.eat_kw("if"):
+                self.expect_kw("not")
+                self.expect_kw("exists")
             name = self.qualified_ident()
-            if self.eat_op("("):  # optional column list, ignored (inferred)
-                depth = 1
-                while depth:
-                    t = self.next()
-                    if t.kind == "op" and t.value == "(":
-                        depth += 1
-                    elif t.kind == "op" and t.value == ")":
-                        depth -= 1
-            self.expect_kw("stored")
-            self.expect_kw("as")
-            fmt = self.ident().lower()
+            columns = None
+            if self.at("op", "("):
+                self.next()
+                columns = self._column_defs()
+            fmt = None
             has_header = False
             delimiter = ","
+            loc = None
+            options = {}
+            partitioned_by = []
             while True:
-                if self.eat_kw("with"):
-                    self.expect_kw("header")
-                    self.ident()  # row
-                    has_header = True
+                if self.eat_kw("stored"):
+                    self.expect_kw("as")
+                    fmt = self.ident().lower()
+                elif self.eat_kw("with"):
+                    if self.eat_kw("header"):
+                        self.ident()  # row
+                        has_header = True
+                    else:  # WITH ORDER (col [ASC|DESC], ...): accepted, inert
+                        self.expect_kw("order")
+                        self.expect_op("(")
+                        depth = 1
+                        while depth:
+                            t = self.next()
+                            if t.kind == "op" and t.value == "(":
+                                depth += 1
+                            elif t.kind == "op" and t.value == ")":
+                                depth -= 1
                 elif self.eat_kw("delimiter"):
                     delimiter = self.next().value
+                elif self.eat_kw("partitioned"):
+                    self.expect_kw("by")
+                    self.expect_op("(")
+                    partitioned_by.append(self.ident())
+                    while self.eat_op(","):
+                        partitioned_by.append(self.ident())
+                    self.expect_op(")")
                 elif self.eat_kw("location"):
                     loc = self.next().value
-                    break
                 elif self.eat_kw("options"):
                     self.expect_op("(")
                     while not self.eat_op(")"):
-                        self.next()
+                        k = self.next().value
+                        v = self.next().value
+                        options[str(k).lower()] = str(v)
+                        self.eat_op(",")
                 else:
-                    raise ParseError(f"unexpected {self.peek()} in CREATE EXTERNAL TABLE")
-            return A.CreateExternalTable(name, fmt, loc, has_header, delimiter)
+                    break
+            if fmt is None or loc is None:
+                raise ParseError("CREATE EXTERNAL TABLE needs STORED AS "
+                                 "and LOCATION")
+            if options.get("format.has_header", "").lower() == "true":
+                has_header = True
+            if "format.delimiter" in options:
+                delimiter = options["format.delimiter"]
+            return A.CreateExternalTable(name, fmt, loc, has_header,
+                                         delimiter, columns, options,
+                                         partitioned_by)
         is_view = self.eat_kw("view") is not None
         if not is_view:
             self.expect_kw("table")
@@ -290,27 +358,7 @@ class Parser:
         if not is_view and self.at("op", "("):
             # typed column list: CREATE TABLE t(a INT, b VARCHAR) [AS ...]
             self.next()
-            columns = []
-            while True:
-                cname = self.ident()
-                dtype = self.type_name()
-                while True:  # constraint tokens we accept and ignore
-                    if self.eat_kw("not"):
-                        self.expect_kw("null")
-                    elif self.eat_kw("null"):
-                        pass
-                    elif self.peek().kind == "ident" and \
-                            self.peek().value.lower() in ("primary", "unique"):
-                        self.next()
-                        if self.peek().kind == "ident" and \
-                                self.peek().value.lower() == "key":
-                            self.next()
-                    else:
-                        break
-                columns.append((cname, dtype))
-                if not self.eat_op(","):
-                    break
-            self.expect_op(")")
+            columns = self._column_defs()
         if self.eat_kw("as"):
             q = self.select_stmt()
         elif columns is not None and not is_view:
@@ -858,10 +906,17 @@ class Parser:
         if t.kind == "number":
             self.next()
             v = t.value
-            if "." in v and "e" not in v.lower():
+            if "." in v and "e" not in v.lower() and self.float_as_decimal:
+                # sql_parser.parse_float_as_decimal=true (reference
+                # config.rs): '1.23' types as Decimal128(p, s) with p/s
+                # taken from the digit count, not (38, s)
+                digits = len(v.replace(".", "").replace("-", "").lstrip("0")) \
+                    or 1
                 scale = len(v.split(".", 1)[1])
-                return E.Literal(float(v), T.decimal(38, scale))
+                return E.Literal(float(v), T.decimal(max(digits, scale), scale))
             if "e" in v.lower() or "." in v:
+                # reference default: float literals are Float64
+                # (sql/src/planner.rs sql_number_to_expr)
                 return E.Literal(float(v), T.FLOAT64)
             return E.Literal(int(v), T.INT64)
         if t.kind == "string":

@@ -57,8 +57,64 @@ def _record_deadline(seconds: int):
         signal.signal(signal.SIGALRM, prev)
 
 _SKIP_SQL = re.compile(
-    r"^\s*(explain\b|describe\b|copy\b|create\s+external\b|"
-    r"create\s+unbounded\b)", re.IGNORECASE)
+    r"^\s*(explain\b|describe\b|create\s+unbounded\b)", re.IGNORECASE)
+
+# reference corpus root: relative LOCATION/COPY paths resolve against it
+# (the reference runner executes from datafusion/sqllogictest)
+SLT_REF_ROOT = "/root/reference/datafusion/sqllogictest"
+# fixtures living in git submodules that are not checked out, mapped to an
+# equivalent in-tree file (same rows sorted by c1; every kept query is
+# still verified against the reference's committed expected output, so
+# order-sensitive records simply drop)
+FIXTURE_SUBS = {
+    "../../testing/data/csv/aggregate_test_100.csv":
+        "../core/tests/data/aggregate_test_100_order_by_c1_asc.csv",
+}
+_QUOTED = re.compile(r"'([^']*)'")
+_FIXTURE_CAP_BYTES = 64 << 20
+
+
+def _tree_bytes(p: str) -> int:
+    import os
+
+    if os.path.isfile(p):
+        return os.path.getsize(p)
+    return sum(os.path.getsize(os.path.join(d, f))
+               for d, _dirs, fs in os.walk(p) for f in fs)
+
+
+def rewrite_fixture_paths(sql: str, data_dir: str) -> str:
+    """Rewrite path literals in a reference SLT statement to portable
+    tokens: scratch outputs -> $SCRATCH/..., reference fixtures -> copied
+    into data_dir and referenced as $SLTDATA/<name>. Unresolvable paths are
+    left alone (the statement then fails and the record drops)."""
+    import os
+    import shutil
+
+    def repl(m):
+        path = m.group(1)
+        if path.startswith("test_files/scratch/"):
+            return "'$SCRATCH/" + path[len("test_files/scratch/"):] + "'"
+        if not (path.startswith("../") or path.startswith("test_files/")):
+            return m.group(0)
+        src = os.path.normpath(
+            os.path.join(SLT_REF_ROOT, FIXTURE_SUBS.get(path, path)))
+        if not os.path.exists(src):
+            return m.group(0)
+        name = os.path.basename(src.rstrip("/"))
+        dst = os.path.join(data_dir, name)
+        if os.path.exists(dst):
+            pass  # same basename == same fixture across the corpus
+        elif _tree_bytes(src) > _FIXTURE_CAP_BYTES:
+            return m.group(0)
+        elif os.path.isdir(src):
+            shutil.copytree(src, dst)
+        else:
+            os.makedirs(data_dir, exist_ok=True)
+            shutil.copy2(src, dst)
+        return f"'$SLTDATA/{name}'"
+
+    return _QUOTED.sub(repl, sql)
 
 
 @dataclasses.dataclass
@@ -172,6 +228,17 @@ def _row_keys(rows: List[str], types: str, sep: Optional[str]):
         if len(toks) != len(types):
             if len(types) == 1:
                 toks = [row.strip()]
+            elif (sep is None and len(toks) > len(types)
+                    and types.count("T") == 1):
+                # a space-separated reference row whose single T column
+                # itself contains spaces (e.g. "Decimal128(10, 4) 1.23"
+                # under types TR): give the surrounding typed columns one
+                # token each and merge the middle back into the T column
+                ti = types.index("T")
+                ntrail = len(types) - ti - 1
+                mid = " ".join(toks[ti:len(toks) - ntrail])
+                toks = toks[:ti] + [mid] + (toks[len(toks) - ntrail:]
+                                            if ntrail else [])
             else:
                 return None
         keys.append(tuple(_norm_token(t, tc) for t, tc in zip(toks, types)))
@@ -231,7 +298,20 @@ def _inline_includes(path: str, seen=None) -> str:
 def port_file(ref_path: str, out_path: str, ctx_factory) -> dict:
     """Replay ref_path against a fresh context; write the surviving records
     to out_path. Returns stats."""
+    import os
+    import tempfile
+
     refs = parse_reference_slt(_inline_includes(ref_path))
+    data_dir = os.path.normpath(os.path.join(
+        os.path.dirname(os.path.abspath(out_path)), "..", "data"))
+    scratch = tempfile.mkdtemp(prefix="slt_port_scratch_")
+    for r in refs:
+        if "'" in r.sql:
+            r.sql = rewrite_fixture_paths(r.sql, data_dir)
+
+    def _x(sql: str) -> str:
+        return sql.replace("$SLTDATA", data_dir).replace("$SCRATCH", scratch)
+
     ctx = ctx_factory()
     kept: List[Record] = []
     stats = {"total": len(refs), "kept": 0, "skipped_stmt": 0,
@@ -247,7 +327,7 @@ def port_file(ref_path: str, out_path: str, ctx_factory) -> dict:
                 continue
             try:
                 with _record_deadline(30):
-                    ctx.sql(r.sql).collect()
+                    ctx.sql(_x(r.sql)).collect()
             except Exception:  # noqa: BLE001
                 stats["failed_stmt"] += 1
                 continue
@@ -257,7 +337,7 @@ def port_file(ref_path: str, out_path: str, ctx_factory) -> dict:
         if r.kind in ("statement_error", "query_error"):
             try:
                 with _record_deadline(30):
-                    ctx.sql(r.sql).collect()
+                    ctx.sql(_x(r.sql)).collect()
             except TimeoutError:  # noqa: PERF203 -- hang is not an error-match
                 continue
             except Exception:  # noqa: BLE001
@@ -269,7 +349,7 @@ def port_file(ref_path: str, out_path: str, ctx_factory) -> dict:
         types = re.sub(r"[^IRTBD]", "T", r.types)
         try:
             with _record_deadline(30):
-                table = ctx.sql(r.sql).collect()
+                table = ctx.sql(_x(r.sql)).collect()
                 actual = format_rows(table, types, r.sort_mode)
         except Exception:  # noqa: BLE001
             stats["query_failed"] += 1

@@ -171,13 +171,37 @@ def run_records(records: List[Record], ctx, path: str = "<slt>",
                 complete: bool = False) -> Tuple[List[Failure], List[Record]]:
     """Execute records against a SessionContext. Returns (failures,
     possibly-updated records). With complete=True, query expectations are
-    REPLACED by actual output (and never fail)."""
+    REPLACED by actual output (and never fail).
+
+    Path tokens from the porter are substituted per run: $SLTDATA ->
+    the corpus fixture dir (tests/slt/data, located relative to `path`),
+    $SCRATCH -> a fresh temp dir (COPY targets / external-table outputs)."""
     failures: List[Failure] = []
     updated: List[Record] = []
+    subs = None
+    if any("$SLTDATA" in r.sql or "$SCRATCH" in r.sql for r in records):
+        import os
+        import tempfile
+
+        base = os.path.dirname(os.path.abspath(path))
+        data = None
+        for up in (".", "..", "../.."):
+            cand = os.path.normpath(os.path.join(base, up, "data"))
+            if os.path.isdir(cand):
+                data = cand
+                break
+        subs = (data or "tests/slt/data", tempfile.mkdtemp(prefix="slt_scratch_"))
+
+    def _exec_sql(r):
+        if subs is None:
+            return r.sql
+        return (r.sql.replace("$SLTDATA", subs[0])
+                     .replace("$SCRATCH", subs[1]))
+
     for rec in records:
         if rec.kind == "statement_ok":
             try:
-                ctx.sql(rec.sql).collect()
+                ctx.sql(_exec_sql(rec)).collect()
             except Exception as exc:  # noqa: BLE001
                 failures.append(Failure(path, rec.line, rec.sql,
                                         f"statement failed: {exc}"))
@@ -185,7 +209,7 @@ def run_records(records: List[Record], ctx, path: str = "<slt>",
             continue
         if rec.kind == "statement_error":
             try:
-                ctx.sql(rec.sql).collect()
+                ctx.sql(_exec_sql(rec)).collect()
                 failures.append(Failure(path, rec.line, rec.sql,
                                         "expected an error, statement succeeded"))
             except Exception as exc:  # noqa: BLE001
@@ -197,7 +221,7 @@ def run_records(records: List[Record], ctx, path: str = "<slt>",
             continue
         # query
         try:
-            table = ctx.sql(rec.sql).collect()
+            table = ctx.sql(_exec_sql(rec)).collect()
             actual = format_rows(table, rec.types, rec.sort_mode)
         except Exception as exc:  # noqa: BLE001
             failures.append(Failure(path, rec.line, rec.sql, f"query failed: {exc}"))
