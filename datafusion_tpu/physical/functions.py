@@ -66,6 +66,8 @@ def builtin_function_names() -> set:
         "least", "arrow_typeof", "arrow_cast", "version", "to_char",
         "to_local_time", "substr_index", "substring_index", "regexp_count",
         "regexp_instr", "to_time", "make_time", "current_time",
+        "to_timestamp_seconds", "to_timestamp_millis", "to_timestamp_micros",
+        "to_timestamp_nanos", "nvl2", "date_format",
     }
     return out
 
@@ -211,7 +213,13 @@ def scalar_function_type(e: E.ScalarFunction, schema: Schema) -> Tuple[T.DataTyp
         return T.FLOAT64, nullable
     if f == "make_date":
         return T.DATE32, nullable
-    if f in ("to_timestamp", "from_unixtime", "date_bin"):
+    if f in ("to_timestamp", "from_unixtime", "date_bin",
+             "to_timestamp_seconds", "to_timestamp_millis",
+             "to_timestamp_micros", "to_timestamp_nanos"):
+        return T.TIMESTAMP, nullable
+    if f == "nvl2":
+        return argt[1][0], nullable
+    if f == "at_time_zone":
         return T.TIMESTAMP, nullable
     if f in ("greatest", "least"):
         base = argt[0][0]
@@ -411,8 +419,12 @@ def eval_scalar_function(
                             "(reference: datetime/date_trunc.rs signatures)")
         if datecol.dtype.kind is T.TypeKind.TIMESTAMP:
             us = datecol.data
-            divs = {"second": 1_000_000, "minute": 60_000_000,
-                    "hour": 3_600_000_000, "day": 86_400_000_000}
+            divs = {"microsecond": 1, "microseconds": 1,
+                    "millisecond": 1_000, "milliseconds": 1_000,
+                    "second": 1_000_000, "seconds": 1_000_000,
+                    "minute": 60_000_000, "minutes": 60_000_000,
+                    "hour": 3_600_000_000, "hours": 3_600_000_000,
+                    "day": 86_400_000_000, "days": 86_400_000_000}
             if unit in divs:
                 d = np.int64(divs[unit])
                 return DeviceColumn((us // d) * d, validity, T.TIMESTAMP)
@@ -434,8 +446,9 @@ def eval_scalar_function(
             out = DU.days_from_civil(y, m, one)
         elif unit == "week":
             out = (days - ((days.astype(jnp.int64) + 3) % 7).astype(days.dtype))
-        elif unit == "day":
-            out = days
+        elif unit in ("day", "hour", "minute", "second", "millisecond",
+                      "microsecond"):
+            out = days  # sub-day truncation of a DATE32 is the identity
         else:
             raise PlanError(f"unsupported date_trunc unit {unit!r}")
         return DeviceColumn(out, validity, T.DATE32)
@@ -808,6 +821,21 @@ def eval_scalar_function(
         # (reference: datetime/to_local_time.rs strips the tz offset)
         return DeviceColumn(args[0].data, validity, args[0].dtype)
 
+    if f == "at_time_zone":
+        # expr AT TIME ZONE 'tz': this engine carries naive-UTC timestamps,
+        # so only UTC-equivalent zones evaluate (others would need a tz
+        # database; the record then errors like an unknown-zone reference)
+        tz = str(_literal_value(arg_exprs[1])).lower()
+        if tz not in ("utc", "+00:00", "+00", "etc/utc", "z", "00:00"):
+            raise PlanError(f"AT TIME ZONE {tz!r}: only UTC-equivalent "
+                            "zones are supported (naive-UTC engine)")
+        a = args[0]
+        if a.dtype.kind is T.TypeKind.TIMESTAMP:
+            return a
+        from .expr_compiler import cast_column
+
+        return cast_column(a, T.TIMESTAMP, capacity)
+
     if f == "to_time":
         a = args[0]
         if a.dtype.kind is T.TypeKind.TIME:
@@ -845,6 +873,22 @@ def eval_scalar_function(
         us = ((now.hour * 60 + now.minute) * 60 + now.second) * 1_000_000 \
             + now.microsecond
         return DeviceColumn(jnp.full(capacity, us, jnp.int64), None, T.TIME)
+
+    if f in ("now", "current_timestamp"):
+        import datetime as _dt
+
+        now = _dt.datetime.now(_dt.timezone.utc)
+        us = int(now.timestamp() * 1e6)
+        return DeviceColumn(jnp.full(capacity, us, jnp.int64), None,
+                            T.TIMESTAMP)
+
+    if f in ("current_date", "today"):
+        import datetime as _dt
+
+        days = (_dt.datetime.now(_dt.timezone.utc).date()
+                - _dt.date(1970, 1, 1)).days
+        return DeviceColumn(jnp.full(capacity, days, jnp.int32), None,
+                            T.DATE32)
 
     if f == "overlay":
         repl = str(_literal_value(arg_exprs[1]))
@@ -954,7 +998,17 @@ def eval_scalar_function(
         return DeviceColumn(DU.days_from_civil(y, m, d_).astype(jnp.int32),
                             validity, T.DATE32)
 
-    if f == "to_timestamp":
+    if f in ("to_timestamp", "to_timestamp_seconds", "to_timestamp_millis",
+             "to_timestamp_micros", "to_timestamp_nanos"):
+        # numeric input is interpreted in the named unit; output storage is
+        # always us, truncated to that unit's precision (reference:
+        # datetime/to_timestamp.rs family)
+        unit_us = {"to_timestamp": 1_000_000, "to_timestamp_seconds": 1_000_000,
+                   "to_timestamp_millis": 1_000, "to_timestamp_micros": 1,
+                   "to_timestamp_nanos": 1}[f]
+        trunc_us = {"to_timestamp": 1, "to_timestamp_seconds": 1_000_000,
+                    "to_timestamp_millis": 1_000, "to_timestamp_micros": 1,
+                    "to_timestamp_nanos": 1}[f]
         a = args[0]
         if a.dtype.is_string:
             d = a.dictionary
@@ -962,14 +1016,56 @@ def eval_scalar_function(
             lut = (vals.astype("datetime64[us]").astype(np.int64)
                    if len(vals) else np.zeros(1, np.int64))
             out = jnp.asarray(lut)[jnp.clip(a.data, 0, len(lut) - 1)]
+            if trunc_us > 1:
+                t_ = np.int64(trunc_us)
+                out = (out // t_) * t_
             return DeviceColumn(out, validity, T.TIMESTAMP)
         if a.dtype.kind is T.TypeKind.TIMESTAMP:
+            if trunc_us > 1:
+                t_ = np.int64(trunc_us)
+                return DeviceColumn((a.data // t_) * t_, validity, T.TIMESTAMP)
             return a
         if a.dtype.kind is T.TypeKind.DATE32:
             return DeviceColumn(a.data.astype(jnp.int64) * np.int64(86_400_000_000),
                                 validity, T.TIMESTAMP)
+        if a.dtype.is_integer and f != "to_timestamp":
+            if f == "to_timestamp_nanos":
+                return DeviceColumn(a.data.astype(jnp.int64) // 1_000,
+                                    validity, T.TIMESTAMP)
+            return DeviceColumn(a.data.astype(jnp.int64) * np.int64(unit_us),
+                                validity, T.TIMESTAMP)
         secs = _to_float(a)
-        return DeviceColumn((secs * 1e6).astype(jnp.int64), validity, T.TIMESTAMP)
+        us = (secs * (1e6 if f in ("to_timestamp", "to_timestamp_seconds")
+                      else 1e3 if f == "to_timestamp_millis"
+                      else 1.0 if f == "to_timestamp_micros"
+                      else 1e-3)).astype(jnp.int64)
+        if trunc_us > 1:
+            t_ = np.int64(trunc_us)
+            us = (us // t_) * t_
+        return DeviceColumn(us, validity, T.TIMESTAMP)
+
+    if f == "nvl2":
+        # nvl2(test, when_not_null, when_null) (reference: core/nvl2.rs)
+        a, b, c = args[0], args[1], args[2]
+        not_null = a.valid() if a.validity is not None else jnp.ones(
+            a.data.shape[0], dtype=bool)
+        bd, cd = b.data, c.data
+        if b.dtype != c.dtype and (b.dtype.is_numeric and c.dtype.is_numeric):
+            common = T.common_numeric_type(b.dtype, c.dtype)
+            from .expr_compiler import cast_column
+
+            b = cast_column(b, common, capacity)
+            c = cast_column(c, common, capacity)
+            bd, cd = b.data, c.data
+        data = jnp.where(not_null, bd, cd)
+        vb = b.valid() if b.validity is not None else None
+        vc = c.valid() if c.validity is not None else None
+        v = None
+        if vb is not None or vc is not None:
+            vb_ = vb if vb is not None else jnp.ones_like(not_null)
+            vc_ = vc if vc is not None else jnp.ones_like(not_null)
+            v = jnp.where(not_null, vb_, vc_)
+        return DeviceColumn(data, v, b.dtype, b.dictionary)
 
     if f == "from_unixtime":
         secs = args[0].data.astype(jnp.int64)

@@ -106,7 +106,8 @@ class Parser:
             return self._create()
         if self.at_kw("drop"):
             self.next()
-            self.expect_kw("table")
+            if not self.eat_kw("view"):  # DROP TABLE and DROP VIEW share
+                self.expect_kw("table")  # the catalog deregistration path
             if_exists = False
             if self.eat_kw("if"):
                 self.expect_kw("exists")
@@ -234,12 +235,74 @@ class Parser:
         if self.at_kw("set"):
             self.next()
             key = self.ident()
+            if key.lower() == "time" and self.peek().kind == "ident" \
+                    and self.peek().value.lower() == "zone":
+                # SET TIME ZONE '<tz>' (reference: datafusion.execution.time_zone)
+                self.next()
+                t = self.next()
+                return A.SetVariable("datafusion.execution.time_zone",
+                                     t.value)
             while self.eat_op("."):
                 key += "." + self.ident()
             self.expect_op("=")
             t = self.next()
             return A.SetVariable(key, t.value)
         return self.select_stmt()
+
+    _INTERVAL_UNIT_US = {
+        "hour": 3_600_000_000, "hr": 3_600_000_000, "h": 3_600_000_000,
+        "minute": 60_000_000, "min": 60_000_000,
+        "second": 1_000_000, "sec": 1_000_000, "s": 1_000_000,
+        "millisecond": 1_000, "ms": 1_000,
+        "microsecond": 1, "us": 1,
+        "nanosecond": 1e-3, "ns": 1e-3,
+    }
+
+    def _interval_literal(self, parts):
+        """Multi-part interval string '<n unit [n unit ...]>' (reference:
+        arrow-rs parse_interval / MonthDayNano). Stored as one of the three
+        interval kinds this engine carries: MONTHS (calendar), DAYS, or US;
+        a mix of calendar months and sub-month parts cannot be represented
+        and raises."""
+        if len(parts) % 2 != 0:
+            raise ParseError(f"malformed interval {' '.join(parts)!r}")
+        months = 0
+        days = 0
+        us = 0.0
+        for i in range(0, len(parts), 2):
+            try:
+                n = float(parts[i])
+            except ValueError:
+                raise ParseError(f"malformed interval quantity {parts[i]!r}")
+            unit = parts[i + 1].lower().rstrip("s") or "s"
+            if parts[i + 1].lower() in ("s", "ms", "us", "ns"):
+                unit = parts[i + 1].lower()
+            if unit in ("year", "yr", "y"):
+                months += 12 * n
+            elif unit in ("month", "mon"):
+                months += n
+            elif unit in ("week", "w"):
+                days += 7 * n
+            elif unit in ("day", "d"):
+                days += n
+            elif unit in self._INTERVAL_UNIT_US:
+                us += n * self._INTERVAL_UNIT_US[unit]
+            else:
+                raise ParseError(f"unsupported interval unit {unit!r}")
+        if months and (days or us):
+            raise ParseError(
+                "mixed month/sub-month intervals are not representable")
+        if months:
+            if months != int(months):
+                days += (months - int(months)) * 30  # arrow: 1 mon = 30 days
+                months = int(months)
+                if days or us:
+                    raise ParseError("fractional months are not representable")
+            return E.Literal(int(months), T.INTERVAL_MONTHS)
+        if us == 0 and days == int(days):
+            return E.Literal(int(days), T.INTERVAL_DAYS)
+        total_us = int(round(days * 86_400_000_000 + us))
+        return E.Literal(total_us, T.INTERVAL_US)
 
     def _column_defs(self):
         """Typed column list after an already-consumed '(': name TYPE
@@ -830,8 +893,37 @@ class Parser:
                     e = E.ScalarFunction("get_field", (e, idx))
                 else:
                     e = E.ScalarFunction("array_element", (e, idx))
+            elif self.peek().kind == "ident" \
+                    and self.peek().value.lower() == "at" \
+                    and self.peek(1).kind == "kw" \
+                    and self.peek(1).value == "time":
+                # expr AT TIME ZONE 'tz' (reference: Expr::Cast to
+                # Timestamp(..., tz); this engine is naive-UTC so only
+                # UTC-equivalent zones evaluate)
+                self.next()
+                self.next()
+                zt = self.next()
+                if not (zt.kind == "ident" and zt.value.lower() == "zone"):
+                    raise ParseError("expected ZONE after AT TIME")
+                tz = self.next().value
+                e = E.ScalarFunction("at_time_zone",
+                                     (e, E.Literal(str(tz), T.STRING)))
             else:
                 return e
+
+    def _tz_suffix(self):
+        """Accept [WITHOUT TIME ZONE] on TIME/TIMESTAMP types; WITH TIME
+        ZONE is rejected (naive-UTC engine)."""
+        t = self.peek()
+        if (t.value or "").lower() in ("with", "without") \
+                and (self.peek(1).value or "").lower() == "time" \
+                and (self.peek(2).value or "").lower() == "zone":
+            word = self.next().value.lower()
+            self.next()
+            self.next()
+            if word == "with":
+                raise ParseError("WITH TIME ZONE types are not supported "
+                                 "(naive-UTC engine)")
 
     def type_name(self) -> T.DataType:
         name = self.ident().lower()
@@ -881,8 +973,18 @@ class Parser:
         if name == "date":
             return T.DATE32
         if name == "timestamp":
+            # TIMESTAMP(p): fractional-second precision accepted; storage is
+            # always microseconds (reference: Timestamp(unit, tz))
+            if self.eat_op("("):
+                self.next()
+                self.expect_op(")")
+            self._tz_suffix()
             return T.TIMESTAMP
         if name == "time":
+            if self.eat_op("("):
+                self.next()
+                self.expect_op(")")
+            self._tz_suffix()
             return T.TIME
         if name in ("boolean", "bool"):
             return T.BOOL
@@ -961,26 +1063,17 @@ class Parser:
                 self.next()
                 tv = self.next()
                 parts = tv.value.split()
-                if len(parts) == 2:
-                    n, unit = int(parts[0]), parts[1].lower()
-                else:
-                    n = int(tv.value)
-                    unit = self.ident().lower()
-                unit = unit.rstrip("s")
-                if unit == "day":
-                    return E.Literal(n, T.INTERVAL_DAYS)
-                if unit == "month":
-                    return E.Literal(n, T.INTERVAL_MONTHS)
-                if unit == "year":
-                    return E.Literal(12 * n, T.INTERVAL_MONTHS)
-                if unit == "week":
-                    return E.Literal(7 * n, T.INTERVAL_DAYS)
-                us = {"hour": 3_600_000_000, "minute": 60_000_000,
-                      "second": 1_000_000, "millisecond": 1_000,
-                      "microsecond": 1}.get(unit)
-                if us is not None:
-                    return E.Literal(n * us, T.INTERVAL_US)
-                raise ParseError(f"unsupported interval unit {unit!r}")
+                if len(parts) < 2:
+                    # INTERVAL '5' <unit>: unit follows as an identifier
+                    unit_toks = [self.ident().lower()]
+                    if self.peek().kind == "ident" and \
+                            self.peek().value.lower() == "to":
+                        # INTERVAL 'a-b' DAY TO SECOND etc: accepted, the
+                        # string itself carries the value
+                        self.next()
+                        self.ident()
+                    parts = [tv.value, unit_toks[0]]
+                return self._interval_literal(parts)
             if kw == "case":
                 return self._case()
             if kw in ("cast", "try_cast"):
@@ -1038,6 +1131,13 @@ class Parser:
             name = self.ident()
             if self.at("op", "("):
                 return self._function_call(name)
+            low = name.lower()
+            if low in ("current_date", "current_time", "current_timestamp",
+                       "localtime", "localtimestamp"):
+                # niladic SQL-standard datetime functions: no parens
+                fn = {"localtime": "current_time",
+                      "localtimestamp": "current_timestamp"}.get(low, low)
+                return E.ScalarFunction(fn, ())
             parts = [name]
             while self.at("op", ".") and self.peek(1).kind in ("ident", "kw"):
                 self.next()
@@ -1068,6 +1168,9 @@ class Parser:
     # spark-library aliases (reference: spark/src/function/aggregate)
     _AGG_ALIASES = {"try_sum": "sum", "try_avg": "avg",
                     "collect_list": "array_agg"}
+    # scalar-name aliases resolved at parse time (reference: each UDF's
+    # aliases() list, functions/src/lib.rs)
+    _SCALAR_ALIASES = {"date_format": "to_char"}
     _WINDOW_FNS = {"row_number", "rank", "dense_rank", "percent_rank",
                    "cume_dist", "ntile", "lead", "lag", "nth_value"}
 
@@ -1214,7 +1317,8 @@ class Parser:
             return E.AggregateFunction(fname, tuple(args), distinct, agg_filter)
         if agg_filter is not None:
             raise ParseError(f"FILTER clause on non-aggregate function {fname!r}")
-        return E.ScalarFunction(fname, tuple(args))
+        return E.ScalarFunction(self._SCALAR_ALIASES.get(fname, fname),
+                                tuple(args))
 
     def _window_frame(self):
         """Frame clause: [ROWS|RANGE|GROUPS] (BETWEEN b AND b | b)
