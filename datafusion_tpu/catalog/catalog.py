@@ -530,14 +530,37 @@ class CsvTable(FileTable):
             names = [n for n, _ in self.declared]
             ropts = pcsv.ReadOptions(column_names=names,
                                      skip_rows=1 if self.has_header else 0)
-            copts = pcsv.ConvertOptions(column_types={
-                n: _pa_type(dt) for n, dt in self.declared})
+            types = {n: _pa_type(dt) for n, dt in self.declared}
         else:
             ropts = pcsv.ReadOptions(
                 autogenerate_column_names=not self.has_header)
-            copts = None
-        tables = [pcsv.read_csv(p, parse_options=opts, read_options=ropts,
-                                convert_options=copts) for p in paths]
+            types = None
+
+        def read_one(p):
+            # a declared BIGINT UNSIGNED column can hold values beyond
+            # int64 (this engine has no u64 kind); rather than failing the
+            # whole table, re-read the offending column as float64 —
+            # queries needing its exact value then mismatch individually
+            t = dict(types) if types is not None else None
+            for _ in range(len(t) + 1 if t else 1):
+                try:
+                    return pcsv.read_csv(
+                        p, parse_options=opts, read_options=ropts,
+                        convert_options=pcsv.ConvertOptions(column_types=t)
+                        if t is not None else None)
+                except pa.lib.ArrowInvalid as exc:
+                    import re as _re
+
+                    m = _re.search(r"CSV column #(\d+)", str(exc))
+                    if t is None or m is None:
+                        raise
+                    col = list(t)[int(m.group(1))]
+                    if t[col] == pa.float64():
+                        raise
+                    t[col] = pa.float64()
+            raise PlanError(f"csv read failed for {p}")
+
+        tables = [read_one(p) for p in paths]
         at = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
         return Table.from_arrow(at)
 

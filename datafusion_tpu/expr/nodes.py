@@ -238,6 +238,11 @@ class AggregateFunction(Expr):
     args: Tuple[Expr, ...]
     distinct: bool = False
     filter: Optional[Expr] = None
+    # agg(x ORDER BY y [DESC], ...) for order-sensitive aggregates
+    # (reference: Expr::AggregateFunction params.order_by)
+    order_by: Tuple["SortSpec", ...] = ()
+    # first_value(x IGNORE NULLS): params.null_treatment
+    ignore_nulls: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -355,7 +360,11 @@ def _display(e: Expr) -> str:
     if isinstance(e, AggregateFunction):
         inner = ", ".join(_display(a) for a in e.args) or "*"
         d = "DISTINCT " if e.distinct else ""
-        return f"{e.fname}({d}{inner})"
+        ob = " ORDER BY " + ", ".join(
+            f"{_display(s.expr)} {'ASC' if s.asc else 'DESC'}"
+            for s in e.order_by) if e.order_by else ""
+        nt = " IGNORE NULLS" if e.ignore_nulls else ""
+        return f"{e.fname}({d}{inner}{ob}{nt})"
     if isinstance(e, ScalarFunction):
         return f"{e.fname}({', '.join(_display(a) for a in e.args)})"
     if isinstance(e, Lambda):
@@ -449,6 +458,9 @@ def map_expr(e: Expr, fn) -> Expr:
                 tuple(rec(a) for a in x.args),
                 x.distinct,
                 rec(x.filter) if x.filter is not None else None,
+                tuple(SortSpec(rec(s.expr), s.asc, s.nulls_first)
+                      for s in x.order_by),
+                x.ignore_nulls,
             )
         elif isinstance(x, WindowFunction):
             x = WindowFunction(

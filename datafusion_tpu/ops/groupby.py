@@ -36,6 +36,12 @@ class AggSpec:
     arg_dtype: Optional[T.DataType] = None
     filter: Optional[int] = None  # index into filter mask list
     extra: Optional[float] = None  # percentile q etc.
+    # agg(x ORDER BY y): index of the order expression in the arg column
+    # list + direction (reference: params.order_by; single-key subset)
+    order_arg: Optional[int] = None
+    order_desc: bool = False
+    # first_value(x IGNORE NULLS): skip null argument rows
+    ignore_nulls: bool = False
 
 
 _ORDER_SENSITIVE = frozenset({"median", "approx_median", "percentile_cont",
@@ -54,9 +60,13 @@ _INPUT_ORDER = frozenset({"first_value", "last_value", "any_value",
                           "nth_value"})
 
 
-def order_arg_of(spec: "AggSpec") -> Optional[int]:
+def order_arg_of(spec: "AggSpec"):
     """The argument this spec needs rows value-sorted by (DISTINCT aggs and
-    order-statistic aggs share the mechanism), or None."""
+    order-statistic aggs share the mechanism), or None. An explicit
+    agg(x ORDER BY y) returns a (arg_index, descending) tuple so ASC and
+    DESC buckets stay distinct."""
+    if spec.order_arg is not None:
+        return (spec.order_arg, spec.order_desc)
     if spec.fname in _INPUT_ORDER:
         return None
     if (spec.distinct or spec.fname in _ORDER_SENSITIVE) and spec.arg is not None:
@@ -76,7 +86,8 @@ def order_arg_buckets(specs: Sequence["AggSpec"]) -> List[Optional[int]]:
     sorted buckets, a keys-only None bucket leads so those specs never see a
     value-sorted row order."""
     buckets: List[Optional[int]] = []
-    need_input_order = any(s.fname in _INPUT_ORDER for s in specs)
+    need_input_order = any(s.fname in _INPUT_ORDER and s.order_arg is None
+                           for s in specs)
     for s in specs:
         b = order_arg_of(s)
         if b is not None and b not in buckets:
@@ -113,9 +124,13 @@ def phase_sort(
     state + segment structure + num_groups (traced)."""
     keys = [(c.data, c.validity, False, False, c.sort_bounds())
             for c in group_cols]
+    order_desc = False
+    if isinstance(distinct_arg, tuple):  # explicit agg(... ORDER BY y [DESC])
+        distinct_arg, order_desc = distinct_arg
     if distinct_arg is not None:
         da = agg_args[distinct_arg]
-        keys.append((da.data, da.validity, False, False, da.sort_bounds()))
+        keys.append((da.data, da.validity, order_desc, order_desc,
+                     da.sort_bounds()))
 
     payload: List[jax.Array] = []
     layout = []  # (kind, idx, has_validity, narrowed)
@@ -556,6 +571,9 @@ def _reduce_one(spec, sa, sf, ssel, seg, is_start, distinct_start, G, group_coun
     if f in ("first_value", "last_value", "any_value"):
         n = ssel.shape[0]
         iota = jnp.arange(n, dtype=jnp.int32)
+        if spec.ignore_nulls and arg.validity is not None:
+            # IGNORE NULLS: the first/last NON-NULL argument in order
+            mask = mask & arg.valid()
         if f == "last_value":
             idx = K.segment_max(iota, seg, mask, G)
         else:

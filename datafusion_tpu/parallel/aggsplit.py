@@ -45,7 +45,8 @@ _DECOMPOSABLE = frozenset({
 
 
 def decomposable(specs: Sequence[G.AggSpec]) -> bool:
-    return all((not s.distinct) and s.fname in _DECOMPOSABLE for s in specs)
+    return all((not s.distinct) and s.order_arg is None
+               and s.fname in _DECOMPOSABLE for s in specs)
 
 
 @dataclasses.dataclass

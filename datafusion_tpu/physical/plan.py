@@ -459,7 +459,33 @@ class AggregateExec(PhysicalPlan):
             if a.filter is not None:
                 filt_i = len(filter_cols)
                 filter_cols.append(eval_predicate(a.filter, rel))
-            specs.append(G.AggSpec(fname, arg_i, a.distinct, out_dtype, arg_dt, filt_i, extra))
+            order_arg = None
+            order_desc = False
+            aorder = getattr(a, "order_by", ())
+            if aorder:
+                # agg(x ORDER BY y [DESC]): the order expression rides the
+                # arg column list and keys this spec's sort bucket
+                if len(aorder) > 1:
+                    raise PlanError(
+                        "aggregate ORDER BY supports a single sort key")
+                if a.distinct:
+                    # reference rule: DISTINCT requires order == argument
+                    if aorder[0].expr != a.args[0] or not aorder[0].asc:
+                        raise PlanError(
+                            "DISTINCT aggregate ORDER BY must match the "
+                            "argument (ascending)")
+                elif fname not in ("array_agg", "string_agg", "first_value",
+                                   "last_value", "any_value", "nth_value"):
+                    # order-insensitive aggregates: ORDER BY is a no-op
+                    pass
+                else:
+                    order_arg = len(arg_cols)
+                    arg_cols.append(eval_expr(aorder[0].expr, rel))
+                    order_desc = not aorder[0].asc
+            specs.append(G.AggSpec(fname, arg_i, a.distinct, out_dtype,
+                                   arg_dt, filt_i, extra, order_arg,
+                                   order_desc,
+                                   getattr(a, "ignore_nulls", False)))
         return group_cols, arg_cols, filter_cols, specs
 
     def _phase_sort(self, rel: DeviceRelation):
@@ -481,6 +507,7 @@ class AggregateExec(PhysicalPlan):
 
         ok = not any(a.distinct or a.fname in G._ORDER_SENSITIVE
                      or a.fname in G.DENSE_UNSUPPORTED
+                     or getattr(a, "order_by", ())
                      or active_registry().aggregate(a.fname) is not None
                      for a in self._agg_fns())
         if ok:
@@ -528,6 +555,7 @@ class AggregateExec(PhysicalPlan):
 
         if any(a.distinct or a.fname in G._ORDER_SENSITIVE
                or a.fname in G.DENSE_UNSUPPORTED
+               or getattr(a, "order_by", ())
                or active_registry().aggregate(a.fname) is not None
                for a in self._agg_fns()):
             return None

@@ -327,6 +327,8 @@ class Parser:
             columns.append((cname, dtype))
             if not self.eat_op(","):
                 break
+            if self.at("op", ")"):  # trailing comma before ')'
+                break
         self.expect_op(")")
         return columns
 
@@ -1225,6 +1227,7 @@ class Parser:
         distinct = self.eat_kw("distinct") is not None
         args: List[E.Expr] = []
         star = False
+        agg_order: List[E.SortSpec] = []
         if self.at("op", "*"):
             self.next()
             star = True
@@ -1232,6 +1235,39 @@ class Parser:
             args.append(self._arg_expr())
             while self.eat_op(","):
                 args.append(self._arg_expr())
+        inner_ignore_nulls = False
+
+        def eat_null_treatment():
+            nonlocal inner_ignore_nulls
+            t0 = self.peek()
+            if t0.kind == "ident" and t0.value.lower() in ("ignore", "respect") \
+                    and self.peek(1).kind == "kw" \
+                    and self.peek(1).value == "nulls":
+                # first_value(x IGNORE NULLS [ORDER BY ..]): null treatment
+                # inside the parens (reference: params.null_treatment)
+                inner_ignore_nulls = self.next().value.lower() == "ignore"
+                self.next()
+
+        eat_null_treatment()
+        if self.eat_kw("order"):
+            # agg(x ORDER BY y [DESC] [NULLS FIRST|LAST], ...) — reference:
+            # AggregateFunction params.order_by
+            self.expect_kw("by")
+            while True:
+                oe = self.expr()
+                asc = True
+                if self.eat_kw("desc"):
+                    asc = False
+                else:
+                    self.eat_kw("asc")
+                nf = not asc
+                if self.eat_kw("nulls"):
+                    w = self.ident().lower()
+                    nf = w == "first"
+                agg_order.append(E.SortSpec(oe, asc, nf))
+                if not self.eat_op(","):
+                    break
+        eat_null_treatment()
         self.expect_op(")")
 
         # WITHIN GROUP (ORDER BY e [DESC]) — ordered-set aggregates
@@ -1302,8 +1338,12 @@ class Parser:
                 over = self._over_spec()
 
         if over is not None:
+            if agg_order:
+                raise ParseError(
+                    "ORDER BY inside a window function call is not supported")
             wf = E.WindowFunction(fname, tuple(args), over[0], over[1],
-                                  over[2], agg_filter, ignore_nulls)
+                                  over[2], agg_filter,
+                                  ignore_nulls or inner_ignore_nulls)
             if over_name is not None:
                 object.__setattr__(wf, "_named_over", over_name)
             return wf
@@ -1314,9 +1354,13 @@ class Parser:
             fname = self._AGG_ALIASES.get(fname, fname)
             if star or (fname == "count" and not args):
                 return E.AggregateFunction("count", (), distinct, agg_filter)
-            return E.AggregateFunction(fname, tuple(args), distinct, agg_filter)
+            return E.AggregateFunction(fname, tuple(args), distinct,
+                                       agg_filter, tuple(agg_order),
+                                       inner_ignore_nulls)
         if agg_filter is not None:
             raise ParseError(f"FILTER clause on non-aggregate function {fname!r}")
+        if agg_order:
+            raise ParseError(f"ORDER BY inside non-aggregate function {fname!r}")
         return E.ScalarFunction(self._SCALAR_ALIASES.get(fname, fname),
                                 tuple(args))
 

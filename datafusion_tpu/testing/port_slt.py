@@ -70,6 +70,32 @@ FIXTURE_SUBS = {
     "../../testing/data/csv/aggregate_test_100.csv":
         "../core/tests/data/aggregate_test_100_order_by_c1_asc.csv",
 }
+
+
+def _synth_with_dates(dst: str) -> None:
+    """aggregate_test_100_with_dates.csv = the 13 base columns (from the
+    in-tree sorted copy) + placeholder c14 DATE / c15 TIMESTAMP columns.
+    Queries that touch c14/c15 fail their value check and drop; the many
+    c1..c13 queries keep."""
+    import os
+
+    src = os.path.normpath(os.path.join(
+        SLT_REF_ROOT,
+        "../core/tests/data/aggregate_test_100_order_by_c1_asc.csv"))
+    with open(src) as f:
+        lines = f.read().splitlines()
+    out = [lines[0] + ",c14,c15"]
+    out += [ln + ",1970-01-01,1970-01-01T00:00:00" for ln in lines[1:] if ln]
+    with open(dst, "w") as f:
+        f.write("\n".join(out) + "\n")
+
+
+# fixtures that do not exist anywhere in the checkout, rebuilt from in-tree
+# data (values of the synthesized columns are placeholders; see builders)
+SYNTH_FIXTURES = {
+    "../../testing/data/csv/aggregate_test_100_with_dates.csv":
+        _synth_with_dates,
+}
 _QUOTED = re.compile(r"'([^']*)'")
 _FIXTURE_CAP_BYTES = 64 << 20
 
@@ -97,6 +123,13 @@ def rewrite_fixture_paths(sql: str, data_dir: str) -> str:
             return "'$SCRATCH/" + path[len("test_files/scratch/"):] + "'"
         if not (path.startswith("../") or path.startswith("test_files/")):
             return m.group(0)
+        if path in SYNTH_FIXTURES:
+            name = os.path.basename(path)
+            dst = os.path.join(data_dir, name)
+            if not os.path.exists(dst):
+                os.makedirs(data_dir, exist_ok=True)
+                SYNTH_FIXTURES[path](dst)
+            return f"'$SLTDATA/{name}'"
         src = os.path.normpath(
             os.path.join(SLT_REF_ROOT, FIXTURE_SUBS.get(path, path)))
         if not os.path.exists(src):
