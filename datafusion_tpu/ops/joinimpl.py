@@ -202,11 +202,24 @@ def join_direct_lookup(probe_keys, build_keys, probe_sel, build_sel,
     nb = bids.shape[0]
     bslot = jnp.where(b_live, jnp.clip(bids, 0, domain - 1), domain)
     iota = jnp.arange(nb, dtype=jnp.int32)
-    table = jnp.full(domain, -1, jnp.int32).at[bslot].set(iota, mode="drop")
+    # 2-lane table (row, row): a [domain, 2] row gather costs ~half of the
+    # 1-D gather on TPU (~3.6 vs 6.7 ns/probe-row measured on v5e) — but
+    # the 2-lane SCATTER build costs per-table-slot, so only worth it when
+    # the domain is no bigger than the probe set (TPC-H Q3's 12M-slot
+    # orderkey table vs 2M probes regressed 40% with an unconditional
+    # 2-lane table; Q17's 200k-slot table vs 8M probes wins 25%)
+    wide = domain <= pids.shape[0]
+    if wide:
+        table = jnp.full((domain, 2), -1, jnp.int32).at[bslot].set(
+            jnp.stack([iota, iota], axis=1), mode="drop")
+    else:
+        table = jnp.full(domain, -1, jnp.int32).at[bslot].set(
+            iota, mode="drop")
     counts = jnp.zeros(domain, jnp.int32).at[bslot].add(1, mode="drop")
     dup = jnp.any(counts > 1)
     pslot = jnp.clip(pids, 0, domain - 1)
-    brow = table[jax.lax.optimization_barrier(pslot)]
+    g = table[jax.lax.optimization_barrier(pslot)]
+    brow = g[:, 0] if wide else g
     matched = p_live & (brow >= 0)
     return jnp.maximum(brow, 0), matched, dup
 
@@ -297,6 +310,15 @@ def join_direct_exists(probe_keys, build_keys, probe_sel, build_sel,
     pids, p_live = _make_ids(probe_keys, probe_sel, spans)
     bids, b_live = _make_ids(build_keys, build_sel, spans)
     bslot = jnp.where(b_live, jnp.clip(bids, 0, domain - 1), domain)
+    # 2-lane table: a [domain, 2] row gather costs ~half of the 1-D bitmap
+    # gather on TPU (~3.6 vs 6.7 ns/probe-row measured on v5e); the wider
+    # scatter only pays for itself when the domain is no bigger than the
+    # probe set (see join_direct_lookup)
+    if domain <= pids.shape[0]:
+        exists = jnp.zeros((domain, 2), jnp.int32).at[bslot].set(
+            1, mode="drop")
+        pslot = jnp.clip(pids, 0, domain - 1)
+        return p_live & (exists[jax.lax.optimization_barrier(pslot)][:, 0] != 0)
     exists = jnp.zeros(domain, jnp.bool_).at[bslot].set(True, mode="drop")
     pslot = jnp.clip(pids, 0, domain - 1)
     return p_live & exists[jax.lax.optimization_barrier(pslot)]
@@ -639,6 +661,9 @@ def gather_columns(
     parts: List[jax.Array] = []
     layout: List[Tuple[int, DeviceColumn, int, int, bool]] = []
     off = 0
+    f64_parts: List[jax.Array] = []
+    f64_layout: List[Tuple[int, DeviceColumn, int]] = []  # (slot, col, lane)
+    f64_vlane = {}  # slot -> int32-matrix lane carrying its validity
     for i, c in enumerate(cols):
         if not pack_ok:
             data = c.data[safe]
@@ -654,19 +679,39 @@ def gather_columns(
                 parts.append(c.validity.astype(jnp.int32)[:, None])
             layout.append((i, c, off, w, has_v))
             off += w + (1 if has_v else 0)
+        elif (c.data.ndim == 1 and c.lengths is None and c.elem_valid is None
+              and jnp.issubdtype(c.data.dtype, jnp.floating)
+              and c.data.dtype.itemsize == 8):
+            # f64 cannot bitcast on this compiler, but a dtype-homogeneous
+            # [n, k>=2] f64 matrix row-gather costs ~1/3 of the 1-D f64
+            # gather (measured: 43 vs 178 ms device at 8M rows on v5e);
+            # validity lanes ride the int32 matrix
+            f64_layout.append((i, c, len(f64_parts)))
+            f64_parts.append(c.data)
+            if c.validity is not None:
+                f64_vlane[i] = off
+                parts.append(c.validity.astype(jnp.int32)[:, None])
+                off += 1
         else:
             data = c.data[safe]
             validity = c.validity[safe] if c.validity is not None else None
             finish(i, c, data, validity)
-    if layout:
-        if off == 1:  # single 4-byte lane: plain gather, skip the reshape
-            i, c, _, _, _ = layout[0]
-            finish(i, c, c.data[safe], None)
-        else:
-            packed = jnp.concatenate(parts, axis=1)
-            g = packed[safe]
-            for i, c, o, w, has_v in layout:
-                data = _unpack_lanes(g[:, o:o + w], c.data.dtype)
-                validity = (g[:, o + w] != 0) if has_v else None
-                finish(i, c, data, validity)
+    g = None
+    if parts:
+        if off == 1:
+            # a [n, 2] row gather costs ~half of the 1-D gather on TPU:
+            # duplicate the single lane rather than gathering it 1-D
+            parts.append(parts[0])
+        g = jnp.concatenate(parts, axis=1)[safe] if len(parts) > 1 \
+            else parts[0][safe]
+    for i, c, o, w, has_v in layout:
+        data = _unpack_lanes(g[:, o:o + w], c.data.dtype)
+        validity = (g[:, o + w] != 0) if has_v else None
+        finish(i, c, data, validity)
+    if f64_layout:
+        fsrc = f64_parts + [f64_parts[0]] if len(f64_parts) == 1 else f64_parts
+        fg = jnp.stack(fsrc, axis=1)[safe]
+        for i, c, k in f64_layout:
+            validity = (g[:, f64_vlane[i]] != 0) if i in f64_vlane else None
+            finish(i, c, fg[:, k], validity)
     return list(out_slots)

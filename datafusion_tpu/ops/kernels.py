@@ -181,6 +181,8 @@ def gather_rows(arrays: Sequence[jax.Array], idx: jax.Array) -> List[jax.Array]:
     single packed matrix; 2-D arrays (list columns) gather individually."""
     lanes: List[jax.Array] = []
     plan: List[Tuple[int, object, int, int]] = []  # (slot, kind, off, width)
+    f64_lanes: List[jax.Array] = []
+    f64_plan: List[int] = []
     out: List[Optional[jax.Array]] = [None] * len(arrays)
     off = 0
     for i, a in enumerate(arrays):
@@ -192,7 +194,12 @@ def gather_rows(arrays: Sequence[jax.Array], idx: jax.Array) -> List[jax.Array]:
             plan.append((i, jnp.bool_, off, 1))
             off += 1
         elif jnp.issubdtype(a.dtype, jnp.floating) and a.dtype.itemsize == 8:
-            out[i] = a[idx]  # f64 bitcasts are unlowerable on this compiler
+            # f64 bitcasts are unlowerable on this compiler, but a
+            # dtype-homogeneous [n, k] f64 matrix row-gather costs the same
+            # ~10ns/row as one column: pack all f64 arrays into their own
+            # lane matrix and gather it once alongside the int32 matrix
+            f64_lanes.append(a)
+            f64_plan.append(i)
         elif a.dtype.itemsize == 8:
             lanes.append(jax.lax.bitcast_convert_type(a, jnp.int32))
             plan.append((i, a.dtype, off, 2))
@@ -203,9 +210,21 @@ def gather_rows(arrays: Sequence[jax.Array], idx: jax.Array) -> List[jax.Array]:
             off += 1
         else:
             out[i] = a[idx]
-    if len(plan) == 1 and plan[0][3] == 1:  # one 4-byte array: plain gather
+    if len(plan) == 1 and plan[0][3] == 1 and idx.shape[0] < (1 << 16):
+        # small gathers: not worth the lane duplication
         i, kind, _, _ = plan[0]
         out[i] = arrays[i][idx]
+    elif len(plan) == 1 and plan[0][3] == 1:
+        # one 4-byte lane: duplicate it — a [n, 2] row gather costs ~half
+        # of the 1-D gather on TPU (~3.6 vs 6.7 ns/row measured on v5e)
+        lanes.append(lanes[0])
+        plan.append((plan[0][0], None, 1, 0))  # sentinel: ignored on unpack
+        g = jnp.concatenate(lanes, axis=1)[idx]
+        i, kind, o, _w = plan[0]
+        if kind == jnp.bool_:
+            out[i] = g[:, 0] != 0
+        else:
+            out[i] = jax.lax.bitcast_convert_type(g[:, 0], arrays[i].dtype)
     elif plan:
         g = jnp.concatenate(lanes, axis=1)[idx]
         for i, kind, o, w in plan:
@@ -217,6 +236,12 @@ def gather_rows(arrays: Sequence[jax.Array], idx: jax.Array) -> List[jax.Array]:
             else:
                 out[i] = jax.lax.bitcast_convert_type(g[:, o],
                                                       arrays[i].dtype)
+    if len(f64_plan) == 1:
+        out[f64_plan[0]] = arrays[f64_plan[0]][idx]
+    elif f64_plan:
+        gf = jnp.stack(f64_lanes, axis=1)[idx]
+        for k, i in enumerate(f64_plan):
+            out[i] = gf[:, k]
     return list(out)
 
 

@@ -72,7 +72,8 @@ def optimize(plan: L.LogicalPlan, catalog=None, options=None) -> L.LogicalPlan:
     from .pushdown import (eliminate_outer_joins_rule, limit_into_sort_rule,
                            or_implication_rule, projection_pruning_rule,
                            prune_join_columns_rule, push_filters_rule,
-                           reorder_joins_rule)
+                           reorder_joins_rule,
+                           semi_join_through_aggregate_rule)
 
     opts = options or {}
 
@@ -104,6 +105,7 @@ def optimize(plan: L.LogicalPlan, catalog=None, options=None) -> L.LogicalPlan:
         rules.append(reorder_joins_rule)
     if pushdown:
         rules.append(push_filters_rule)
+        rules.append(semi_join_through_aggregate_rule)
     if on("optimizer.late_materialization"):
         from .latemat import late_materialization_rule
 

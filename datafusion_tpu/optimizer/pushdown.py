@@ -677,3 +677,96 @@ def prune_join_columns_rule(plan: L.LogicalPlan) -> L.LogicalPlan:
         return p.with_children(kids) if p.children() else p
 
     return rewrite(plan, {(f.qualifier, f.name) for f in plan.schema.fields})
+
+
+def semi_join_through_aggregate_rule(plan: L.LogicalPlan) -> L.LogicalPlan:
+    """Push a selective inner equi-join below an aggregate as a semi join
+    on the group key (reference analog: the aggregate-pushdown family of
+    optimizations; TPC-H Q17's shape).
+
+        Join(Agg(groupBy=[k,...])(T), R, on k = rk, INNER)
+          -> Join(Agg(groupBy=[k,...])(T leftsemi R on k = rk), R, ...)
+
+    Unconditionally sound for INNER joins keyed on a group expression: the
+    semi join only removes T rows of groups the outer join would drop.
+    Worth it when R is much smaller than T (the aggregate's input then
+    compacts to the surviving rows); gated on estimated cardinalities."""
+    from .cost import estimate
+
+    def trace_to_group_key(side: L.LogicalPlan, key: E.Expr):
+        """Follow `key` down through SubqueryAlias/Projection wrappers by
+        output position; return (path, agg, group_index) when it lands on a
+        group expression of an Aggregate."""
+        try:
+            idx = side.schema.index_of(key.flat_name) \
+                if isinstance(key, E.Column) else None
+        except Exception:  # noqa: BLE001 -- unresolvable: no match
+            return None
+        if idx is None:
+            return None
+        path = []
+        node = side
+        while True:
+            if isinstance(node, L.SubqueryAlias):
+                path.append(node)
+                node = node.input
+            elif isinstance(node, L.Projection):
+                e = node.proj_exprs[idx]
+                while isinstance(e, E.Alias):
+                    e = e.expr
+                if not isinstance(e, E.Column):
+                    return None
+                try:
+                    idx = node.input.schema.index_of(e.flat_name)
+                except Exception:  # noqa: BLE001
+                    return None
+                path.append(node)
+                node = node.input
+            elif isinstance(node, L.Aggregate):
+                if idx < len(node.group_exprs):
+                    return path, node, idx
+                return None
+            else:
+                return None
+
+    def rebuild(path, old_agg, new_agg):
+        node = new_agg
+        for p in reversed(path):
+            node = p.with_children([node])
+        return node
+
+    def rewrite(p: L.LogicalPlan) -> L.LogicalPlan:
+        if not isinstance(p, L.Join) or p.join_type is not L.JoinType.INNER \
+                or not p.on:
+            return p
+        for agg_on_left in (True, False):
+            side = p.left if agg_on_left else p.right
+            other = p.right if agg_on_left else p.left
+            for lk, rk in p.on:
+                key = lk if agg_on_left else rk
+                okey = rk if agg_on_left else lk
+                hit = trace_to_group_key(side, key)
+                if hit is None:
+                    continue
+                path, agg, gidx = hit
+                if isinstance(agg.input, L.Join) and \
+                        agg.input.join_type is L.JoinType.LEFT_SEMI:
+                    continue  # already pushed
+                try:
+                    agg_rows = estimate(agg.input).rows
+                    other_rows = estimate(other).rows
+                except Exception:  # noqa: BLE001 -- no stats: skip
+                    continue
+                if not (other_rows * 8 < agg_rows):
+                    continue
+                semi = L.Join(agg.input, other,
+                              [(agg.group_exprs[gidx], okey)],
+                              L.JoinType.LEFT_SEMI)
+                new_agg = L.Aggregate(semi, agg.group_exprs, agg.aggr_exprs)
+                new_side = rebuild(path, agg, new_agg)
+                return L.Join(new_side if agg_on_left else p.left,
+                              p.right if agg_on_left else new_side,
+                              p.on, p.join_type, p.filter)
+        return p
+
+    return L.transform_up(plan, rewrite)

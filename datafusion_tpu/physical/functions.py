@@ -121,6 +121,20 @@ def parse_arrow_type(s: str) -> T.DataType:
         return T.decimal(int(m.group(1)), int(m.group(2)))
     if low.startswith("timestamp"):
         return T.TIMESTAMP
+    if low.startswith("date64"):
+        return T.DATE32  # ms-date carries no extra info for this engine
+    if low.startswith("time32") or low.startswith("time64"):
+        return T.TIME
+    if low.startswith("duration"):
+        return T.INTERVAL_US
+    if low.startswith("interval"):
+        return (T.INTERVAL_MONTHS if "yearmonth" in low.replace(" ", "")
+                else T.INTERVAL_US)
+    m = re.match(r"dictionary\s*\(\s*\w+\s*,\s*(.+)\)\s*$", low)
+    if m:
+        # Dictionary(K, V) casts behave as V (dictionary encoding is this
+        # engine's default string representation anyway)
+        return parse_arrow_type(m.group(1))
     raise PlanError(f"arrow_cast: unsupported type {s!r}")
 
 
