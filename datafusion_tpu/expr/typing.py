@@ -116,7 +116,8 @@ def arith_result(op: E.Op, lt: T.DataType, rt: T.DataType) -> T.DataType:
                 return d
         return T.FLOAT64
     # date/interval arithmetic
-    if lt.kind is T.TypeKind.DATE32 and rt.kind is T.TypeKind.INTERVAL_DAYS:
+    if lt.kind is T.TypeKind.DATE32 and rt.kind in (
+            T.TypeKind.INTERVAL_DAYS, T.TypeKind.INTERVAL_US):
         return T.DATE32
     if lt.kind is T.TypeKind.TIMESTAMP and rt.kind in (T.TypeKind.INTERVAL_US,
                                                        T.TypeKind.INTERVAL_DAYS):

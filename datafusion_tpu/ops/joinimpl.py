@@ -268,10 +268,14 @@ def join_exists_minmax(probe_keys, build_keys, probe_sel, build_sel,
         else jnp.iinfo(bdata.dtype).max
     need_min = op in ("gt", "ge", "neq")
     need_max = op in ("lt", "le", "neq")
-    # when sentinels cannot collide with real values (bounds-proven strict
-    # interior), a min/max left at its sentinel already proves "no build
-    # row": the per-key count scatter -- 73 ms over TPC-H Q21's 12M-slot
-    # domain, twice -- is redundant
+    from . import kernels as K
+    # NOTE: packing min+max into one 2-lane scatter-min (min(~x) = ~max(x))
+    # was tried and is 2.3x SLOWER: multi-lane scatter updates lower
+    # pathologically on this compiler (1-lane scatters + a packed gather is
+    # the fast shape). When sentinels cannot collide with real values
+    # (bounds-proven strict interior), a min/max left at its sentinel
+    # already proves "no build row": the per-key count scatter -- 73 ms
+    # over TPC-H Q21's 12M-slot domain, twice -- is redundant
     parts = [] if sent_ok else \
         [jnp.zeros(domain, jnp.int32).at[bslot].add(1, mode="drop")]
     if need_min:
@@ -281,7 +285,6 @@ def join_exists_minmax(probe_keys, build_keys, probe_sel, build_sel,
         parts.append(jnp.full(domain, lo, bdata.dtype).at[bslot].max(
             jnp.where(b_live, bdata, lo), mode="drop"))
     # ONE row gather retrieves cnt/min/max together (per-row gather cost)
-    from . import kernels as K
     gathered = K.gather_rows(parts, pslot)
     j = 0 if sent_ok else 1
     mn = gathered[j] if need_min else None
@@ -698,12 +701,9 @@ def gather_columns(
             finish(i, c, data, validity)
     g = None
     if parts:
-        if off == 1:
-            # a [n, 2] row gather costs ~half of the 1-D gather on TPU:
-            # duplicate the single lane rather than gathering it 1-D
-            parts.append(parts[0])
-        g = jnp.concatenate(parts, axis=1)[safe] if len(parts) > 1 \
-            else parts[0][safe]
+        # chunked packing dodges the slow >=3-lane gather tiling and
+        # duplicates single lanes (see kernels.packed_row_gather)
+        g = K.packed_row_gather(parts, safe)
     for i, c, o, w, has_v in layout:
         data = _unpack_lanes(g[:, o:o + w], c.data.dtype)
         validity = (g[:, o + w] != 0) if has_v else None

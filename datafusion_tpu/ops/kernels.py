@@ -174,6 +174,41 @@ def sort_permutation(
     return out[nk]
 
 
+def packed_row_gather(parts: List[jax.Array], idx: jax.Array) -> jax.Array:
+    """Row-gather of horizontally packed [N, w<=2] lane groups at idx,
+    returning [n, sum(w)]. v5e-measured shape rules (8M-row probe):
+      * [n, 2] gathers lower to a fast tiled path (~3.6 ns/row); a 1-D or
+        [n, 1] gather costs ~2x that, so single lanes are duplicated;
+      * [n, 3..4] outputs get a pathological minor-dim T(4,128) layout
+        (observed 192 ms to WRITE one [8M,3] pack on TPC-H Q18): split
+        into two [n, <=2] gathers instead;
+      * at >=5 lanes the wide-gather cost plateaus and one gather wins.
+    Lane groups are atomic (an i64 bitcast pair must stay adjacent)."""
+    total = sum(p.shape[1] for p in parts)
+
+    def one(chunk: List[jax.Array]) -> jax.Array:
+        m = jnp.concatenate(chunk, axis=1) if len(chunk) > 1 else chunk[0]
+        if m.shape[1] == 1:
+            return jnp.concatenate([m, m], axis=1)[idx][:, :1]
+        return m[idx]
+
+    if total in (3, 4):
+        chunks: List[List[jax.Array]] = []
+        cur: List[jax.Array] = []
+        curw = 0
+        for p in parts:
+            w = p.shape[1]
+            if curw + w > 2:
+                chunks.append(cur)
+                cur, curw = [], 0
+            cur.append(p)
+            curw += w
+        if cur:
+            chunks.append(cur)
+        return jnp.concatenate([one(c) for c in chunks], axis=1)
+    return one(parts)
+
+
 def gather_rows(arrays: Sequence[jax.Array], idx: jax.Array) -> List[jax.Array]:
     """Gather many same-length arrays at one index vector with ONE row
     gather: TPU random gathers cost ~10ns per ROW regardless of width, so
@@ -214,19 +249,8 @@ def gather_rows(arrays: Sequence[jax.Array], idx: jax.Array) -> List[jax.Array]:
         # small gathers: not worth the lane duplication
         i, kind, _, _ = plan[0]
         out[i] = arrays[i][idx]
-    elif len(plan) == 1 and plan[0][3] == 1:
-        # one 4-byte lane: duplicate it — a [n, 2] row gather costs ~half
-        # of the 1-D gather on TPU (~3.6 vs 6.7 ns/row measured on v5e)
-        lanes.append(lanes[0])
-        plan.append((plan[0][0], None, 1, 0))  # sentinel: ignored on unpack
-        g = jnp.concatenate(lanes, axis=1)[idx]
-        i, kind, o, _w = plan[0]
-        if kind == jnp.bool_:
-            out[i] = g[:, 0] != 0
-        else:
-            out[i] = jax.lax.bitcast_convert_type(g[:, 0], arrays[i].dtype)
     elif plan:
-        g = jnp.concatenate(lanes, axis=1)[idx]
+        g = packed_row_gather(lanes, idx)
         for i, kind, o, w in plan:
             if kind == jnp.bool_:
                 out[i] = g[:, o] != 0

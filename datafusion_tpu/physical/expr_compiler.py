@@ -577,6 +577,15 @@ def eval_binary(e: E.BinaryOp, l: DeviceColumn, r: DeviceColumn, schema: Schema)
     if lt.kind is T.TypeKind.DATE32 and rt.kind is T.TypeKind.INTERVAL_MONTHS:
         months = r.data.astype(jnp.int64) if op is E.Op.ADD else -r.data.astype(jnp.int64)
         return DeviceColumn(DU.add_months(l.data, months), valid, T.DATE32)
+    if lt.kind is T.TypeKind.DATE32 and rt.kind is T.TypeKind.INTERVAL_US:
+        # date +/- sub-day interval stays Date32; arrow truncates the
+        # interval to WHOLE days toward zero (arith_date_interval.slt:
+        # '2001-09-28' - 25h -> 2001-09-27, +1h -> same date)
+        day = np.int64(86_400_000_000)
+        us = r.data.astype(jnp.int64)
+        wd = (jnp.sign(us) * (jnp.abs(us) // day)).astype(jnp.int32)
+        delta = wd if op is E.Op.ADD else -wd
+        return DeviceColumn(l.data + delta, valid, T.DATE32)
     if lt.kind is T.TypeKind.INTERVAL_DAYS and rt.kind is T.TypeKind.DATE32 and op is E.Op.ADD:
         return DeviceColumn(r.data + l.data.astype(jnp.int32), valid, T.DATE32)
     if lt.kind is T.TypeKind.DATE32 and rt.kind is T.TypeKind.DATE32 and op is E.Op.SUB:

@@ -170,7 +170,15 @@ def scalar_function_type(e: E.ScalarFunction, schema: Schema) -> Tuple[T.DataTyp
     if f == "date_trunc":
         return argt[1][0], nullable
     if f in _NUMERIC_UNARY:
+        # arity + input-type validation (the reference's signature checks:
+        # `abs('foo')` / `round(1, 2, 3)` are plan-time errors)
+        maxa = 2 if f in ("round", "trunc") else 1
+        if not (1 <= len(argt) <= maxa):
+            raise PlanError(f"{f} expects {'1-2' if maxa == 2 else '1'} "
+                            f"argument(s), got {len(argt)}")
         t = argt[0][0]
+        if not (t.is_numeric or t.kind is T.TypeKind.NULL):
+            raise PlanError(f"{f} expects a numeric argument, got {t!r}")
         if f == "abs":
             return t, nullable
         if f in ("ceil", "floor", "round", "trunc", "sign", "signum"):
@@ -1004,6 +1012,20 @@ def eval_scalar_function(
     if f == "nanvl":
         x, y = _to_float(args[0]), _to_float(args[1])
         return DeviceColumn(jnp.where(jnp.isnan(x), y, x), validity, T.FLOAT64)
+
+    if f == "isnan":
+        a = args[0]
+        out = jnp.isnan(a.data) if a.dtype.is_float \
+            else jnp.zeros(a.data.shape[0], dtype=bool)
+        return DeviceColumn(out, validity, T.BOOL)
+
+    if f == "iszero":
+        a = args[0]
+        if a.dtype.is_float:
+            out = a.data == 0.0
+        else:
+            out = a.data.astype(jnp.int64) == 0
+        return DeviceColumn(out, validity, T.BOOL)
 
     if f == "make_date":
         y = args[0].data.astype(jnp.int64)

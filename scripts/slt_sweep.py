@@ -34,7 +34,14 @@ jax.config.update("jax_enable_x64", True)
 sys.path.insert(0, {repo!r})
 from datafusion_tpu.context import SessionContext
 from datafusion_tpu.testing.port_slt import port_file
-stats = port_file({ref!r}, {out!r}, SessionContext)
+
+def ctx_factory():
+    ctx = SessionContext()
+    if "/spark/" in {ref!r} or {ref!r}.endswith("spark.slt"):
+        ctx.enable_spark_functions()
+    return ctx
+
+stats = port_file({ref!r}, {out!r}, ctx_factory)
 print("PORT_STATS " + json.dumps(stats))
 """
 
