@@ -442,6 +442,10 @@ def _encode_opaque(vals, nulls, dtype: T.DataType):
 
 
 def _coerce_elem(v, dtype: T.DataType):
+    if dtype.is_list:
+        # nested list element (List(List(..)) ingestion)
+        return None if v is None else [
+            None if x is None else _coerce_elem(x, dtype.elem) for x in v]
     if dtype.is_decimal:
         return int(round(float(v) * 10 ** dtype.scale))
     if dtype.kind is T.TypeKind.DATE32:

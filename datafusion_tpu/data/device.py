@@ -242,7 +242,23 @@ def _list_device_arrays(rows: np.ndarray, elem: T.DataType, cap: int):
     for r in rows:
         if r is not None and len(r) > width:
             width = len(r)
-    data = np.zeros((cap, width), dtype=elem.np_dtype())
+    if elem.is_list:
+        # nested list: recurse to inner [cap*width, w2] then fold to 3-D
+        # (cap, width, w2). Inner lengths collapse to full-width rendering
+        # (one nesting level of length metadata in the lane-matrix layout).
+        inner_rows = np.empty(n * width, dtype=object)
+        for i in range(n):
+            r = rows[i]
+            for j in range(width):
+                inner_rows[i * width + j] = (
+                    r[j] if r is not None and j < len(r) else None)
+        idata, _il, _iev = _list_device_arrays(
+            inner_rows, elem.elem, n * width)
+        w2 = idata.shape[1]
+        data = np.zeros((cap, width, w2), dtype=idata.dtype)
+        data[:n] = idata.reshape(n, width, w2)
+    else:
+        data = np.zeros((cap, width), dtype=elem.np_dtype())
     ev = np.zeros((cap, width), dtype=bool)
     lengths = np.zeros(cap, dtype=np.int32)
     for i in range(n):
@@ -253,7 +269,8 @@ def _list_device_arrays(rows: np.ndarray, elem: T.DataType, cap: int):
         for j, x in enumerate(r):
             if x is None:
                 continue
-            data[i, j] = x
+            if not elem.is_list:
+                data[i, j] = x
             ev[i, j] = True
     return data, lengths, ev
 
@@ -349,7 +366,11 @@ def to_host(rel: DeviceRelation) -> Table:
             rows = np.empty(len(data2), dtype=object)
             for i in range(len(data2)):
                 ln = int(lengths2[i])
-                rows[i] = [data2[i, j].item() if ev2[i, j] else None
+                # nested lists (List(List(..)): 3-D+ lane tensor) render the
+                # inner dims at full width — inner lengths are not tracked
+                # past one nesting level in the lane-matrix layout
+                rows[i] = [(data2[i, j].item() if data2.ndim == 2
+                            else data2[i, j].tolist()) if ev2[i, j] else None
                            for j in range(ln)]
             if v is not None:
                 for i in np.nonzero(~v)[0]:

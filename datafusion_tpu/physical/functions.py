@@ -135,6 +135,14 @@ def parse_arrow_type(s: str) -> T.DataType:
         # Dictionary(K, V) casts behave as V (dictionary encoding is this
         # engine's default string representation anyway)
         return parse_arrow_type(m.group(1))
+    m = re.match(r"(?:large)?list\s*\(\s*(.+)\)\s*$", low)
+    if m:
+        # List/LargeList collapse: offsets are 64-bit host-side anyway
+        return T.list_of(parse_arrow_type(m.group(1)))
+    m = re.match(r"fixedsizelist\s*\(\s*(\d+)\s*,\s*(.+)\)\s*$", low)
+    if m:
+        # fixed width is metadata-only in the lane-matrix representation
+        return T.list_of(parse_arrow_type(m.group(2)))
     raise PlanError(f"arrow_cast: unsupported type {s!r}")
 
 

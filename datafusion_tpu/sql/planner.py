@@ -673,10 +673,17 @@ class SqlPlanner:
         """Inline VALUES relation -> L.Values (reference:
         LogicalPlan::Values, sql/src/query.rs VALUES planning). Cells fold to
         literals; per-column types unify numerically; default column names
-        are column1..columnN like the reference."""
+        are column1..columnN like the reference. Rows whose cells are
+        constant *expressions* rather than plain literals (make_array(...),
+        named_struct(...), 'a' || 'b', date arithmetic — the reference allows
+        any expression here) evaluate eagerly over a one-row EmptyRelation
+        and land in an anonymous MemTable instead."""
         from ..common.schema import Field
 
-        rows = [[_fold_to_literal(c) for c in row] for row in tr.rows]
+        try:
+            rows = [[_fold_to_literal(c) for c in row] for row in tr.rows]
+        except PlanError:
+            return self._plan_values_eval(tr)
         if not rows:
             raise PlanError("VALUES requires at least one row")
         ncols = len(rows[0])
@@ -704,6 +711,50 @@ class SqlPlanner:
             fields.append(Field(names[j], dtype, nullable))
         plan = L.Values(Schema(fields), rows)
         return L.SubqueryAlias(plan, tr.alias) if tr.alias else plan
+
+    def _plan_values_eval(self, tr) -> L.LogicalPlan:
+        """VALUES fallback for constant-expression cells: evaluate each row
+        as a projection over a one-row EmptyRelation through the normal
+        physical pipeline, then concatenate the host rows into a MemTable.
+        Handles everything the expression evaluator supports (arrays,
+        structs, maps, string/date arithmetic) at fixture-sized row counts."""
+        from ..catalog.catalog import MemTable
+        from ..data.device import to_host
+        from ..data.table import Table
+        from ..physical.planner import create_physical_plan
+        from ..runtime.context import ExecContext
+
+        ncols = len(tr.rows[0])
+        for r in tr.rows:
+            if len(r) != ncols:
+                raise PlanError("VALUES rows have differing lengths")
+        names = tr.columns or [f"column{i + 1}" for i in range(ncols)]
+        if len(names) != ncols:
+            raise PlanError(
+                f"VALUES has {ncols} columns but {len(names)} aliases")
+        ctx = ExecContext({})
+        data = {n: [] for n in names}
+        dtypes: Dict[str, T.DataType] = {}
+        for row in tr.rows:
+            plan = L.Projection(
+                L.EmptyRelation(True),
+                [E.Alias(c, n) for c, n in zip(row, names)])
+            t = to_host(create_physical_plan(plan).execute(ctx))
+            d = t.to_pydict()
+            for f, n in zip(t.schema.fields, names):
+                data[n].append(d[f.name][0])
+                dt = f.dtype
+                if dt.kind is T.TypeKind.NULL:
+                    continue
+                prev = dtypes.get(n)
+                if prev is None or prev.kind is T.TypeKind.NULL:
+                    dtypes[n] = dt
+                elif prev != dt and prev.is_numeric and dt.is_numeric:
+                    dtypes[n] = T.common_numeric_type(prev, dt)
+        out = Table.from_pydict(data, dtypes)
+        alias = tr.alias or "values"
+        scan = L.TableScan(alias, MemTable(out), alias=alias)
+        return scan
 
     def _information_schema(self, table: str, alias) -> L.LogicalPlan:
         """Virtual information_schema.{tables,columns} built from the catalog
