@@ -215,6 +215,12 @@ def cast_column(col: DeviceColumn, dtype: T.DataType, capacity: int) -> DeviceCo
             v2 = _combine_validity(v, valid2) if not all(ok) else v
             return DeviceColumn(codes, v2, dtype,
                                 Dictionary(np.array(uniq, dtype=object)))
+        if col.dtype.kind is T.TypeKind.NULL:
+            # cast of an untyped NULL (arrow_cast(NULL, 'Utf8')): all-null
+            # string column
+            return DeviceColumn(jnp.zeros(capacity, jnp.int32),
+                                jnp.zeros(capacity, jnp.bool_), dtype,
+                                Dictionary(np.array([], object)))
         raise PlanError(f"cast {col.dtype} -> string not supported on device")
     if col.dtype.is_string:
         d = col.dictionary

@@ -1186,8 +1186,15 @@ def eval_scalar_function(
         return DeviceColumn(jnp.zeros(capacity, jnp.int32), None, T.STRING, d)
 
     if f == "arrow_cast":
-        from .expr_compiler import cast_column
+        from .expr_compiler import _literal_column, cast_column
 
+        src = arg_exprs[0] if arg_exprs else None
+        src = src.expr if isinstance(src, E.Alias) else src
+        if isinstance(src, E.Literal) and src.value is None:
+            # arrow_cast(NULL, 'T'): typed all-null column (the int64
+            # placeholder a bare NULL literal lowers to has no device cast
+            # to string/list targets)
+            return _literal_column(E.Literal(None, out_dtype), capacity)
         return cast_column(args[0], out_dtype, capacity)
 
     if f == "version":

@@ -35,6 +35,7 @@ SPARK_FNS = frozenset({
     "sha1", "sha2", "crc32", "xxhash64",
     # string
     "elt", "space", "base64", "unbase64", "soundex", "luhn_check",
+    "format_string", "printf",
     "substring", "substr", "url_encode", "url_decode",
     # datetime
     "add_months", "date_add", "date_sub", "datediff", "date_diff",
@@ -66,6 +67,8 @@ def spark_function_type(e: E.ScalarFunction, schema) -> Tuple[T.DataType, bool]:
              "unbase64", "soundex", "substring", "substr", "url_encode",
              "url_decode"):
         return T.STRING, nullable
+    if f in ("format_string", "printf"):
+        return T.STRING, argt[0][1] if argt else False
     if f == "luhn_check":
         return T.BOOL, nullable
     if f in ("add_months", "date_add", "date_sub", "last_day", "next_day"):
@@ -83,10 +86,125 @@ def _lit(arg_exprs, i, default=None):
     if i >= len(arg_exprs):
         return default
     e = arg_exprs[i]
-    e = e.expr if isinstance(e, E.Alias) else e
+    while isinstance(e, (E.Alias, E.Cast)):
+        # 5::int / aliased literals fold through
+        e = e.expr
+    if isinstance(e, E.Negative):
+        inner = _lit([e.expr], 0)
+        return None if inner is None else -inner
     if not isinstance(e, E.Literal):
         raise PlanError("spark function argument must be a literal here")
     return e.value
+
+
+def _const_typed(e):
+    """Python value of a constant argument expression (format_string args),
+    normalized by its SQL type: bools stay bool, dates/timestamps become
+    datetime objects, decimals become floats. Raises PlanError on
+    non-constant arguments."""
+    import datetime as _dt
+
+    e = e.expr if isinstance(e, E.Alias) else e
+    if isinstance(e, E.Negative):
+        v = _const_typed(e.expr)
+        return None if v is None else -v
+    if isinstance(e, E.Cast):
+        v = _const_typed(e.expr)
+        return _norm_const(v, e.dtype)
+    if isinstance(e, E.ScalarFunction) and e.fname == "arrow_cast" \
+            and len(e.args) == 2 and isinstance(e.args[1], E.Literal):
+        from ..physical.functions import parse_arrow_type
+
+        v = _const_typed(e.args[0])
+        tname = str(e.args[1].value)
+        rt = _temporal_const(v, tname)
+        if rt is not None:
+            return rt
+        return _norm_const(v, parse_arrow_type(tname))
+    if not isinstance(e, E.Literal):
+        raise PlanError("format_string arguments must be constants")
+    return _norm_const(e.value, e.dtype)
+
+
+_TIME_UNIT_US = {"s": 1_000_000, "second": 1_000_000,
+                 "ms": 1_000, "millisecond": 1_000,
+                 "us": 1, "µs": 1, "microsecond": 1,
+                 "ns": None, "nanosecond": None}  # None: divide by 1000
+
+
+def _temporal_const(v, tname: str):
+    """RawTemporal for arrow_cast of a raw number to a unit-bearing
+    temporal type (Timestamp(s|ms|us|ns), Time32/64, Date32/64): Spark's %s
+    prints the raw epoch number while %t* sees the calendar value. Returns
+    None when `tname` is not such a type."""
+    import datetime as _dt
+    import re as _re
+
+    from .javafmt import RawTemporal
+
+    if v is None:
+        return None
+    low = tname.strip().lower()
+    m = _re.match(r"timestamp\s*\(\s*([a-zµ]+)", low)
+    if m and m.group(1) in _TIME_UNIT_US:
+        unit = _TIME_UNIT_US[m.group(1)]
+        if isinstance(v, bool):
+            raise PlanError("cannot cast boolean to timestamp")
+        if isinstance(v, (int, float)):
+            raw = int(v)
+        else:
+            # string -> epoch in the target unit (ns-capable: datetime only
+            # carries us, so split the fraction out by hand)
+            s = str(v).strip().rstrip("Zz").replace("T", " ")
+            frac = ""
+            if "." in s:
+                s, frac = s.split(".", 1)
+            base = _dt.datetime.strptime(s.strip(), "%Y-%m-%d %H:%M:%S")
+            ns = int((base - _dt.datetime(1970, 1, 1)).total_seconds()) \
+                * 1_000_000_000 + int((frac + "0" * 9)[:9] or 0)
+            raw = ns // (unit * 1000) if unit else ns
+        us = raw * unit if unit is not None else raw // 1000
+        dt = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=us)
+        return RawTemporal(raw, dt)
+    m = _re.match(r"time(?:32|64)\s*\(\s*([a-zµ]+)", low)
+    if m and m.group(1) in _TIME_UNIT_US and isinstance(v, (int, float)) \
+            and not isinstance(v, bool):
+        unit = _TIME_UNIT_US[m.group(1)]
+        raw = int(v)
+        us = raw * unit if unit is not None else raw // 1000
+        dt = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=us)
+        return RawTemporal(raw, dt)
+    if low.startswith("date") and isinstance(v, (int, float)) \
+            and not isinstance(v, bool):
+        raw = int(v)
+        return RawTemporal(
+            raw, _dt.date(1970, 1, 1) + _dt.timedelta(days=raw))
+    return None
+
+
+def _norm_const(v, dtype: T.DataType):
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if dtype.kind is T.TypeKind.BOOL:
+        return bool(v)
+    if dtype.is_decimal or dtype.is_float:
+        return float(v)
+    if dtype.is_integer:
+        return int(v)
+    if dtype.kind is T.TypeKind.DATE32:
+        if isinstance(v, (int, np.integer)):
+            return _dt.date(1970, 1, 1) + _dt.timedelta(days=int(v))
+        return _dt.date.fromisoformat(str(v))
+    if dtype.kind is T.TypeKind.TIMESTAMP:
+        if isinstance(v, (int, np.integer)):
+            return (_dt.datetime(1970, 1, 1)
+                    + _dt.timedelta(microseconds=int(v)))
+        from .javafmt import _as_datetime
+
+        return _as_datetime(str(v))
+    return v
 
 
 def _xxhash64(data: bytes, seed: int = 42) -> int:
@@ -369,9 +487,16 @@ def eval_spark_function(
             [_luhn(v) for v in vals], bool)), validity, T.BOOL)
     if f in ("substring", "substr"):
         # Spark: 1-based; pos 0 treated as 1; negative pos counts from end
-        pos = int(_lit(arg_exprs, 1))
-        ln = _lit(arg_exprs, 2)
-        ln = None if ln is None else int(ln)
+        _missing = object()
+        rawpos = _lit(arg_exprs, 1, _missing)
+        rawlen = _lit(arg_exprs, 2, _missing)
+        if rawpos is None or rawlen is None:  # NULL pos/len -> NULL
+            cap = args[0].data.shape[0]
+            return DeviceColumn(jnp.zeros(cap, jnp.int32),
+                                jnp.zeros(cap, bool), T.STRING,
+                                Dictionary(np.array([], object)))
+        pos = int(rawpos) if rawpos is not _missing else 1
+        ln = None if rawlen is _missing else int(rawlen)
 
         def fn(vals):
             out = []
@@ -408,6 +533,25 @@ def eval_spark_function(
                                           len(lut) - 1).astype(jnp.int32)]
         return DeviceColumn(codes, validity, T.STRING,
                             Dictionary(uniq.astype(object)))
+    if f in ("format_string", "printf"):
+        from .javafmt import JavaFormatError, java_format
+
+        cap = args[0].data.shape[0] if args else capacity
+        if not args or not (args[0].dtype.is_string
+                            or args[0].dtype.kind is T.TypeKind.NULL):
+            raise PlanError("format_string: format must be a string")
+        vals = [_const_typed(e) for e in arg_exprs]
+        fmt = vals[0]
+        if fmt is None:
+            return DeviceColumn(jnp.zeros(cap, jnp.int32),
+                                jnp.zeros(cap, bool), T.STRING,
+                                Dictionary(np.array([], object)))
+        try:
+            s = java_format(str(fmt), vals[1:])
+        except JavaFormatError as err:
+            raise PlanError(f"format_string: {err}") from err
+        return DeviceColumn(jnp.zeros(cap, jnp.int32), None, T.STRING,
+                            Dictionary(np.array([s], object)))
     if f == "elt":
         idx_e = arg_exprs[0]
         idx_e = idx_e.expr if isinstance(idx_e, E.Alias) else idx_e

@@ -675,6 +675,14 @@ class Parser:
         return alias, columns
 
     def table_primary(self):
+        if self.at_kw("values") and self.peek(1).kind == "op" \
+                and self.peek(1).value == "(":
+            # bare FROM VALUES (...), (...) — Spark/reference idiom. The
+            # lookahead keeps `FROM values` working for a table named
+            # "values" (array.slt fixtures).
+            rows = self._values_rows()
+            alias, columns = self._table_alias()
+            return A.ValuesTable(rows, alias, columns)
         if self.eat_op("("):
             if self.at_kw("values"):
                 rows = self._values_rows()

@@ -258,6 +258,10 @@ def _row_keys(rows: List[str], types: str, sep: Optional[str]):
     keys = []
     for row in rows:
         toks = row.split(sep) if sep else row.split()
+        if len(types) == 1:
+            # single-column rows compare whole-line, whitespace-stripped on
+            # BOTH sides (the slt format cannot represent trailing spaces)
+            toks = [row.strip()]
         if len(toks) != len(types):
             if len(types) == 1:
                 toks = [row.strip()]

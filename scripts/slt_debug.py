@@ -55,6 +55,8 @@ def main():
                      .replace("$SLTDATA", data_dir)
                      .replace("$SCRATCH", scratch))
     ctx = SessionContext()
+    if "/spark/" in path or path.endswith("spark.slt"):
+        ctx.enable_spark_functions()
     shown = 0
     reasons = collections.Counter()
     grep = re.compile(args.grep, re.I) if args.grep else None
