@@ -655,6 +655,77 @@ def eval_scalar_function(
         return DeviceColumn(out_codes.astype(jnp.int32), validity, T.STRING,
                             Dictionary(uniq.astype(object)))
 
+    if f == "concat_ws":
+        # concat_ws(sep, ...): NULL args are skipped (no separator), NULL
+        # sep -> NULL (reference functions/src/string/concat_ws.rs). Same
+        # composite-dictionary scheme as concat, but pieces stay tuples so
+        # per-row NULL columns can drop their separator at join time.
+        from ..common.errors import NotImplementedYet
+
+        CAP = 1 << 18
+        if not arg_exprs:
+            raise PlanError("concat_ws needs a separator argument")
+        sep_node = arg_exprs[0]
+        sep_node = sep_node.expr if isinstance(sep_node, E.Alias) else sep_node
+        while isinstance(sep_node, E.Cast):
+            sep_node = sep_node.expr
+        if not isinstance(sep_node, E.Literal):
+            raise NotImplementedYet("concat_ws with a non-constant separator")
+        if sep_node.value is None:
+            return DeviceColumn(jnp.zeros(capacity, jnp.int32),
+                                jnp.zeros(capacity, bool), T.STRING,
+                                Dictionary(np.array([], object)))
+        sep = str(sep_node.value)
+        combos = [()]  # tuples of str-or-None pieces
+        codes = None
+        for a, ae in zip(args[1:], arg_exprs[1:]):
+            node = ae.expr if isinstance(ae, E.Alias) else ae
+            while isinstance(node, E.Cast):
+                node = node.expr
+            const_pieces = None
+            if isinstance(node, E.Literal):
+                const_pieces = [None if node.value is None
+                                else str(node.value)]
+            elif isinstance(node, E.ScalarFunction) \
+                    and node.fname in ("make_array", "array", "make_list"):
+                try:
+                    from .nested import _literal_py
+
+                    lst = _literal_py(node)
+                    const_pieces = [None if x is None else str(x)
+                                    for x in (lst or [])]
+                except PlanError:
+                    const_pieces = None
+            if const_pieces is not None:
+                combos = [c + tuple(const_pieces) for c in combos]
+                continue
+            if not (a.dtype.is_string and a.dictionary is not None):
+                raise NotImplementedYet(
+                    "concat_ws of non-string non-constant argument")
+            dv = [str(v) for v in a.dictionary.values]
+            cc = jnp.clip(a.data, 0, max(len(dv) - 1, 0))
+            if a.validity is not None:
+                dv = dv + [None]
+                cc = jnp.where(a.validity, cc, len(dv) - 1)
+            if not dv:
+                continue
+            if len(combos) * len(dv) > CAP:
+                raise NotImplementedYet(
+                    f"concat_ws dictionary product {len(combos)}x{len(dv)} "
+                    f"exceeds {CAP}")
+            combos = [c + (d,) for c in combos for d in dv]
+            codes = cc if codes is None else codes * len(dv) + cc
+        if codes is None:
+            codes = jnp.zeros(capacity, dtype=jnp.int32)
+        vals = np.array([sep.join(p for p in c if p is not None)
+                         for c in combos], dtype=object)
+        uniq, inv = np.unique(vals.astype("U")), None
+        lutmap = {v: i for i, v in enumerate(uniq)}
+        invarr = np.array([lutmap[str(v)] for v in vals], dtype=np.int32)
+        out_codes = jnp.asarray(invarr)[codes]
+        return DeviceColumn(out_codes.astype(jnp.int32), None, T.STRING,
+                            Dictionary(uniq.astype(object)))
+
     if f in ("length", "char_length", "character_length", "octet_length"):
         a = args[0]
         d = a.dictionary

@@ -426,7 +426,11 @@ def eval_nested_function(fname: str, args: List[DeviceColumn],
 
     if f == "make_array":
         if not args:
-            raise PlanError("make_array needs at least one argument")
+            # [] / make_array(): empty list of the inferred element type
+            return DeviceColumn(
+                jnp.zeros((cap, 1), out_dtype.elem.np_dtype()), None,
+                out_dtype, None, None, jnp.zeros(cap, jnp.int32),
+                jnp.zeros((cap, 1), bool))
         elem = out_dtype.elem
         datas, valids = [], []
         dictionary = None

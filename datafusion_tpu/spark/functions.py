@@ -43,6 +43,10 @@ SPARK_FNS = frozenset({
     "months_between", "unix_timestamp",
     # conditional / predicate / misc
     "if", "nvl2", "isnull", "isnotnull", "monotonically_increasing_id",
+    # misc additions
+    "negative", "positive", "size", "slice", "parse_url", "try_parse_url",
+    "from_utc_timestamp", "to_utc_timestamp", "make_dt_interval",
+    "make_interval",
 })
 
 
@@ -69,6 +73,22 @@ def spark_function_type(e: E.ScalarFunction, schema) -> Tuple[T.DataType, bool]:
         return T.STRING, nullable
     if f in ("format_string", "printf"):
         return T.STRING, argt[0][1] if argt else False
+    if f in ("negative", "positive"):
+        return argt[0][0], nullable
+    if f == "slice":
+        return argt[0][0], True
+    if f == "size":
+        return T.INT64, False
+    if f in ("parse_url", "try_parse_url"):
+        return T.STRING, True
+    if f in ("from_utc_timestamp", "to_utc_timestamp"):
+        return T.TIMESTAMP, nullable
+    if f == "make_dt_interval":
+        return T.INTERVAL_US, nullable
+    if f == "make_interval":
+        # years/months only -> calendar months; any finer field -> us
+        return (T.INTERVAL_MONTHS if len(e.args) <= 2
+                else T.INTERVAL_US), nullable
     if f == "luhn_check":
         return T.BOOL, nullable
     if f in ("add_months", "date_add", "date_sub", "last_day", "next_day"):
@@ -671,5 +691,177 @@ def eval_spark_function(
     if f == "monotonically_increasing_id":
         return DeviceColumn(jnp.arange(capacity, dtype=jnp.int64), None,
                             T.INT64)
+    if f in ("negative", "positive"):
+        a = args[0]
+        data = -a.data if f == "negative" else a.data
+        return DeviceColumn(data, validity, a.dtype, a.dictionary)
+    if f == "slice":
+        # Spark slice(arr, start, length): 1-based start, negative counts
+        # from the end; start=0 errors; negative length errors
+        col = args[0]
+        start = _lit(arg_exprs, 1)
+        length = _lit(arg_exprs, 2)
+        if start is None or length is None:
+            cap = col.data.shape[0]
+            w = col.width
+            return DeviceColumn(jnp.zeros((cap, w), col.data.dtype),
+                                jnp.zeros(cap, bool), col.dtype,
+                                col.dictionary,
+                                lengths=jnp.zeros(cap, jnp.int32))
+        start, length = int(start), int(length)
+        if start == 0:
+            raise PlanError("slice: start must not be zero")
+        if length < 0:
+            raise PlanError("slice: length must be non-negative")
+        lens = col.list_lengths()
+        j0 = jnp.where(jnp.full_like(lens, start) > 0, start - 1,
+                       lens + start)
+        w = col.width
+        idx = j0[:, None] + jnp.arange(w, dtype=lens.dtype)[None, :]
+        ok = (idx >= 0) & (idx < lens[:, None]) \
+            & (jnp.arange(w)[None, :] < length)
+        idxc = jnp.clip(idx, 0, max(w - 1, 0))
+        data = jnp.take_along_axis(col.data, idxc.astype(jnp.int32), axis=1)
+        sv = jnp.take_along_axis(col.slot_valid(), idxc.astype(jnp.int32),
+                                 axis=1)
+        new_lens = jnp.clip(jnp.minimum(lens - j0, length), 0).astype(
+            jnp.int32)
+        return DeviceColumn(jnp.where(ok, data, 0), col.validity, col.dtype,
+                            col.dictionary, lengths=new_lens,
+                            elem_valid=ok & sv)
+    if f == "size":
+        # Spark size: length of array/map; NULL input -> -1 (legacy Spark
+        # default, which the reference implements; spark/src/function/
+        # collection/size.rs)
+        a = args[0]
+        lens = a.list_lengths().astype(jnp.int64) if a.dtype.is_list else \
+            jnp.ones(a.data.shape[0], jnp.int64)
+        v = a.validity if a.validity is not None else None
+        data = lens if v is None else jnp.where(v, lens, -1)
+        return DeviceColumn(data, None, T.INT64)
+    if f in ("parse_url", "try_parse_url"):
+        if not arg_exprs:
+            raise PlanError(f"'{f}' does not support zero arguments")
+        url = _lit(arg_exprs, 0)
+        part = _lit(arg_exprs, 1)
+        key = _lit(arg_exprs, 2, None)
+        cap = args[0].data.shape[0]
+
+        def _null():
+            return DeviceColumn(jnp.zeros(cap, jnp.int32),
+                                jnp.zeros(cap, bool), T.STRING,
+                                Dictionary(np.array([], object)))
+
+        try:
+            s = _parse_url_part(url, part, key)
+        except PlanError:
+            if f == "try_parse_url":
+                return _null()
+            raise
+        if s is None:
+            return _null()
+        return DeviceColumn(jnp.zeros(cap, jnp.int32), None, T.STRING,
+                            Dictionary(np.array([s], object)))
+    if f in ("from_utc_timestamp", "to_utc_timestamp"):
+        import datetime as _dt
+        from zoneinfo import ZoneInfo
+
+        tz = _lit(arg_exprs, 1)
+        val = _lit(arg_exprs, 0)
+        if tz is None or val is None:
+            return DeviceColumn(jnp.zeros(capacity, jnp.int64),
+                                jnp.zeros(capacity, bool), T.TIMESTAMP)
+        try:
+            z = ZoneInfo(str(tz))
+        except Exception as err:  # noqa: BLE001 - unknown tz name
+            raise PlanError(f"unknown time zone {tz!r}") from err
+        if isinstance(val, (int, np.integer)):
+            us = int(val)
+        else:
+            s = str(val).strip().replace("T", " ")
+            us = int(np.datetime64(s.replace(" ", "T"), "us")
+                     .astype(np.int64))
+        instant = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc) + \
+            _dt.timedelta(microseconds=us)
+        off = int(z.utcoffset(instant).total_seconds() * 1e6)
+        us2 = us + off if f == "from_utc_timestamp" else us - off
+        return DeviceColumn(jnp.full(capacity, us2, jnp.int64), None,
+                            T.TIMESTAMP)
+    if f == "make_dt_interval":
+        d = [_lit(arg_exprs, i, 0) for i in range(4)]
+        if any(x is None for x in d):
+            return DeviceColumn(jnp.zeros(capacity, jnp.int64),
+                                jnp.zeros(capacity, bool), T.INTERVAL_US)
+        days, hours, mins, secs = ([*d, 0, 0, 0, 0][:4])
+        us = int(round((((float(days) * 24 + float(hours)) * 60
+                         + float(mins)) * 60 + float(secs)) * 1e6))
+        return DeviceColumn(jnp.full(capacity, us, jnp.int64), None,
+                            T.INTERVAL_US)
+    if f == "make_interval":
+        d = [_lit(arg_exprs, i, 0) for i in range(7)]
+        if any(x is None for x in d):
+            return DeviceColumn(jnp.zeros(capacity, jnp.int64),
+                                jnp.zeros(capacity, bool), T.INTERVAL_US)
+        y, mo, w, days, h, mi, s = ([*d, 0, 0, 0, 0, 0, 0, 0][:7])
+        months = int(y) * 12 + int(mo)
+        if len(arg_exprs) <= 2:
+            return DeviceColumn(jnp.full(capacity, months, jnp.int32), None,
+                                T.INTERVAL_MONTHS)
+        if months:
+            raise PlanError("make_interval with both month and sub-month "
+                            "parts is not representable")
+        us = int(round(((((float(w) * 7 + float(days)) * 24 + float(h)) * 60
+                         + float(mi)) * 60 + float(s)) * 1e6))
+        return DeviceColumn(jnp.full(capacity, us, jnp.int64), None,
+                            T.INTERVAL_US)
 
     raise PlanError(f"unknown spark function {f!r}")
+
+
+def _parse_url_part(url, part, key):
+    """Spark parse_url (spark/src/function/url/parse_url.rs): extract a
+    component of a URL; invalid part name is an error, absent component is
+    NULL."""
+    from urllib.parse import parse_qs, urlsplit
+
+    if url is None or part is None:
+        return None
+    s = str(url)
+    if " " in s.strip() or "\t" in s:
+        raise PlanError(f"parse_url: the url is invalid: {url}")
+    try:
+        u = urlsplit(s)
+    except ValueError as err:
+        raise PlanError(f"parse_url: the url is invalid: {url}") from err
+    # part names are CASE-SENSITIVE (Spark): anything but the exact
+    # uppercase keywords extracts nothing
+    p = str(part)
+    if p == "PROTOCOL":
+        return u.scheme or None
+    netloc = u.netloc
+    host_port = netloc.rsplit("@", 1)[-1]
+    if p == "HOST":
+        if host_port.startswith("["):  # IPv6 literal keeps its brackets
+            return host_port[:host_port.index("]") + 1] \
+                if "]" in host_port else None
+        return host_port.split(":")[0] or None
+    if p == "PATH":
+        return u.path
+    if p == "QUERY":
+        if key is not None:
+            q = parse_qs(u.query, keep_blank_values=False)
+            vals = q.get(str(key))
+            return vals[0] if vals else None
+        return u.query or None
+    if p == "REF":
+        return u.fragment or None
+    if p == "FILE":
+        return u.path + (f"?{u.query}" if u.query else "")
+    if p == "AUTHORITY":
+        return netloc or None
+    if p == "USERINFO":
+        ui = netloc.rsplit("@", 1)[0] if "@" in netloc else None
+        return ui or None
+    return None
+
+

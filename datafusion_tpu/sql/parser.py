@@ -998,6 +998,22 @@ class Parser:
             return T.TIME
         if name in ("boolean", "bool"):
             return T.BOOL
+        if name == "array":
+            # ARRAY<T> (Spark) / ARRAY (bare)
+            if self.at("op", "<"):
+                self.next()
+                elem = self.type_name()
+                self.expect_op(">")
+                return T.list_of(elem)
+            return T.list_of(T.INT64)
+        if name == "map" and self.at("op", "<"):
+            # MAP<K, V> (Spark)
+            self.next()
+            k = self.type_name()
+            self.expect_op(",")
+            v = self.type_name()
+            self.expect_op(">")
+            return T.map_of(k, v) if hasattr(T, "map_of") else T.STRING
         raise ParseError(f"unknown type {name!r}")
 
     def primary(self) -> E.Expr:

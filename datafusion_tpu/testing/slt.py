@@ -109,9 +109,46 @@ def parse_slt(text: str) -> List[Record]:
     return records
 
 
-def format_value(v, tch: str) -> str:
+def _render_interval_us(us: int) -> str:
+    """arrow-rs IntervalMonthDayNano-style display over a microsecond
+    duration: nonzero components only, trailing seconds carry a 9-digit
+    fraction (reference interval.slt: '5 days', '65 mons 5 days 5 hours
+    5 mins 5.005005005 secs')."""
+    us = int(us)
+    days, rem = abs(us) // 86_400_000_000, abs(us) % 86_400_000_000
+    hours, rem = rem // 3_600_000_000, rem % 3_600_000_000
+    mins, rem = rem // 60_000_000, rem % 60_000_000
+    secs, frac_us = rem // 1_000_000, rem % 1_000_000
+    sign = "-" if us < 0 else ""
+    parts = []
+    if days:
+        parts.append(f"{sign}{days} days")
+    if hours:
+        parts.append(f"{sign}{hours} hours")
+    if mins:
+        parts.append(f"{sign}{mins} mins")
+    if secs or frac_us or not parts:
+        parts.append(f"{sign}{secs}.{frac_us * 1000:09d} secs")
+    return " ".join(parts)
+
+
+def format_value(v, tch: str, dtype=None) -> str:
     if v is None:
         return "NULL"
+    if dtype is not None:
+        from ..common import types as _T
+
+        if dtype.kind is _T.TypeKind.INTERVAL_US:
+            import datetime as _dt
+
+            if isinstance(v, _dt.timedelta):
+                v = (v.days * 86_400_000_000 + v.seconds * 1_000_000
+                     + v.microseconds)
+            return _render_interval_us(int(v))
+        if dtype.kind is _T.TypeKind.INTERVAL_MONTHS:
+            return f"{int(v)} mons"
+        if dtype.kind is _T.TypeKind.INTERVAL_DAYS:
+            return f"{int(v)} days"
     if tch == "R":
         f = float(v)
         if math.isnan(f):
@@ -152,7 +189,8 @@ def format_rows(table, types: str, sort_mode: str) -> List[str]:
         vals = []
         for c in range(len(cols)):
             tch = types[c] if c < len(types) else "T"
-            vals.append(format_value(pylists[c][r], tch))
+            vals.append(format_value(pylists[c][r], tch,
+                                     table.schema.fields[c].dtype))
         rows.append("\t".join(vals))
     if sort_mode == "rowsort":
         rows.sort()
