@@ -379,7 +379,8 @@ def _struct_map_type(f: str, e: E.ScalarFunction, argt, nullable):
             pairs = [( _field_name(e.args[i]), e.args[i + 1])
                      for i in range(0, len(e.args), 2)]
         else:
-            pairs = [(f"c{i}", a) for i, a in enumerate(e.args)]
+            pairs = [(a.aname if isinstance(a, E.Alias) else f"c{i}", a)
+                     for i, a in enumerate(e.args)]
         fields = []
         for n, a in pairs:
             v = _literal_py(a)
@@ -964,7 +965,8 @@ def _eval_struct_map(f: str, args: List[DeviceColumn],
             vals = [_literal_py(a) for a in arg_exprs]
             value = {str(vals[i]): vals[i + 1] for i in range(0, len(vals), 2)}
         elif f in ("struct", "row"):
-            value = {f"c{i}": _literal_py(a) for i, a in enumerate(arg_exprs)}
+            value = {(a.aname if isinstance(a, E.Alias) else f"c{i}"):
+                     _literal_py(a) for i, a in enumerate(arg_exprs)}
         elif f == "map" and len(arg_exprs) == 2:
             ks = _literal_py(arg_exprs[0]) or []
             vs = _literal_py(arg_exprs[1]) or []

@@ -1006,6 +1006,25 @@ class Parser:
                 self.expect_op(">")
                 return T.list_of(elem)
             return T.list_of(T.INT64)
+        if name == "struct" and self.at("op", "<"):
+            # struct<INT> (positional c0..) / struct<a INT, b VARCHAR>
+            self.next()
+            fields = []
+            i = 0
+            while not self.at("op", ">"):
+                if self.peek().kind == "ident" and self.peek(1).kind in (
+                        "ident", "kw"):
+                    fn = self.ident()
+                    ft = self.type_name()
+                else:
+                    fn = f"c{i}"
+                    ft = self.type_name()
+                fields.append((fn, ft))
+                i += 1
+                if not self.eat_op(","):
+                    break
+            self.expect_op(">")
+            return T.struct(tuple(fields))
         if name == "map" and self.at("op", "<"):
             # MAP<K, V> (Spark)
             self.next()
@@ -1243,7 +1262,14 @@ class Parser:
                 self.expect_op(")")
                 self.next()  # ->
                 return E.Lambda(tuple(params), self.expr())
-        return self.expr()
+        e = self.expr()
+        if self.eat_kw("as"):
+            # struct(1 AS a, 'x' AS b) — named struct fields (reference:
+            # sqlparser named function arguments; struct.slt)
+            if self.peek().kind == "string":
+                return E.Alias(e, self.next().value)
+            return E.Alias(e, self.ident())
+        return e
 
     def _function_call(self, name: str) -> E.Expr:
         fname = name.lower()

@@ -173,8 +173,25 @@ def format_value(v, tch: str, dtype=None) -> str:
         if "." in s:
             s = s.rstrip("0").rstrip(".")
         return s
+    if isinstance(v, dict):
+        # arrow-rs struct/map display: {name: value, ...}, bare strings,
+        # NULL for null fields (reference struct.slt)
+        return "{" + ", ".join(f"{k}: {_struct_field(x)}"
+                               for k, x in v.items()) + "}"
+    if isinstance(v, list):
+        return "[" + ", ".join(_struct_field(x) for x in v) + "]"
     s = str(v)
     return "(empty)" if s == "" else s
+
+
+def _struct_field(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (dict, list)):
+        return format_value(v, "T")
+    return str(v)
 
 
 def format_rows(table, types: str, sort_mode: str) -> List[str]:
